@@ -1,0 +1,140 @@
+"""KTX2 texture container reader.
+
+The reference plugs a KTX2 handler into its image importer and transcodes to
+BC7 blocks for GPU sampling (reference ``src/mgr.cpp:199-212,297-298`` via
+``ktx::loadKTXMem``). TPUs have no block-compression sampler, so our bake
+target is raw RGBA8 texels instead (documented divergence; same role in the
+pipeline: ``.ktx2`` files are accepted wherever texture paths are).
+
+Supported: uncompressed R8/RG8/RGB8/RGBA8 (UNORM/SRGB) payloads with no
+supercompression, or ZLIB supercompression, or Zstandard when the Python
+runtime ships a zstd module. BasisLZ/UASTC supercompressed payloads raise a
+clear error — transcoding them requires the Basis Universal codec, which is
+out of scope for a TPU sampler that wants raw texels anyway.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_KTX2_MAGIC = b"\xabKTX 20\xbb\r\n\x1a\n"
+
+# VkFormat values → (channels, srgb)
+_VK_FORMATS = {
+    9: (1, False),  # R8_UNORM
+    15: (1, True),  # R8_SRGB
+    16: (2, False),  # R8G8_UNORM
+    22: (2, True),  # R8G8_SRGB
+    23: (3, False),  # R8G8B8_UNORM
+    29: (3, True),  # R8G8B8_SRGB
+    37: (4, False),  # R8G8B8A8_UNORM
+    43: (4, True),  # R8G8B8A8_SRGB
+}
+
+
+def _zstd_decompress(data: bytes, expected: int) -> bytes:
+    try:  # Python >= 3.14
+        from compression import zstd  # type: ignore
+
+        return zstd.decompress(data)
+    except ImportError:
+        pass
+    try:
+        import zstandard  # type: ignore
+
+        return zstandard.ZstdDecompressor().decompress(data, max_output_size=expected)
+    except ImportError as e:
+        raise NotImplementedError(
+            "KTX2: Zstandard supercompression requires a zstd module, "
+            "which is not available in this runtime"
+        ) from e
+
+
+def decode_ktx2(data: bytes) -> np.ndarray:
+    """Decode KTX2 bytes → RGBA8 [H, W, 4] (base mip level only)."""
+    if data[:12] != _KTX2_MAGIC:
+        raise ValueError("not a KTX2 file")
+    (
+        vk_format,
+        _type_size,
+        width,
+        height,
+        _depth,
+        _layers,
+        _faces,
+        level_count,
+        supercompression,
+    ) = struct.unpack_from("<9I", data, 12)
+    # Index: dfd / kvd (u32 offset+length each), sgd (u64 offset+length)
+    # then levelCount * (u64 byteOffset, byteLength, uncompressedByteLength).
+    level_index_off = 12 + 36 + 2 * 4 + 2 * 4 + 2 * 8
+    levels = max(level_count, 1)
+    level0 = struct.unpack_from("<3Q", data, level_index_off)
+    byte_offset, byte_length, uncompressed_length = level0
+    del levels
+
+    if supercompression == 1:
+        raise NotImplementedError(
+            "KTX2: BasisLZ supercompression is not supported — re-export the "
+            "texture as uncompressed/zstd/zlib KTX2 or PNG (TPU samples raw "
+            "RGBA8 texels; there is no BC7 hardware to transcode for)"
+        )
+
+    payload = data[byte_offset : byte_offset + byte_length]
+    if supercompression == 2:
+        payload = _zstd_decompress(payload, uncompressed_length or (width * height * 4))
+    elif supercompression == 3:
+        payload = zlib.decompress(payload)
+    elif supercompression != 0:
+        raise NotImplementedError(f"KTX2: supercompression scheme {supercompression}")
+
+    if vk_format not in _VK_FORMATS:
+        raise NotImplementedError(
+            f"KTX2: VkFormat {vk_format} not supported (need 8-bit UNORM/SRGB)"
+        )
+    channels, _srgb = _VK_FORMATS[vk_format]
+    if height == 0:
+        height = 1
+    img = np.frombuffer(payload, np.uint8)[: width * height * channels]
+    img = img.reshape(height, width, channels)
+    out = np.zeros((height, width, 4), np.uint8)
+    out[..., 3] = 255
+    if channels == 1:
+        out[..., 0] = out[..., 1] = out[..., 2] = img[..., 0]
+    elif channels == 2:
+        out[..., 0] = out[..., 1] = out[..., 2] = img[..., 0]
+        out[..., 3] = img[..., 1]
+    else:
+        out[..., :channels] = img
+    return out
+
+
+def read_ktx2(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return decode_ktx2(f.read())
+
+
+def encode_ktx2_rgba8(image: np.ndarray, srgb: bool = False) -> bytes:
+    """Encode RGBA8 [H, W, 4] → minimal single-level KTX2 (no supercompression).
+
+    Used by tests/tools to produce fixtures exercising the KTX2 input path
+    (the reference repo ships no .ktx2 fixture; its handler is registered at
+    ``src/mgr.cpp:297-298``).
+    """
+    img = np.ascontiguousarray(np.asarray(image, np.uint8))
+    h, w, c = img.shape
+    assert c == 4, "encode_ktx2_rgba8 expects RGBA"
+    vk_format = 43 if srgb else 37
+    header = _KTX2_MAGIC + struct.pack(
+        "<9I", vk_format, 1, w, h, 0, 0, 1, 1, 0
+    )
+    # Minimal empty DFD/KVD/SGD; one level index entry.
+    index_fixed = struct.pack("<2I2I2Q", 0, 0, 0, 0, 0, 0)
+    level_index_size = 24
+    data_offset = len(header) + len(index_fixed) + level_index_size
+    payload = img.tobytes()
+    level_index = struct.pack("<3Q", data_offset, len(payload), len(payload))
+    return header + index_fixed + level_index + payload

@@ -1,0 +1,74 @@
+"""Shared shading math: hit attributes → RGBA8 pixels.
+
+One directional lambert light plus a constant ambient term, matching the
+lighting model the reference configures (a single directional light with
+direction and color — ``configureLighting`` usage, reference
+``src/mgr.cpp:356-359``). The exact shader constants of the engine's
+(absent) kernels are unobservable; ours are documented here:
+
+  * ``AMBIENT = 0.2`` constant ambient.
+  * Two-sided shading: the surface normal is flipped toward the viewer
+    (no backface culling in the intersector, so both faces shade alike).
+  * Nearest-neighbor texture sampling, repeat wrap, OBJ UV convention
+    (v=0 at the bottom of the image).
+  * Misses produce RGBA (0, 0, 0, 255), depth 0.0, segmask -1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.scene import SceneData
+
+AMBIENT = 0.2
+
+
+def sample_texture_nearest(scene: SceneData, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor sample from the flat texel pool.
+
+    tex_id: i32 [...], uv: f32 [..., 2] → f32 [..., 4].
+    """
+    w = scene.tex_width[tex_id]
+    h = scene.tex_height[tex_id]
+    off = scene.tex_offset[tex_id]
+    u = uv[..., 0] - jnp.floor(uv[..., 0])  # repeat wrap
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    # OBJ/GL convention: v grows upward; texel row 0 is the image top.
+    x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(((1.0 - v) * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    flat = off + y * w + x
+    return scene.tex_data[flat]
+
+
+def shade_lambert(
+    scene: SceneData,
+    mat_id: jnp.ndarray,  # i32 [...]
+    uv: jnp.ndarray,  # f32 [..., 2]
+    normal: jnp.ndarray,  # f32 [..., 3] (unnormalized ok)
+    view_dir: jnp.ndarray,  # f32 [..., 3] ray direction (unit, towards surface)
+    hit_mask: jnp.ndarray,  # bool [...]
+) -> jnp.ndarray:
+    """Returns u8 RGBA [..., 4]."""
+    n = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20
+    )
+    # Two-sided: flip toward viewer.
+    facing = jnp.sign(-jnp.sum(n * view_dir, axis=-1, keepdims=True))
+    facing = jnp.where(facing == 0, 1.0, facing)
+    n = n * facing
+
+    light_dir = scene.light_dir / jnp.maximum(jnp.linalg.norm(scene.light_dir), 1e-20)
+    ndotl = jnp.maximum(0.0, -jnp.sum(n * light_dir, axis=-1, keepdims=True))
+    intensity = AMBIENT + (1.0 - AMBIENT) * ndotl * scene.light_color
+
+    base = scene.mat_color[mat_id]  # [..., 4]
+    tex = sample_texture_nearest(scene, scene.mat_tex[mat_id], uv)
+    albedo = base * tex
+
+    rgb = jnp.clip(albedo[..., :3] * intensity, 0.0, 1.0)
+    rgba = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
+    rgba = jnp.where(hit_mask[..., None], rgba, jnp.zeros_like(rgba))
+    # Alpha stays 255 everywhere (background included), matching a cleared
+    # RGBA8 target.
+    rgba = rgba.at[..., 3].set(1.0)
+    return (rgba * 255.0 + 0.5).astype(jnp.uint8)
