@@ -1,0 +1,160 @@
+"""Headline benchmark: frames/sec at the driver's north-star config.
+
+Default run = 4096 worlds × 1 camera × 64×64 RGB-D raytrace on one chip
+(BASELINE.json north_star: ≥1e5 frames/sec). Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+vs_baseline is value / 1e5 (the driver-declared target; the reference
+publishes no numbers of its own — see BASELINE.md).
+
+Other configs: bench.py [--worlds N] [--steps N] [--mode rt|rast]
+[--width W] [--height H] [--impl auto|jnp|pallas] [--all] (--all runs the
+five BASELINE.json configs and prints one JSON line each, headline last).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build(num_worlds: int, mode_str: str, width: int, height: int, impl: str):
+    from madrona_renderer_tpu.config import RenderMode
+    from madrona_renderer_tpu.assets.importer import load_render_assets
+    from madrona_renderer_tpu.core.scene import bake_scene
+    from madrona_renderer_tpu.core.state import init_state
+    from madrona_renderer_tpu.runners.scenes import demo_config
+
+    mode = RenderMode.Raytracer if mode_str == "rt" else RenderMode.Rasterizer
+    cfg = demo_config(num_worlds, mode, width, height, dynamic=True, impl=impl)
+    assets = load_render_assets(
+        cfg.rcfg.geo_cfg,
+        cfg.rcfg.asset_paths,
+        cfg.rcfg.additional_mats,
+        cfg.rcfg.additional_textures,
+    )
+    scene = bake_scene(assets)
+    state = init_state(cfg.rcfg.instances, cfg.rcfg.cameras, cfg.rcfg.worlds)
+    return state, scene, cfg
+
+
+def resolve_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    import jax
+
+    return "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "jnp"
+
+
+def run_config(
+    num_worlds: int,
+    steps: int,
+    mode_str: str,
+    width: int,
+    height: int,
+    impl: str,
+    warmup: int = 3,
+) -> float:
+    """Returns frames/sec (steps × worlds / elapsed) for the steady-state
+    loop, timed like the reference headless bench (src/headless.cpp:57-78)
+    but with an explicit device sync and compile excluded."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+
+    impl = resolve_impl(impl)
+    state, scene, cfg = build(num_worlds, mode_str, width, height, impl)
+
+    if mode_str == "rt":
+        try:
+            if impl != "pallas":
+                raise ImportError
+            from madrona_renderer_tpu.ops.raytrace_pallas import raytrace as render
+        except ImportError:
+            from madrona_renderer_tpu.ops.raytrace_ref import raytrace as render
+        near = cfg.near_plane
+    else:
+        try:
+            if impl != "pallas":
+                raise ImportError
+            from madrona_renderer_tpu.ops.raster_pallas import rasterize as render
+        except ImportError:
+            from madrona_renderer_tpu.ops.raster_ref import rasterize as render
+        near = cfg.raster_near_plane
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, scene):
+        state = dataclasses.replace(state, time=state.time + 0.05)
+        frames = render(
+            state, scene, height=height, width=width, near=near, far=cfg.far_plane
+        )
+        return state, frames
+
+    frames = None
+    for _ in range(warmup):
+        state, frames = step(state, scene)
+    jax.block_until_ready(frames.rgb)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, frames = step(state, scene)
+    jax.block_until_ready(frames.rgb)
+    elapsed = time.perf_counter() - t0
+    return steps * num_worlds / elapsed
+
+
+BASELINE_CONFIGS = [
+    # (name, worlds, steps, mode, width, height)
+    ("cpu_sanity_1w", 1, 8, "rt", 64, 64),
+    ("raster_256w", 256, 20, "rast", 64, 64),
+    ("raytrace_4096w_128px", 4096, 5, "rt", 128, 128),
+    ("dynamic_8192w", 8192, 10, "rt", 64, 64),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--mode", choices=["rt", "rast"], default="rt")
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--height", type=int, default=64)
+    ap.add_argument("--impl", default="auto")
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+
+    if args.all:
+        for name, worlds, steps, mode, w, h in BASELINE_CONFIGS:
+            fps = run_config(worlds, steps, mode, w, h, args.impl)
+            print(
+                json.dumps(
+                    {
+                        "metric": name,
+                        "value": round(fps, 1),
+                        "unit": "frames/sec",
+                        "vs_baseline": round(fps / 1e5, 4),
+                    }
+                )
+            )
+
+    fps = run_config(
+        args.worlds, args.steps, args.mode, args.width, args.height, args.impl
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"{'raytrace' if args.mode == 'rt' else 'raster'}_fps_"
+                f"{args.worlds}w_{args.width}px",
+                "value": round(fps, 1),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 1e5, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Pallas kernel ↔ pure-jnp reference parity.
+
+The jnp path is the semantic reference; the Pallas kernel must match it
+bit-for-bit on every output (same math, same epsilons). Runs the kernel in
+interpreter mode on CPU; the identical kernel compiles for real TPU.
+"""
+
+import numpy as np
+import pytest
+
+from madrona_renderer_tpu.config import ImportedCamera, ImportedInstance, WorldInit
+from madrona_renderer_tpu.ops.raytrace_ref import raytrace as rt_ref
+from madrona_renderer_tpu.ops.raytrace_pallas import raytrace as rt_pal
+
+from tests.fixtures import ensure_fixtures, smoke_scene
+from tests.helpers import build, cam_at_origin_looking_plus_y, quad_xz
+
+
+def _assert_frames_equal(a, b):
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_allclose(
+        np.asarray(a.depth), np.asarray(b.depth), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(a.segmask), np.asarray(b.segmask))
+
+
+def test_parity_simple_scene():
+    state, scene = build(
+        [quad_xz(half=100.0, y=0.0)],
+        [
+            ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0], scale=[1, 1, 1], object_id=0),
+            ImportedInstance(position=[0, 5, 0], rotation=[1, 0, 0, 0], scale=[0.05, 1, 0.05], object_id=0),
+        ],
+        [cam_at_origin_looking_plus_y()],
+    )
+    a = rt_ref(state, scene, height=64, width=64)
+    b = rt_pal(state, scene, height=64, width=64, interpret=True)
+    _assert_frames_equal(a, b)
+
+
+def test_parity_smoke_scene_multiworld():
+    """The reference smoke scene: textured cube + raw triangle, 4 worlds."""
+    import madrona_renderer_tpu as m
+    from madrona_renderer_tpu.assets.importer import load_render_assets
+    from madrona_renderer_tpu.config import GeometryConfig
+    from madrona_renderer_tpu.core.scene import bake_scene
+    from madrona_renderer_tpu.core.state import init_state
+
+    kw = smoke_scene(ensure_fixtures())
+    geo = GeometryConfig(
+        vertices=kw["mesh_vertices"],
+        uvs=kw["mesh_uvs"],
+        indices=kw["mesh_indices"],
+        mesh_vertex_offsets=kw["mesh_vertex_offsets"],
+        mesh_index_offsets=kw["mesh_indices_offsets"],
+        mesh_materials=kw["mesh_materials"],
+    )
+    merged = load_render_assets(
+        geo, kw["asset_paths"], kw["materials"], kw["texture_paths"]
+    )
+    scene = bake_scene(merged)
+    state = init_state(kw["instances"], kw["cameras"], kw["worlds"])
+
+    a = rt_ref(state, scene, height=64, width=64)
+    b = rt_pal(state, scene, height=64, width=64, interpret=True)
+    _assert_frames_equal(a, b)
+    # Sanity: scene content actually present.
+    assert set(np.unique(np.asarray(a.segmask))) == {-1, 0, 1}
+
+
+def test_parity_nonaligned_resolution():
+    """Resolutions whose pixel count is not a multiple of the 1024-pixel
+    tile exercise the padding path."""
+    state, scene = build(
+        [quad_xz(half=100.0, y=0.0)],
+        [ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0], scale=[1, 1, 1], object_id=0)],
+        [cam_at_origin_looking_plus_y()],
+    )
+    a = rt_ref(state, scene, height=24, width=24)  # 576 px: pads to 1024
+    b = rt_pal(state, scene, height=24, width=24, interpret=True)
+    _assert_frames_equal(a, b)
