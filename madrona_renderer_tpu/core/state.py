@@ -75,55 +75,42 @@ def init_state(
     worlds: Sequence[WorldInit],
     device: "jax.Device | None" = None,
 ) -> SimState:
-    """Build the initial SimState on the host, then one device_put.
+    """Build the initial SimState via the ECS layer, then one device_put.
 
     This is the analog of on-device world init inside the executor ctor
     (reference ``MADRONA_BUILD_MWGPU_ENTRY`` → per-world ``Sim::Sim``,
     ``src/sim.cpp:135-182``); at our scale host-side numpy assembly followed
     by a single transfer is both simpler and faster than a device kernel.
+    The SimState is a typed view over the ECS archetype tables declared in
+    :mod:`madrona_renderer_tpu.core.sim`.
     """
-    num_worlds = len(worlds)
+    from .sim import init_worlds, register_types
+    from ..ecs.registry import VALID
+
     inst_counts, cam_counts = _counts(worlds)
-    max_i = int(inst_counts.max(initial=1))
-    max_c = int(cam_counts.max(initial=1))
-    max_i = max(max_i, 1)
-    max_c = max(max_c, 1)
+    max_i = max(int(inst_counts.max(initial=1)), 1)
+    max_c = max(int(cam_counts.max(initial=1)), 1)
 
-    ipos = np.zeros((num_worlds, max_i, 3), np.float32)
-    irot = np.zeros((num_worlds, max_i, 4), np.float32)
-    irot[..., 0] = 1.0
-    iscale = np.ones((num_worlds, max_i, 3), np.float32)
-    iobj = np.zeros((num_worlds, max_i), np.int32)
-    ivalid = np.zeros((num_worlds, max_i), np.float32)
-    cpos = np.zeros((num_worlds, max_c, 3), np.float32)
-    crot = np.zeros((num_worlds, max_c, 4), np.float32)
-    crot[..., 0] = 1.0
-    cvalid = np.zeros((num_worlds, max_c), np.float32)
+    registry = register_types(max_i, max_c)
+    tables = init_worlds(registry, instances, cameras, worlds)
 
-    for w, winit in enumerate(worlds):
-        for i in range(winit.num_instances):
-            src = instances[winit.instance_offset + i]
-            ipos[w, i] = np.asarray(src.position, np.float32)
-            irot[w, i] = np.asarray(src.rotation, np.float32)
-            iscale[w, i] = np.asarray(src.scale, np.float32)
-            iobj[w, i] = int(src.object_id)
-            ivalid[w, i] = 1.0
-        for c in range(winit.num_cameras):
-            src = cameras[winit.camera_offset + c]
-            cpos[w, c] = np.asarray(src.position, np.float32)
-            crot[w, c] = np.asarray(src.rotation, np.float32)
-            cvalid[w, c] = 1.0
+    rend = tables.archetypes["renderable"]
+    agent = tables.archetypes["agent"]
+    # Empty rotation slots get identity quats (w=1) so padded math stays
+    # finite.
+    for rot, valid in ((rend["rotation"], rend[VALID]), (agent["rotation"], agent[VALID])):
+        rot[..., 0] = np.where(valid > 0, rot[..., 0], 1.0)
 
     state = SimState(
-        instance_pos=ipos,
-        instance_rot=irot,
-        instance_scale=iscale,
-        instance_obj=iobj,
-        instance_valid=ivalid,
-        camera_pos=cpos,
-        camera_rot=crot,
-        camera_valid=cvalid,
-        time=np.zeros((num_worlds,), np.float32),
+        instance_pos=rend["position"],
+        instance_rot=rend["rotation"],
+        instance_scale=rend["scale"],
+        instance_obj=rend["object_id"],
+        instance_valid=rend[VALID],
+        camera_pos=agent["position"],
+        camera_rot=agent["rotation"],
+        camera_valid=agent[VALID],
+        time=tables.singletons["time"],
     )
     put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
     return jax.tree.map(lambda x: put(jnp.asarray(x)), state)

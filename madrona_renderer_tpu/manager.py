@@ -192,21 +192,49 @@ class Manager:
 
         import dataclasses
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def step_fn(state: SimState, scene: SceneData):
-            # Step taskgraph: advance TimeSingleton (+hygiene nodes are
-            # unnecessary under static shapes — no recycle/sort/tmp-alloc;
-            # see docs/design.md).
-            state = dataclasses.replace(state, time=state.time + TIME_DELTA)
-            # Render taskgraph + render graph, fused.
-            frames = render(state, scene, **render_kwargs)
-            # Flat [total_cams, ...] views (the export layout).
-            flat = (
+        from .core.sim import TaskGraphID
+        from .ecs.taskgraph import TaskGraphManager
+
+        # Build the per-step program as taskgraphs (analog of
+        # Sim::setupTasks + CUDAImpl::run's graph sequence, reference
+        # src/sim.cpp:129-133 + src/mgr.cpp:177-185). The carrier is a dict
+        # so render nodes can add outputs alongside the evolving state.
+        def time_update_sys(carry):
+            # timeUpdateSys (src/sim.cpp:73-77). Recycle/sort/tmp-alloc
+            # hygiene nodes are unnecessary under static shapes.
+            state = carry["state"]
+            carry["state"] = dataclasses.replace(state, time=state.time + TIME_DELTA)
+            return carry
+
+        def render_sys(carry):
+            # Render setup (instance/view gather) + render fused: XLA fuses
+            # what the reference split into renderSetupGraph + renderGraph.
+            carry["frames"] = render(carry["state"], carry["scene"], **render_kwargs)
+            return carry
+
+        def export_flatten_sys(carry):
+            # Flat [total_cams, ...] export views.
+            frames = carry["frames"]
+            carry["flat"] = (
                 frames.rgb[cam_w, cam_slot],
                 frames.depth[cam_w, cam_slot],
                 frames.segmask[cam_w, cam_slot],
             )
-            return state, frames, flat
+            return carry
+
+        tg = TaskGraphManager()
+        step_builder = tg.init(TaskGraphID.Step.value)
+        t_node = step_builder.add_to_graph(time_update_sys)
+        del t_node
+        render_builder = tg.init(TaskGraphID.Render.value)
+        r_node = render_builder.add_to_graph(render_sys)
+        render_builder.add_to_graph(export_flatten_sys, deps=(r_node,))
+        run_graphs = tg.build_sequence()
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: SimState, scene: SceneData):
+            carry = run_graphs({"state": state, "scene": scene})
+            return carry["state"], carry["frames"], carry["flat"]
 
         return step_fn
 
