@@ -67,6 +67,12 @@ class ImageImporter:
             "png": decode_png,
             "ktx2": decode_ktx2,
         }
+        # Prefer the native C++ decoder when available (identical output,
+        # cross-checked by tests; MRT_NATIVE=0 disables).
+        from .. import native
+
+        if native.available():
+            self._handlers["png"] = native.decode_png_native
 
     def add_handler(self, ext: str, fn: Callable[[bytes], np.ndarray]) -> None:
         self._handlers[ext.lower().lstrip(".")] = fn
@@ -93,6 +99,10 @@ class AssetImporter:
         self._mesh_handlers: Dict[str, Callable[[str], SourceObject]] = {
             "obj": parse_obj,
         }
+        from .. import native
+
+        if native.available():
+            self._mesh_handlers["obj"] = native.parse_obj_native
 
     def add_mesh_handler(self, ext: str, fn: Callable[[str], SourceObject]) -> None:
         self._mesh_handlers[ext.lower().lstrip(".")] = fn

@@ -1,0 +1,81 @@
+"""Native C++ importer ↔ pure-Python parity (same files, identical output)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from madrona_renderer_tpu import native
+from madrona_renderer_tpu.assets.obj import parse_obj
+from madrona_renderer_tpu.assets.png import decode_png, encode_png
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+def _assert_obj_equal(a, b):
+    assert len(a.meshes) == len(b.meshes)
+    assert len(a.materials) == len(b.materials)
+    for ma, mb in zip(a.meshes, b.meshes):
+        np.testing.assert_allclose(ma.positions, mb.positions, rtol=1e-6)
+        np.testing.assert_array_equal(ma.indices, mb.indices)
+        assert ma.material_idx == mb.material_idx
+        assert (ma.uvs is None) == (mb.uvs is None)
+        if ma.uvs is not None:
+            np.testing.assert_allclose(ma.uvs, mb.uvs, rtol=1e-6)
+        assert (ma.normals is None) == (mb.normals is None)
+        if ma.normals is not None:
+            np.testing.assert_allclose(ma.normals, mb.normals, rtol=1e-6)
+    for xa, xb in zip(a.materials, b.materials):
+        np.testing.assert_allclose(xa.color, xb.color, rtol=1e-6)
+        assert xa.texture_path == xb.texture_path
+        assert xa.roughness == pytest.approx(xb.roughness)
+
+
+def test_obj_parity_fixture(data_dir):
+    path = os.path.join(data_dir, "cube.obj")
+    _assert_obj_equal(native.parse_obj_native(path), parse_obj(path))
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA), reason="reference data absent")
+@pytest.mark.parametrize("name", ["cube.obj", "plane.obj", "wall_render.obj"])
+def test_obj_parity_reference_assets(name):
+    path = os.path.join(REFERENCE_DATA, name)
+    _assert_obj_equal(native.parse_obj_native(path), parse_obj(path))
+
+
+def test_png_parity_random(rng):
+    img = rng.integers(0, 256, size=(33, 47, 4), dtype=np.uint8)
+    data = encode_png(img)
+    np.testing.assert_array_equal(native.decode_png_native(data), decode_png(data))
+
+
+def test_png_parity_rgb_gray(rng):
+    for c in (1, 3):
+        shape = (12, 9) if c == 1 else (12, 9, 3)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        data = encode_png(img)
+        np.testing.assert_array_equal(native.decode_png_native(data), decode_png(data))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFERENCE_DATA, "cube.png")),
+    reason="reference data absent",
+)
+def test_png_parity_reference_texture():
+    with open(os.path.join(REFERENCE_DATA, "cube.png"), "rb") as f:
+        data = f.read()
+    np.testing.assert_array_equal(native.decode_png_native(data), decode_png(data))
+
+
+def test_native_obj_missing_file():
+    with pytest.raises(FileNotFoundError):
+        native.parse_obj_native("/nope/missing.obj")
+
+
+def test_native_png_garbage():
+    with pytest.raises(ValueError):
+        native.decode_png_native(b"garbage")
