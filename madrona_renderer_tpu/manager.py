@@ -275,12 +275,19 @@ class Manager:
 
     # Functional API — the TPU-idiomatic path (no host round-trips):
     def step_state(self, state: SimState):
-        """Pure step: (state) → (state', frames, flat_frames)."""
+        """Pure step: (state) → (state', frames, flat_frames).
+
+        NOTE: ``state``'s buffers are donated (consumed) — use the returned
+        state afterwards. Pass ``state.copy()``-style fresh buffers if you
+        need to keep the input alive.
+        """
         return self._step_fn(state, self.scene)
 
     def render_state(self, state: SimState) -> Frames:
-        """Render without advancing time bookkeeping semantics."""
-        _, frames, _ = self._step_fn(state, self.scene)
+        """Render a state without consuming it (the step program donates
+        its input, so hand it a copy)."""
+        safe = jax.tree.map(jnp.array, state)
+        _, frames, _ = self._step_fn(safe, self.scene)
         return frames
 
     # ------------------------------------------------------------------ #

@@ -36,12 +36,13 @@ def parse_headless_args(argv):
     def usage():
         print(
             f"{argv[0]} [NUM_WORLDS] [NUM_STEPS] [rt|rast] [BATCH_WIDTH] "
-            "[BATCH_HEIGHT] [--dump-last-frame file_name_without_extension]",
+            "[BATCH_HEIGHT] [--dump-last-frame file_name_without_extension] "
+            "[--trace logdir]",
             file=sys.stderr,
         )
         raise SystemExit(1)
 
-    if len(argv) not in (6, 8):
+    if len(argv) < 6:
         usage()
     num_worlds = int(argv[1])
     num_steps = int(argv[2])
@@ -54,24 +55,36 @@ def parse_headless_args(argv):
     width = int(argv[4])
     height = int(argv[5])
     dump = None
-    if len(argv) == 8:
-        if argv[6] != "--dump-last-frame":
+    trace_dir = None
+    i = 6
+    while i < len(argv):
+        if argv[i] == "--dump-last-frame" and i + 1 < len(argv):
+            dump = argv[i + 1]
+            i += 2
+        elif argv[i] == "--trace" and i + 1 < len(argv):
+            trace_dir = argv[i + 1]
+            i += 2
+        else:
             usage()
-        dump = argv[7]
-    return num_worlds, num_steps, mode, width, height, dump
+    return num_worlds, num_steps, mode, width, height, dump, trace_dir
 
 
 def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv
-    num_worlds, num_steps, mode, width, height, dump = parse_headless_args(argv)
+    num_worlds, num_steps, mode, width, height, dump, trace_dir = parse_headless_args(
+        argv
+    )
 
     mgr = Manager(demo_config(num_worlds, mode, width, height))
 
+    from ..utils.profiling import trace
+
     start = time.perf_counter()
-    for _ in range(num_steps):
-        mgr.step()
-    # One device sync so the clock covers real work, not dispatch.
-    jax.block_until_ready(mgr.rgb_tensor().to_jax())
+    with trace(trace_dir):
+        for _ in range(num_steps):
+            mgr.step()
+        # One device sync so the clock covers real work, not dispatch.
+        jax.block_until_ready(mgr.rgb_tensor().to_jax())
     elapsed = time.perf_counter() - start
 
     if dump:

@@ -1,0 +1,32 @@
+"""Checkpoint / resume.
+
+The reference has no persistence (state is reconstructable from inputs;
+SURVEY.md §5.4). Our state is a pytree, so checkpointing is nearly free —
+provided for long RL runs. Plain ``.npz`` (no extra deps); orbax works on
+the same pytrees if the host app prefers it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from ..core.state import SimState
+
+
+def save_state(path: str, state: SimState) -> None:
+    arrays = {
+        f.name: np.asarray(getattr(state, f.name))
+        for f in dataclasses.fields(SimState)
+    }
+    np.savez(path, **arrays)
+
+
+def load_state(path: str, device=None) -> SimState:
+    with np.load(path) as data:
+        kwargs = {k: data[k] for k in data.files}
+    state = SimState(**kwargs)
+    put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+    return jax.tree.map(put, state)

@@ -1,0 +1,89 @@
+"""Viewer, profiling, checkpoint tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from madrona_renderer_tpu.config import RenderMode
+from madrona_renderer_tpu.manager import Manager
+from madrona_renderer_tpu.runners.scenes import demo_config
+from madrona_renderer_tpu.runners.viewer import Viewer, parse_viewer_args
+from madrona_renderer_tpu.utils.checkpoint import load_state, save_state
+from madrona_renderer_tpu.utils.profiling import PhaseTimer, trace
+
+
+@pytest.fixture(scope="module")
+def mgr():
+    return Manager(demo_config(3, RenderMode.Raytracer, 16, 16, dynamic=True))
+
+
+def test_viewer_navigation_and_images(mgr):
+    v = Viewer(mgr)
+    img = v.current_image()
+    assert img.shape == (16, 16, 4) and img.dtype == np.uint8
+    assert v.handle_key("right") and v.world == 1
+    assert v.handle_key("left") and v.world == 0
+    assert v.handle_key("left") and v.world == 2  # wraps
+    v.handle_key("d")
+    assert v.show_depth and v.current_image().shape == (16, 16, 4)
+    v.handle_key(" ")
+    assert v.paused
+    t0 = float(np.asarray(mgr.state.time)[0])
+    v.tick()  # paused: no step
+    assert float(np.asarray(mgr.state.time)[0]) == t0
+    v.handle_key(" ")
+    v.tick()
+    assert float(np.asarray(mgr.state.time)[0]) > t0
+    assert not v.handle_key("q")
+
+
+def test_viewer_args_contract():
+    n, mode, bw, bh = parse_viewer_args(["v", "4", "rt", "800", "600", "64", "32"])
+    assert (n, mode, bw, bh) == (4, RenderMode.Raytracer, 64, 32)
+    with pytest.raises(SystemExit):
+        parse_viewer_args(["v", "4", "rt"])
+
+
+def test_checkpoint_roundtrip(mgr, tmp_path):
+    path = str(tmp_path / "state.npz")
+    save_state(path, mgr.state)
+    loaded = load_state(path)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.instance_pos), np.asarray(mgr.state.instance_pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.time), np.asarray(mgr.state.time)
+    )
+    # Loaded state renders identically.
+    f1 = mgr.render_state(loaded)
+    f2 = mgr.render_state(mgr.state)
+    np.testing.assert_array_equal(np.asarray(f1.rgb), np.asarray(f2.rgb))
+
+
+def test_phase_timer(mgr):
+    timer = PhaseTimer()
+    with timer.phase("step", sync_on=None):
+        mgr.step()
+    assert timer.counts["step"] == 1
+    assert "step" in timer.report()
+
+
+def test_trace_writes_profile(tmp_path, mgr):
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        mgr.step()
+    # jax writes plugins/profile/<ts>/*.trace.json.gz under the logdir
+    found = []
+    for root, _, files in os.walk(logdir):
+        found += [f for f in files if "trace" in f or f.endswith(".pb")]
+    assert found, "no trace artifacts written"
+
+
+def test_trace_noop_without_logdir(mgr):
+    with trace(None):
+        mgr.step()  # must not raise
