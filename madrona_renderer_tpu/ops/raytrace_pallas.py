@@ -69,9 +69,9 @@ def _intersect_kernel(s_pad: int, near: float, far: float):
         dx = dir_ref[0, 0]
         dy = dir_ref[0, 1]
         dz = dir_ref[0, 2]
-        ox = cam_ref[0, 0]
-        oy = cam_ref[0, 1]
-        oz = cam_ref[0, 2]
+        ox = cam_ref[0, 0, 0]
+        oy = cam_ref[0, 0, 1]
+        oz = cam_ref[0, 0, 2]
 
         init_t = jnp.full((_TILE_SUB, _TILE_LANE), jnp.inf, jnp.float32)
         init_idx = jnp.full((_TILE_SUB, _TILE_LANE), -1, jnp.int32)
@@ -167,7 +167,7 @@ def intersect_pallas(
         d = jnp.pad(d, ((0, 0), (0, 0), (0, p_pad - P)), constant_values=1.0)
     d = d.reshape(WC, 3, n_tiles * _TILE_SUB, _TILE_LANE)
 
-    cams = orig.reshape(WC, 3)
+    cams = orig.reshape(WC, 1, 3)
 
     kernel = _intersect_kernel(S, near, far)
     grid = (WC, n_tiles)
@@ -181,7 +181,9 @@ def intersect_pallas(
                 lambda wc, r: (wc // C, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, 3), lambda wc, r: (wc, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, 3), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(
                 (1, 3, _TILE_SUB, _TILE_LANE),
                 lambda wc, r: (wc, 0, r, 0),
@@ -215,7 +217,9 @@ def intersect_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "fov_y_degrees", "chunk", "interpret"),
+    static_argnames=(
+        "height", "width", "near", "far", "fov_y_degrees", "chunk", "interpret",
+    ),
 )
 def raytrace(
     state: SimState,

@@ -168,45 +168,61 @@ def intersect_bruteforce(
     dirs: jnp.ndarray,  # f32 [W, C, P, 3]
     near: float,
     far: float,
-    chunk: int = 16,
+    chunk: int = 512,
 ):
     """Min-t intersection of every ray against its world's soup.
 
     Returns (t [W, C, P], idx [W, C, P] into S, hit_mask [W, C, P]).
+
+    TPU-friendly formulation: with a pinhole camera every ray of a view
+    shares its origin, so Möller–Trumbore factors into per-(camera,
+    triangle) 3-vectors computed once —
+
+        tvec  = o − v0
+        A     = e2 × tvec        (u numerator = d·A)
+        B     = tvec × e1        (v numerator = d·B; t numerator = e2·B)
+        D     = e2 × e1          (determinant = d·D)
+
+    — leaving three ray-dependent dot products, expressed as einsums whose
+    output layout is ``[W, C, S, pixel-chunk]``: pixels ride the 128-lane
+    axis, triangles the sublane axis, so the whole epilogue (reciprocal,
+    hit tests, min/argmin over S) is densely tiled VPU work. The scan over
+    pixel chunks bounds live memory at ``O(W·C·S·chunk)`` regardless of
+    image size.
     """
     W, S, _ = soup.v0.shape
     _, C, P, _ = dirs.shape
-    chunk = min(chunk, S)
-    n_chunks = -(-S // chunk)
-    S_pad = n_chunks * chunk
+    chunk = max(128, min(chunk, P))
+    n_chunks = -(-P // chunk)
+    p_pad = n_chunks * chunk
 
-    def pad(x):
-        if x.shape[1] == S_pad:
-            return x
-        pad_width = [(0, 0), (0, S_pad - S)] + [(0, 0)] * (x.ndim - 2)
-        return jnp.pad(x, pad_width)
+    # Per-(camera, triangle) precompute — tiny ([W, C, S, 3]).
+    tvec = orig[:, :, None, :] - soup.v0[:, None, :, :]  # [W, C, S, 3]
+    e1 = soup.e1[:, None, :, :]
+    e2 = soup.e2[:, None, :, :]
+    A = jnp.cross(e2, tvec)
+    B = jnp.cross(tvec, e1)
+    D = jnp.cross(jnp.broadcast_to(e2, tvec.shape), jnp.broadcast_to(e1, tvec.shape))
+    t_num = jnp.sum(e2 * B, axis=-1)  # [W, C, S]
+    tri_ok = soup.valid[:, None, :] > 0.0  # [W, 1→C, S]
 
-    # xs for scan: [n_chunks, W, chunk, ...]
-    def chunked(x):
-        x = pad(x)
-        return x.reshape(W, n_chunks, chunk, *x.shape[2:]).swapaxes(0, 1)
+    # Pixel-chunked scan: xs [n_chunks, W, C, chunk, 3]
+    d_pad = (
+        jnp.pad(dirs, ((0, 0), (0, 0), (0, p_pad - P), (0, 0)), constant_values=1.0)
+        if p_pad != P
+        else dirs
+    )
+    xs = d_pad.reshape(W, C, n_chunks, chunk, 3).transpose(2, 0, 1, 3, 4)
 
-    xs = (chunked(soup.v0), chunked(soup.e1), chunked(soup.e2), chunked(soup.valid))
-
-    o = orig[:, :, None, None, :]  # [W, C, 1, 1, 3]
-    d = dirs[:, :, :, None, :]  # [W, C, P, 1, 3]
-
-    init_t = jnp.full((W, C, P), jnp.inf, jnp.float32)
-    init_idx = jnp.full((W, C, P), -1, jnp.int32)
-
-    def scan_body(carry, idx_and_x):
-        chunk_i, x = idx_and_x
-        best_t, best_idx = carry
-        cv0, ce1, ce2, cvalid = x
-        v0 = cv0[:, None, None, :, :]
-        e1 = ce1[:, None, None, :, :]
-        e2 = ce2[:, None, None, :, :]
-        t, u, v, det = _moller_trumbore(o, d, v0, e1, e2)
+    def scan_body(_, d_chunk):
+        # det/u_num/v_num: [W, C, S, chunk] — pixels on lanes.
+        det = jnp.einsum("wcpk,wcsk->wcsp", d_chunk, D)
+        u_num = jnp.einsum("wcpk,wcsk->wcsp", d_chunk, A)
+        v_num = jnp.einsum("wcpk,wcsk->wcsp", d_chunk, B)
+        inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+        u = u_num * inv
+        v = v_num * inv
+        t = t_num[..., None] * inv
         ok = (
             (jnp.abs(det) > _EPS_DET)
             & (u >= -_EPS_BARY)
@@ -214,22 +230,17 @@ def intersect_bruteforce(
             & (u + v <= 1.0 + _EPS_BARY)
             & (t > near)
             & (t < far)
-            & (cvalid[:, None, None, :] > 0.0)
+            & tri_ok[..., None]
         )
         t = jnp.where(ok, t, jnp.inf)
-        chunk_best = jnp.min(t, axis=-1)
-        chunk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + chunk_i * chunk
-        take = chunk_best < best_t
-        return (
-            jnp.where(take, chunk_best, best_t),
-            jnp.where(take, chunk_arg, best_idx),
-        ), None
+        best_t = jnp.min(t, axis=2)  # [W, C, chunk]
+        best_idx = jnp.argmin(t, axis=2).astype(jnp.int32)
+        return None, (best_t, best_idx)
 
-    (best_t, best_idx), _ = jax.lax.scan(
-        scan_body,
-        (init_t, init_idx),
-        (jnp.arange(n_chunks, dtype=jnp.int32), xs),
-    )
+    _, (t_chunks, idx_chunks) = jax.lax.scan(scan_body, None, xs)
+    # [n_chunks, W, C, chunk] → [W, C, P]
+    best_t = t_chunks.transpose(1, 2, 0, 3).reshape(W, C, p_pad)[:, :, :P]
+    best_idx = idx_chunks.transpose(1, 2, 0, 3).reshape(W, C, p_pad)[:, :, :P]
     hit = jnp.isfinite(best_t)
     return jnp.where(hit, best_t, 0.0), jnp.where(hit, best_idx, 0), hit
 
