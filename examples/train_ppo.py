@@ -1,0 +1,67 @@
+"""Train a visual PPO policy with rendered observations streaming on-device.
+
+BASELINE config 5 ("worlds streaming zero-copy pixels into a JAX PPO loop")
+as a runnable example:
+
+    python examples/train_ppo.py --worlds 1024 --updates 50 [--res 64]
+"""
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int, default=256)
+    ap.add_argument("--updates", type=int, default=20)
+    ap.add_argument("--res", type=int, default=64)
+    ap.add_argument("--rollout", type=int, default=8)
+    args = ap.parse_args()
+
+    from madrona_renderer_tpu.config import RenderMode
+    from madrona_renderer_tpu.assets.importer import load_render_assets
+    from madrona_renderer_tpu.core.scene import bake_scene
+    from madrona_renderer_tpu.core.state import init_state
+    from madrona_renderer_tpu.rl.ppo import PPOConfig, init_policy_params, make_train_step
+    from madrona_renderer_tpu.runners.scenes import demo_config
+
+    cfg = demo_config(args.worlds, RenderMode.Raytracer, args.res, args.res, dynamic=True)
+    assets = load_render_assets(
+        cfg.rcfg.geo_cfg, cfg.rcfg.asset_paths, cfg.rcfg.additional_mats,
+        cfg.rcfg.additional_textures,
+    )
+    scene = bake_scene(assets)
+    state = init_state(cfg.rcfg.instances, cfg.rcfg.cameras, cfg.rcfg.worlds)
+
+    ppo = PPOConfig(height=args.res, width=args.res, rollout_len=args.rollout)
+    key = jax.random.PRNGKey(0)
+    params = init_policy_params(ppo, key)
+    train_step = make_train_step(scene, ppo)
+    opt_state = train_step.init_optimizer(params)
+
+    # Warmup/compile.
+    params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for u in range(args.updates):
+        params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
+        if (u + 1) % 10 == 0 or u == 0:
+            print(
+                f"update {u + 1}: reward={float(metrics['mean_reward']):.4f} "
+                f"loss={float(metrics['loss']):.4f} entropy={float(metrics['entropy']):.3f}"
+            )
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    frames = args.updates * args.rollout * args.worlds * 2  # 2 renders per env step
+    print(
+        f"{args.updates} updates in {dt:.2f}s — "
+        f"{frames / dt:,.0f} rendered frames/sec into training"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -156,6 +156,10 @@ def intersect_pallas(
     _, C, P, _ = dirs.shape
     WC = W * C
 
+    # Mosaic kernels only compile for TPU; everywhere else (CPU tests,
+    # debugging) run the same kernel in the interpreter.
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+
     n_tiles = -(-P // _TILE_PIX)
     p_pad = n_tiles * _TILE_PIX
 
