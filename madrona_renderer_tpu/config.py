@@ -190,6 +190,9 @@ class ManagerConfig:
     # hot loop to use. "auto" picks the Pallas kernel on TPU and the pure
     # jnp path elsewhere.
     impl: str = "auto"  # "auto" | "pallas" | "jnp"
+    # Texture filtering: "nearest" or "bilinear" (GPU samplers filter
+    # linearly; nearest is the default to keep golden images stable).
+    texture_filter: str = "nearest"
     # Optional multi-chip mesh: number of devices to shard the world axis
     # over (1 = single device). See madrona_renderer_tpu.parallel.
     num_devices: int = 1

@@ -168,6 +168,7 @@ class Manager:
                 near=cfg.near_plane,
                 far=cfg.far_plane,
                 fov_y_degrees=cfg.fov_y_degrees,
+                texture_filter=cfg.texture_filter,
             )
         else:
             try:
@@ -186,6 +187,7 @@ class Manager:
                 near=cfg.raster_near_plane,
                 far=cfg.far_plane,
                 fov_y_degrees=cfg.fov_y_degrees,
+                texture_filter=cfg.texture_filter,
             )
 
         cam_w, cam_slot = self._j_cam_w, self._j_cam_slot

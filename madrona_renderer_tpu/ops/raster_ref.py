@@ -50,7 +50,7 @@ from .raytrace_ref import (
 from .shade import shade_lambert
 
 
-@partial(jax.jit, static_argnames=("height", "width", "fov_y_degrees", "chunk"))
+@partial(jax.jit, static_argnames=("height", "width", "fov_y_degrees", "chunk", "texture_filter"))
 def rasterize(
     state: SimState,
     scene: SceneData,
@@ -61,6 +61,7 @@ def rasterize(
     far: float = 1000.0,
     fov_y_degrees: float = 90.0,
     chunk: int = 16,
+    texture_filter: str = "nearest",
 ) -> Frames:
     """Render every (world, camera) view with raster conventions."""
     soup = build_world_soup(state, scene)
@@ -109,7 +110,7 @@ def rasterize(
     cam_ok = state.camera_valid[:, :, None] > 0.0
     hit = hit & cam_ok
 
-    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit)
+    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter)
     depth = jnp.where(hit, z, 0.0)
     # No segmask under raster (reference FATALs; our Manager raises).
     segmask = jnp.full_like(idx, -1)

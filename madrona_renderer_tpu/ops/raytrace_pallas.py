@@ -223,6 +223,7 @@ def intersect_pallas(
     jax.jit,
     static_argnames=(
         "height", "width", "near", "far", "fov_y_degrees", "chunk", "interpret",
+        "texture_filter",
     ),
 )
 def raytrace(
@@ -236,6 +237,7 @@ def raytrace(
     fov_y_degrees: float = 90.0,
     chunk: int = 16,  # unused; signature parity with raytrace_ref
     interpret: bool = False,
+    texture_filter: str = "nearest",
 ) -> Frames:
     """Drop-in replacement for ``raytrace_ref.raytrace`` with the hot
     intersection sweep as a Pallas kernel."""
@@ -272,7 +274,7 @@ def raytrace(
     cam_ok = state.camera_valid[:, :, None] > 0.0
     hit = hit & cam_ok
 
-    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit)
+    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter)
     depth = jnp.where(hit, t, 0.0)
     segmask = jnp.where(hit, seg, -1)
 

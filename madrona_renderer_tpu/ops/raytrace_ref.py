@@ -260,7 +260,7 @@ def _gather_soup(soup_field: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "fov_y_degrees", "chunk"),
+    static_argnames=("height", "width", "fov_y_degrees", "chunk", "texture_filter"),
 )
 def raytrace(
     state: SimState,
@@ -272,6 +272,7 @@ def raytrace(
     far: float = 1000.0,
     fov_y_degrees: float = 90.0,
     chunk: int = 16,
+    texture_filter: str = "nearest",
 ) -> Frames:
     """Render every (world, camera) view. Returns padded Frames
     [W, C, H, Wd, ...]; invalid camera slots render black/0/-1."""
@@ -309,7 +310,7 @@ def raytrace(
     cam_ok = state.camera_valid[:, :, None] > 0.0  # [W, C, 1]
     hit = hit & cam_ok
 
-    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit)
+    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter)
     depth = jnp.where(hit, t, 0.0)
     segmask = jnp.where(hit, seg, -1)
 

@@ -40,6 +40,39 @@ def sample_texture_nearest(scene: SceneData, tex_id: jnp.ndarray, uv: jnp.ndarra
     return scene.tex_data[flat]
 
 
+def sample_texture_bilinear(scene: SceneData, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample (repeat wrap), texel centers at half-integers —
+    matches GPU linear samplers (the reference's Vulkan/CUDA texture units
+    filter linearly). 4 gathers + lerp."""
+    wf = scene.tex_width[tex_id].astype(jnp.float32)
+    hf = scene.tex_height[tex_id].astype(jnp.float32)
+    w = scene.tex_width[tex_id]
+    h = scene.tex_height[tex_id]
+    off = scene.tex_offset[tex_id]
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    fx = u * wf - 0.5
+    fy = (1.0 - v) * hf - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+
+    def texel(xi, yi):
+        # repeat wrap via floored modulo
+        xm = jnp.mod(xi.astype(jnp.int32), w)
+        ym = jnp.mod(yi.astype(jnp.int32), h)
+        return scene.tex_data[off + ym * w + xm]
+
+    t00 = texel(x0, y0)
+    t10 = texel(x0 + 1, y0)
+    t01 = texel(x0, y0 + 1)
+    t11 = texel(x0 + 1, y0 + 1)
+    top = t00 * (1 - ax) + t10 * ax
+    bot = t01 * (1 - ax) + t11 * ax
+    return top * (1 - ay) + bot * ay
+
+
 def shade_lambert(
     scene: SceneData,
     mat_id: jnp.ndarray,  # i32 [...]
@@ -47,6 +80,7 @@ def shade_lambert(
     normal: jnp.ndarray,  # f32 [..., 3] (unnormalized ok)
     view_dir: jnp.ndarray,  # f32 [..., 3] ray direction (unit, towards surface)
     hit_mask: jnp.ndarray,  # bool [...]
+    texture_filter: str = "nearest",
 ) -> jnp.ndarray:
     """Returns u8 RGBA [..., 4]."""
     n = normal / jnp.maximum(
@@ -62,7 +96,10 @@ def shade_lambert(
     intensity = AMBIENT + (1.0 - AMBIENT) * ndotl * scene.light_color
 
     base = scene.mat_color[mat_id]  # [..., 4]
-    tex = sample_texture_nearest(scene, scene.mat_tex[mat_id], uv)
+    sampler = (
+        sample_texture_bilinear if texture_filter == "bilinear" else sample_texture_nearest
+    )
+    tex = sampler(scene, scene.mat_tex[mat_id], uv)
     albedo = base * tex
 
     rgb = jnp.clip(albedo[..., :3] * intensity, 0.0, 1.0)
