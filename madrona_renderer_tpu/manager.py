@@ -92,10 +92,33 @@ class Manager:
         )
         self.scene: SceneData = bake_scene(assets, device=self.device)
 
+        # --- Optional multi-chip mesh (worlds-axis DP; no reference analog:
+        # the reference is single-GPU, SURVEY.md §2.3) ---
+        self._state_sharding = None
+        if cfg.num_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel import make_mesh, replicate_scene
+
+            if cfg.num_worlds % cfg.num_devices:
+                raise ValueError(
+                    f"num_worlds={cfg.num_worlds} not divisible by "
+                    f"num_devices={cfg.num_devices}"
+                )
+            self.mesh = make_mesh(cfg.num_devices, 1)
+            self._state_sharding = NamedSharding(self.mesh, P("worlds"))
+            self.scene = replicate_scene(self.scene, self.mesh)
+        else:
+            self.mesh = None
+
         # --- World/ECS state init ---
         self.state: SimState = init_state(
             rcfg.instances, rcfg.cameras, rcfg.worlds, device=self.device
         )
+        if self._state_sharding is not None:
+            self.state = jax.tree.map(
+                lambda x: jax.device_put(x, self._state_sharding), self.state
+            )
 
         # --- Flat export index maps (world-major, matching the reference's
         # cross-world-concatenated export columns sorted by WorldID,
@@ -260,12 +283,13 @@ class Manager:
         self._tpl_inst_rot[self._inst_w, self._inst_slot] = self._mirror_inst_rot
         self._tpl_cam_pos[self._cam_w, self._cam_slot] = self._mirror_cam_pos
         self._tpl_cam_rot[self._cam_w, self._cam_slot] = self._mirror_cam_rot
+        target = self._state_sharding or self.device
         self.state = dataclasses.replace(
             self.state,
-            instance_pos=jax.device_put(self._tpl_inst_pos, self.device),
-            instance_rot=jax.device_put(self._tpl_inst_rot, self.device),
-            camera_pos=jax.device_put(self._tpl_cam_pos, self.device),
-            camera_rot=jax.device_put(self._tpl_cam_rot, self.device),
+            instance_pos=jax.device_put(self._tpl_inst_pos, target),
+            instance_rot=jax.device_put(self._tpl_inst_rot, target),
+            camera_pos=jax.device_put(self._tpl_cam_pos, target),
+            camera_rot=jax.device_put(self._tpl_cam_rot, target),
         )
 
     def step(self) -> None:
