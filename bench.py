@@ -93,16 +93,25 @@ def run_config(
         )
         return state, frames
 
-    frames = None
-    for _ in range(warmup):
-        state, frames = step(state, scene)
-    jax.block_until_ready(frames.rgb)
+    # Multi-step rollout in ONE dispatch (lax.scan), stacking every step's
+    # rgb like a training rollout buffer — this keeps per-frame HBM writes
+    # honest (nothing can be dead-code-eliminated: the stacked frames are
+    # returned) while removing host dispatch latency from the measurement.
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    def rollout(state, scene, n):
+        def body(st, _):
+            st, frames = step(st, scene)
+            return st, frames.rgb
+        return jax.lax.scan(body, state, None, length=n)
+
+    state, stack = rollout(state, scene, warmup)
+    jax.block_until_ready(stack)
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, frames = step(state, scene)
-    jax.block_until_ready(frames.rgb)
+    state, stack = rollout(state, scene, steps)
+    jax.block_until_ready(stack)
     elapsed = time.perf_counter() - t0
+    assert stack.shape[0] == steps
     return steps * num_worlds / elapsed
 
 
