@@ -85,9 +85,23 @@ def run_config(
             from madrona_renderer_tpu.ops.raster_ref import rasterize as render
         near = cfg.raster_near_plane
 
+    from madrona_renderer_tpu.ops.quat import quat_multiply
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, scene):
-        state = dataclasses.replace(state, time=state.time + 0.05)
+        # On-device per-step dynamics (the RL-workload shape): advance time
+        # and spin every instance a little so no two frames are alike.
+        import jax.numpy as jnp
+
+        half = jnp.float32(0.015)
+        dq = jnp.array(
+            [jnp.cos(half), 0.0, 0.0, jnp.sin(half)], jnp.float32
+        )
+        state = dataclasses.replace(
+            state,
+            time=state.time + 0.05,
+            instance_rot=quat_multiply(dq, state.instance_rot),
+        )
         frames = render(
             state, scene, height=height, width=width, near=near, far=cfg.far_plane
         )
@@ -124,6 +138,43 @@ BASELINE_CONFIGS = [
 ]
 
 
+def run_ppo_streaming(num_worlds: int = 16384, updates: int = 3, res: int = 64) -> float:
+    """BASELINE config 5: rendered frames/sec streamed into a jitted PPO
+    train step (see madrona_renderer_tpu.rl.ppo)."""
+    import time
+
+    import jax
+
+    from madrona_renderer_tpu.config import RenderMode
+    from madrona_renderer_tpu.assets.importer import load_render_assets
+    from madrona_renderer_tpu.core.scene import bake_scene
+    from madrona_renderer_tpu.core.state import init_state
+    from madrona_renderer_tpu.rl.ppo import PPOConfig, init_policy_params, make_train_step
+    from madrona_renderer_tpu.runners.scenes import demo_config
+
+    cfg = demo_config(num_worlds, RenderMode.Raytracer, res, res, dynamic=True)
+    assets = load_render_assets(
+        cfg.rcfg.geo_cfg, cfg.rcfg.asset_paths, cfg.rcfg.additional_mats,
+        cfg.rcfg.additional_textures,
+    )
+    scene = bake_scene(assets)
+    state = init_state(cfg.rcfg.instances, cfg.rcfg.cameras, cfg.rcfg.worlds)
+    ppo = PPOConfig(height=res, width=res, rollout_len=4)
+    key = jax.random.PRNGKey(0)
+    params = init_policy_params(ppo, key)
+    train_step = make_train_step(scene, ppo)
+    opt_state = train_step.init_optimizer(params)
+    params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(updates):
+        params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    frames = updates * ppo.rollout_len * num_worlds * 2  # 2 renders/env step
+    return frames / dt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worlds", type=int, default=4096)
@@ -148,6 +199,17 @@ def main() -> None:
                     }
                 )
             )
+        fps = run_ppo_streaming()
+        print(
+            json.dumps(
+                {
+                    "metric": "ppo_streaming_16384w",
+                    "value": round(fps, 1),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(fps / 1e5, 4),
+                }
+            )
+        )
 
     fps = run_config(
         args.worlds, args.steps, args.mode, args.width, args.height, args.impl
