@@ -41,13 +41,11 @@ from ..core.scene import SceneData
 from ..core.state import SimState
 from .quat import quat_rotate
 from .raytrace_ref import (
-    _gather_soup,
-    _moller_trumbore,
     build_world_soup,
     camera_ray_dirs,
+    finish_frames,
     intersect_bruteforce,
 )
-from .shade import shade_lambert
 
 
 @partial(jax.jit, static_argnames=("height", "width", "fov_y_degrees", "chunk", "texture_filter"))
@@ -87,36 +85,9 @@ def rasterize(
     z = t * cosf
     hit = hit & (z > near) & (z < far)
 
-    bv0 = _gather_soup(soup.v0, idx)
-    be1 = _gather_soup(soup.e1, idx)
-    be2 = _gather_soup(soup.e2, idx)
-    o = state.camera_pos[:, :, None, :]
-    _, u, v, _ = _moller_trumbore(o, dirs, bv0, be1, be2)
-    u = jnp.clip(u, 0.0, 1.0)
-    v = jnp.clip(v, 0.0, 1.0)
-
-    uv = (
-        _gather_soup(soup.uv0, idx)
-        + u[..., None] * _gather_soup(soup.duv1, idx)
-        + v[..., None] * _gather_soup(soup.duv2, idx)
-    )
-    normal = (
-        _gather_soup(soup.n0, idx)
-        + u[..., None] * _gather_soup(soup.dn1, idx)
-        + v[..., None] * _gather_soup(soup.dn2, idx)
-    )
-    mat = _gather_soup(soup.mat, idx)
-
-    cam_ok = state.camera_valid[:, :, None] > 0.0
-    hit = hit & cam_ok
-
-    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter)
-    depth = jnp.where(hit, z, 0.0)
     # No segmask under raster (reference FATALs; our Manager raises).
-    segmask = jnp.full_like(idx, -1)
-
-    return Frames(
-        rgb=rgb.reshape(W, C, height, width, 4),
-        depth=depth.reshape(W, C, height, width),
-        segmask=segmask.reshape(W, C, height, width),
+    return finish_frames(
+        soup, state, scene, dirs, idx, hit, z,
+        height=height, width=width, texture_filter=texture_filter,
+        with_segmask=False,
     )

@@ -45,12 +45,10 @@ from ..core.state import SimState
 from .raytrace_ref import (
     _EPS_BARY,
     _EPS_DET,
-    _gather_soup,
-    _moller_trumbore,
     build_world_soup,
     camera_ray_dirs,
+    finish_frames,
 )
-from .shade import shade_lambert
 
 # Pixel tile: one f32 VPU tile.
 _TILE_SUB = 8
@@ -250,36 +248,7 @@ def raytrace(
         soup, state.camera_pos, dirs, near, far, interpret=interpret
     )
 
-    bv0 = _gather_soup(soup.v0, idx)
-    be1 = _gather_soup(soup.e1, idx)
-    be2 = _gather_soup(soup.e2, idx)
-    o = state.camera_pos[:, :, None, :]
-    _, u, v, _ = _moller_trumbore(o, dirs, bv0, be1, be2)
-    u = jnp.clip(u, 0.0, 1.0)
-    v = jnp.clip(v, 0.0, 1.0)
-
-    uv = (
-        _gather_soup(soup.uv0, idx)
-        + u[..., None] * _gather_soup(soup.duv1, idx)
-        + v[..., None] * _gather_soup(soup.duv2, idx)
-    )
-    normal = (
-        _gather_soup(soup.n0, idx)
-        + u[..., None] * _gather_soup(soup.dn1, idx)
-        + v[..., None] * _gather_soup(soup.dn2, idx)
-    )
-    mat = _gather_soup(soup.mat, idx)
-    seg = _gather_soup(soup.seg, idx)
-
-    cam_ok = state.camera_valid[:, :, None] > 0.0
-    hit = hit & cam_ok
-
-    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter)
-    depth = jnp.where(hit, t, 0.0)
-    segmask = jnp.where(hit, seg, -1)
-
-    return Frames(
-        rgb=rgb.reshape(W, C, height, width, 4),
-        depth=depth.reshape(W, C, height, width),
-        segmask=segmask.reshape(W, C, height, width),
+    return finish_frames(
+        soup, state, scene, dirs, idx, hit, t,
+        height=height, width=width, texture_filter=texture_filter,
     )

@@ -245,6 +245,62 @@ def intersect_bruteforce(
     return jnp.where(hit, best_t, 0.0), jnp.where(hit, best_idx, 0), hit
 
 
+def finish_frames(
+    soup: TriangleSoup,
+    state: SimState,
+    scene: SceneData,
+    dirs: jnp.ndarray,  # f32 [W, C, P, 3]
+    idx: jnp.ndarray,  # i32 [W, C, P]
+    hit: jnp.ndarray,  # bool [W, C, P]
+    depth_values: jnp.ndarray,  # f32 [W, C, P] (t or z, per mode)
+    *,
+    height: int,
+    width: int,
+    texture_filter: str = "nearest",
+    with_segmask: bool = True,
+) -> Frames:
+    """Shared shading epilogue: gather the best triangle per pixel,
+    recompute barycentrics, interpolate attributes, shade, pack Frames.
+    Used by every render path (jnp/Pallas × raytrace/raster)."""
+    W, C = state.camera_pos.shape[:2]
+    bv0 = _gather_soup(soup.v0, idx)
+    be1 = _gather_soup(soup.e1, idx)
+    be2 = _gather_soup(soup.e2, idx)
+    o = state.camera_pos[:, :, None, :]
+    _, u, v, _ = _moller_trumbore(o, dirs, bv0, be1, be2)
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+
+    uv = (
+        _gather_soup(soup.uv0, idx)
+        + u[..., None] * _gather_soup(soup.duv1, idx)
+        + v[..., None] * _gather_soup(soup.duv2, idx)
+    )
+    normal = (
+        _gather_soup(soup.n0, idx)
+        + u[..., None] * _gather_soup(soup.dn1, idx)
+        + v[..., None] * _gather_soup(soup.dn2, idx)
+    )
+    mat = _gather_soup(soup.mat, idx)
+
+    cam_ok = state.camera_valid[:, :, None] > 0.0
+    hit = hit & cam_ok
+
+    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter)
+    depth = jnp.where(hit, depth_values, 0.0)
+    if with_segmask:
+        seg = _gather_soup(soup.seg, idx)
+        segmask = jnp.where(hit, seg, -1)
+    else:
+        segmask = jnp.full_like(idx, -1)
+
+    return Frames(
+        rgb=rgb.reshape(W, C, height, width, 4),
+        depth=depth.reshape(W, C, height, width),
+        segmask=segmask.reshape(W, C, height, width),
+    )
+
+
 def _gather_soup(soup_field: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-pixel best-triangle data. soup_field [W, S, ...],
     idx [W, C, P] → [W, C, P, ...]."""
@@ -277,45 +333,11 @@ def raytrace(
     """Render every (world, camera) view. Returns padded Frames
     [W, C, H, Wd, ...]; invalid camera slots render black/0/-1."""
     soup = build_world_soup(state, scene)
-    W, C = state.camera_pos.shape[:2]
-    P = height * width
-
     dirs = camera_ray_dirs(state.camera_rot, height, width, fov_y_degrees)
     t, idx, hit = intersect_bruteforce(
         soup, state.camera_pos, dirs, near, far, chunk=chunk
     )
-
-    # Recompute barycentrics for the single best triangle per pixel.
-    bv0 = _gather_soup(soup.v0, idx)
-    be1 = _gather_soup(soup.e1, idx)
-    be2 = _gather_soup(soup.e2, idx)
-    o = state.camera_pos[:, :, None, :]
-    _, u, v, _ = _moller_trumbore(o, dirs, bv0, be1, be2)
-    u = jnp.clip(u, 0.0, 1.0)
-    v = jnp.clip(v, 0.0, 1.0)
-
-    uv = (
-        _gather_soup(soup.uv0, idx)
-        + u[..., None] * _gather_soup(soup.duv1, idx)
-        + v[..., None] * _gather_soup(soup.duv2, idx)
-    )
-    normal = (
-        _gather_soup(soup.n0, idx)
-        + u[..., None] * _gather_soup(soup.dn1, idx)
-        + v[..., None] * _gather_soup(soup.dn2, idx)
-    )
-    mat = _gather_soup(soup.mat, idx)
-    seg = _gather_soup(soup.seg, idx)
-
-    cam_ok = state.camera_valid[:, :, None] > 0.0  # [W, C, 1]
-    hit = hit & cam_ok
-
-    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter)
-    depth = jnp.where(hit, t, 0.0)
-    segmask = jnp.where(hit, seg, -1)
-
-    return Frames(
-        rgb=rgb.reshape(W, C, height, width, 4),
-        depth=depth.reshape(W, C, height, width),
-        segmask=segmask.reshape(W, C, height, width),
+    return finish_frames(
+        soup, state, scene, dirs, idx, hit, t,
+        height=height, width=width, texture_filter=texture_filter,
     )

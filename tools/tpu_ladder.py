@@ -122,8 +122,11 @@ def intersect_tiny():
     assert (seg == 0).all(), seg
 
 def raytrace_16w():
+    import os
+
     import numpy as np
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import build as bench_build
     from madrona_renderer_tpu.ops.raytrace_pallas import raytrace
 
@@ -134,6 +137,9 @@ def raytrace_16w():
 
 
 def bench_256w():
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import run_config
 
     fps = run_config(256, 10, "rt", 64, 64, "pallas", warmup=2)
@@ -145,25 +151,35 @@ def main():
         globals()[sys.argv[1]]()
         print(f"PASS {sys.argv[1]}")
         return
+    # The axon tunnel is single-client and takes a few seconds to release
+    # its slot after a client exits; connecting too soon hangs forever. So:
+    # pause between rungs, and retry a hung rung once before concluding.
     for rung in RUNGS:
-        t0 = time.time()
-        try:
-            res = subprocess.run(
-                [sys.executable, "-u", __file__, rung],
-                timeout=240,
-                capture_output=True,
-                text=True,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"HANG at rung '{rung}' (240s) — stop; device likely wedged")
-            return
+        time.sleep(20)
+        for attempt in (1, 2):
+            t0 = time.time()
+            try:
+                res = subprocess.run(
+                    [sys.executable, "-u", __file__, rung],
+                    timeout=240,
+                    capture_output=True,
+                    text=True,
+                )
+            except subprocess.TimeoutExpired:
+                if attempt == 1:
+                    print(f"timeout at rung '{rung}' — waiting 90s and retrying once")
+                    time.sleep(90)
+                    continue
+                print(f"HANG at rung '{rung}' (2x240s) — stop; device likely wedged")
+                return
+            break
         dt = time.time() - t0
         if res.returncode != 0:
             print(f"FAIL at rung '{rung}' ({dt:.1f}s):")
             print(res.stdout[-2000:])
             print(res.stderr[-2000:])
             return
-        print(f"ok {rung} ({dt:.1f}s){res.stdout.strip()[4 + len(rung):] or ''}")
+        print(f"ok {rung} ({dt:.1f}s){res.stdout.strip()[4 + len(rung):] or ''}", flush=True)
     print("ALL RUNGS PASS")
 
 
