@@ -80,6 +80,35 @@ def test_ktx2_roundtrip(rng):
     np.testing.assert_array_equal(out, img)
 
 
+def test_ktx2_zlib_supercompression(rng):
+    """KTX2 with ZLIB supercompression (scheme 3) decodes."""
+    import struct
+    import zlib
+
+    img = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    plain = encode_ktx2_rgba8(img)
+    # Rewrite: compress the payload, set supercompressionScheme=3.
+    header = bytearray(plain[: 12 + 36])
+    struct.pack_into("<I", header, 12 + 32, 3)  # 9th u32 field = scheme
+    payload = img.tobytes()
+    comp = zlib.compress(payload)
+    index_fixed = struct.pack("<2I2I2Q", 0, 0, 0, 0, 0, 0)
+    data_offset = len(header) + len(index_fixed) + 24
+    level_index = struct.pack("<3Q", data_offset, len(comp), len(payload))
+    data = bytes(header) + index_fixed + level_index + comp
+    np.testing.assert_array_equal(decode_ktx2(data), img)
+
+
+def test_ktx2_basislz_rejected(rng):
+    import struct
+
+    img = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    plain = bytearray(encode_ktx2_rgba8(img))
+    struct.pack_into("<I", plain, 12 + 32, 1)  # BasisLZ
+    with pytest.raises(NotImplementedError, match="BasisLZ"):
+        decode_ktx2(bytes(plain))
+
+
 def test_image_importer_dispatch(data_dir, tmp_path, rng):
     imp = AssetImporter()
     img = imp.image_importer.import_image(os.path.join(data_dir, "cube.png"))

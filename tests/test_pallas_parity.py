@@ -68,6 +68,40 @@ def test_parity_smoke_scene_multiworld():
     assert set(np.unique(np.asarray(a.segmask))) == {-1, 0, 1}
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_parity_random_scenes(seed):
+    """Fuzz: random triangles/instances/cameras — outputs must match
+    exactly between the kernel and the jnp reference."""
+    rng = np.random.default_rng(seed)
+    n_meshes = int(rng.integers(1, 4))
+    meshes = [
+        (rng.normal(size=(int(rng.integers(1, 7)) * 3, 3)) * 5).astype(np.float32)
+        for _ in range(n_meshes)
+    ]
+    instances = [
+        ImportedInstance(
+            position=rng.normal(size=3).tolist(),
+            rotation=(lambda q: (q / np.linalg.norm(q)).tolist())(rng.normal(size=4)),
+            scale=rng.uniform(0.5, 2.0, size=3).tolist(),
+            object_id=int(rng.integers(0, n_meshes)),
+        )
+        for _ in range(int(rng.integers(1, 5)))
+    ]
+    cameras = [
+        ImportedCamera(
+            position=(rng.normal(size=3) * 3 + [0, -12, 0]).tolist(),
+            rotation=(lambda q: (q / np.linalg.norm(q)).tolist())(
+                rng.normal(size=4) * 0.2 + [1, 0, 0, 0]
+            ),
+        )
+        for _ in range(int(rng.integers(1, 3)))
+    ]
+    state, scene = build(meshes, instances, cameras)
+    a = rt_ref(state, scene, height=32, width=32)
+    b = rt_pal(state, scene, height=32, width=32, interpret=True)
+    _assert_frames_equal(a, b)
+
+
 def test_parity_nonaligned_resolution():
     """Resolutions whose pixel count is not a multiple of the 1024-pixel
     tile exercise the padding path."""
