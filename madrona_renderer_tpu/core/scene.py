@@ -77,6 +77,14 @@ class SceneData:
     # (reference src/mgr.cpp:356-359).
     light_dir: jax.Array  # f32 [3] (direction the light travels)
     light_color: jax.Array  # f32 [3]
+    # Cluster acceleration (geometry/bvh.py): triangles are Morton-ordered
+    # and grouped into fixed-size clusters with object-space AABBs. NC
+    # clusters of CLUSTER_SIZE triangles each; all-padding clusters have
+    # cl_valid = 0. The analog of the reference's baked BVH
+    # (AssetProcessor::makeBVHData, src/mgr.cpp:472), TPU-shaped.
+    cl_min: jax.Array  # f32 [O, NC, 3]
+    cl_max: jax.Array  # f32 [O, NC, 3]
+    cl_valid: jax.Array  # f32 [O, NC]
 
     @property
     def num_objects(self) -> int:
@@ -93,12 +101,21 @@ DEFAULT_LIGHT_DIR = (1.0, -1.0, -0.05)
 DEFAULT_LIGHT_COLOR = (1.0, 1.0, 1.0)
 
 
+CLUSTER_SIZE = 64
+
+
 def bake_scene(
     assets: ImportedAssets,
     tri_pad_multiple: int = 8,
     device: "jax.Device | None" = None,
+    cluster_size: int = CLUSTER_SIZE,
 ) -> SceneData:
-    """Bake merged imports into SceneData (numpy work, one device_put)."""
+    """Bake merged imports into SceneData (numpy work, one device_put).
+
+    Triangles of each object are Morton-sorted and clustered (see
+    geometry/bvh.py) so the culled intersector can skip whole clusters;
+    the brute-force paths are order-insensitive.
+    """
     objects = assets.objects
     num_objects = max(1, len(objects))
 
@@ -189,11 +206,43 @@ def bake_scene(
             tri_valid[oi, t : t + f] = 1.0
             t += f
 
+    # Morton-reorder each object's triangles and bake cluster AABBs. The
+    # effective cluster size must divide t_pad so a global cluster index c
+    # maps to triangle base c*cl_eff across instance-concatenated soups.
+    from ..geometry.bvh import build_clusters
+
+    cl_eff = t_pad
+    for d in range(min(cluster_size, t_pad), 7, -1):
+        if t_pad % d == 0:
+            cl_eff = d
+            break
+    cluster_size = cl_eff
+    n_clusters = t_pad // cluster_size
+    cl_min = np.zeros((num_objects, n_clusters, 3), np.float32)
+    cl_max = np.full((num_objects, n_clusters, 3), -1.0, np.float32)
+    cl_valid = np.zeros((num_objects, n_clusters), np.float32)
+    per_tri = [v0, e1, e2, uv0, duv1, duv2, n0, dn1, dn2, tri_mat, tri_valid]
+    for oi in range(num_objects):
+        bvh = build_clusters(
+            v0[oi], e1[oi], e2[oi], tri_valid[oi] > 0, cluster_size=cluster_size
+        )
+        for arr in per_tri:
+            arr[oi] = arr[oi][bvh.order]
+        nc = bvh.cluster_min.shape[0]
+        cl_min[oi, :nc] = np.where(
+            np.isfinite(bvh.cluster_min), bvh.cluster_min, 0.0
+        )
+        cl_max[oi, :nc] = np.where(
+            np.isfinite(bvh.cluster_max), bvh.cluster_max, -1.0
+        )
+        cl_valid[oi, :nc] = bvh.cluster_valid
+
     arrays = SceneData(
         v0=v0, e1=e1, e2=e2,
         uv0=uv0, duv1=duv1, duv2=duv2,
         n0=n0, dn1=dn1, dn2=dn2,
         tri_mat=tri_mat, tri_valid=tri_valid,
+        cl_min=cl_min, cl_max=cl_max, cl_valid=cl_valid,
         mat_color=mat_color, mat_tex=mat_tex,
         mat_rough=mat_rough, mat_metal=mat_metal,
         tex_data=tex_data,

@@ -129,6 +129,151 @@ def _intersect_kernel(s_pad: int, near: float, far: float):
     return kernel
 
 
+def world_clusters(state: SimState, scene: SceneData):
+    """Per-step TLAS refit: object-space cluster AABBs → world-space, per
+    instance. Returns (cl_lo [W, CC, 3], cl_hi [W, CC, 3], cl_valid [W, CC])
+    with CC = max_instances * clusters_per_object, matching the soup's
+    triangle order (instance-major, cluster-minor)."""
+    from .quat import quat_rotate
+
+    O, NC, _ = scene.cl_min.shape
+    W, I = state.instance_obj.shape
+    picks = jnp.asarray(
+        np.array([[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)], np.float32)
+    )  # [8, 3]
+    lo = scene.cl_min[state.instance_obj]  # [W, I, NC, 3]
+    hi = scene.cl_max[state.instance_obj]
+    corners = lo[..., None, :] * (1 - picks) + hi[..., None, :] * picks  # [W,I,NC,8,3]
+    pos = state.instance_pos[:, :, None, None, :]
+    rot = state.instance_rot[:, :, None, None, :]
+    scale = state.instance_scale[:, :, None, None, :]
+    cw = quat_rotate(rot, scale * corners) + pos
+    cl_lo = cw.min(axis=3).reshape(W, I * NC, 3)
+    cl_hi = cw.max(axis=3).reshape(W, I * NC, 3)
+    valid = (
+        scene.cl_valid[state.instance_obj] * state.instance_valid[:, :, None]
+    ).reshape(W, I * NC)
+    return cl_lo, cl_hi, valid
+
+
+def _pack_clusters(cl_lo, cl_hi, cl_valid) -> jnp.ndarray:
+    """→ SMEM-layout [W, 7, CC]: rows lo.xyz, hi.xyz, valid."""
+    rows = [
+        cl_lo[..., 0], cl_lo[..., 1], cl_lo[..., 2],
+        cl_hi[..., 0], cl_hi[..., 1], cl_hi[..., 2],
+        cl_valid,
+    ]
+    return jnp.stack(rows, axis=1)
+
+
+def _intersect_kernel_culled(
+    n_clusters: int, cluster_size: int, near: float, far: float
+):
+    """Cluster-culled variant: per cluster, a vectorized slab test over the
+    whole (8, 128) ray tile; a scalar branch (lax.cond) skips the cluster's
+    triangles when no ray in the tile can beat its current best inside the
+    cluster's bounds. Rays within a tile are image-coherent, so the skip
+    rate approaches a real BVH's without any per-lane control flow."""
+
+    def kernel(tri_ref, cl_ref, cam_ref, dir_ref, t_ref, idx_ref):
+        dx = dir_ref[0, 0]
+        dy = dir_ref[0, 1]
+        dz = dir_ref[0, 2]
+        ox = cam_ref[0, 0, 0]
+        oy = cam_ref[0, 0, 1]
+        oz = cam_ref[0, 0, 2]
+
+        safe = lambda d: jnp.where(jnp.abs(d) > 1e-20, d, jnp.where(d < 0, -1e-20, 1e-20))
+        ivx = 1.0 / safe(dx)
+        ivy = 1.0 / safe(dy)
+        ivz = 1.0 / safe(dz)
+
+        init_t = jnp.full((_TILE_SUB, _TILE_LANE), jnp.inf, jnp.float32)
+        init_idx = jnp.full((_TILE_SUB, _TILE_LANE), -1, jnp.int32)
+
+        def tri_test(i, carry):
+            best_t, best_idx = carry
+            v0x = tri_ref[0, 0, i]
+            v0y = tri_ref[0, 1, i]
+            v0z = tri_ref[0, 2, i]
+            e1x = tri_ref[0, 3, i]
+            e1y = tri_ref[0, 4, i]
+            e1z = tri_ref[0, 5, i]
+            e2x = tri_ref[0, 6, i]
+            e2y = tri_ref[0, 7, i]
+            e2z = tri_ref[0, 8, i]
+            valid = tri_ref[0, 9, i]
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            t_num = e2x * qx + e2y * qy + e2z * qz
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+            u = (tvx * px + tvy * py + tvz * pz) * inv
+            v = (dx * qx + dy * qy + dz * qz) * inv
+            t = t_num * inv
+            ok = (
+                (u >= -_EPS_BARY)
+                & (v >= -_EPS_BARY)
+                & (u + v <= 1.0 + _EPS_BARY)
+                & (t > near)
+                & (t < far)
+                & (t < best_t)
+                & (jnp.abs(det) > _EPS_DET)
+                & (valid > 0.0)
+            )
+            return jnp.where(ok, t, best_t), jnp.where(ok, i, best_idx)
+
+        def cluster_body(c, carry):
+            best_t, best_idx = carry
+            lox = cl_ref[0, 0, c]
+            loy = cl_ref[0, 1, c]
+            loz = cl_ref[0, 2, c]
+            hix = cl_ref[0, 3, c]
+            hiy = cl_ref[0, 4, c]
+            hiz = cl_ref[0, 5, c]
+            cvalid = cl_ref[0, 6, c]
+
+            t1x = (lox - ox) * ivx
+            t2x = (hix - ox) * ivx
+            t1y = (loy - oy) * ivy
+            t2y = (hiy - oy) * ivy
+            t1z = (loz - oz) * ivz
+            t2z = (hiz - oz) * ivz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            possible = (tmax >= tmin) & (tmax > near) & (tmin < far) & (tmin < best_t)
+            any_hit = jnp.any(possible) & (cvalid > 0.0)
+
+            def process(cr):
+                base = c * cluster_size
+                return jax.lax.fori_loop(
+                    base, base + cluster_size, tri_test, cr
+                )
+
+            return jax.lax.cond(any_hit, process, lambda cr: cr, carry)
+
+        best_t, best_idx = jax.lax.fori_loop(
+            0, n_clusters, cluster_body, (init_t, init_idx)
+        )
+        t_ref[0] = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+        idx_ref[0] = best_idx
+
+    return kernel
+
+
 def _pack_tris(soup) -> jnp.ndarray:
     """Soup → SMEM-layout SoA [W, 10, S]."""
     rows = [
@@ -147,9 +292,12 @@ def intersect_pallas(
     near: float,
     far: float,
     interpret: bool = False,
+    clusters=None,  # optional (cl_lo, cl_hi, cl_valid) from world_clusters
+    cluster_size: int = 0,
 ):
     """Pallas-accelerated equivalent of ``intersect_bruteforce``.
-    Returns (t [W,C,P], idx [W,C,P], hit [W,C,P])."""
+    Returns (t [W,C,P], idx [W,C,P], hit [W,C,P]). With ``clusters`` set,
+    uses the cluster-culled kernel (AABB slab test per tile, scalar skip)."""
     W, S, _ = soup.v0.shape
     _, C, P, _ = dirs.shape
     WC = W * C
@@ -171,45 +319,52 @@ def intersect_pallas(
 
     cams = orig.reshape(WC, 1, 3)
 
-    kernel = _intersect_kernel(S, near, far)
     grid = (WC, n_tiles)
+    tri_spec = pl.BlockSpec(
+        (1, _N_TRI_ROWS, S), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
+    )
+    cam_spec = pl.BlockSpec(
+        (1, 1, 3), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
+    )
+    dir_spec = pl.BlockSpec(
+        (1, 3, _TILE_SUB, _TILE_LANE),
+        lambda wc, r: (wc, 0, r, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, _TILE_SUB, _TILE_LANE), lambda wc, r: (wc, r, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.float32),
+        jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.int32),
+    ]
 
-    t_out, idx_out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, _N_TRI_ROWS, S),
-                lambda wc, r: (wc // C, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 3), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 3, _TILE_SUB, _TILE_LANE),
-                lambda wc, r: (wc, 0, r, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, _TILE_SUB, _TILE_LANE),
-                lambda wc, r: (wc, r, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, _TILE_SUB, _TILE_LANE),
-                lambda wc, r: (wc, r, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.float32),
-            jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.int32),
-        ],
-        interpret=interpret,
-    )(tris, cams, d)
+    if clusters is not None:
+        cl = _pack_clusters(*clusters)  # [W, 7, CC]
+        cc = cl.shape[2]
+        assert cluster_size * cc == S, (cluster_size, cc, S)
+        kernel = _intersect_kernel_culled(cc, cluster_size, near, far)
+        cl_spec = pl.BlockSpec(
+            (1, 7, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
+        )
+        t_out, idx_out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tri_spec, cl_spec, cam_spec, dir_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(tris, cl, cams, d)
+    else:
+        kernel = _intersect_kernel(S, near, far)
+        t_out, idx_out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tri_spec, cam_spec, dir_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(tris, cams, d)
 
     t = t_out.reshape(WC, p_pad)[:, :P].reshape(W, C, P)
     idx = idx_out.reshape(WC, p_pad)[:, :P].reshape(W, C, P)
@@ -221,7 +376,7 @@ def intersect_pallas(
     jax.jit,
     static_argnames=(
         "height", "width", "near", "far", "fov_y_degrees", "chunk", "interpret",
-        "texture_filter",
+        "texture_filter", "accel",
     ),
 )
 def raytrace(
@@ -236,17 +391,31 @@ def raytrace(
     chunk: int = 16,  # unused; signature parity with raytrace_ref
     interpret: bool = False,
     texture_filter: str = "nearest",
+    accel: str = "auto",  # "auto" | "none" | "clusters"
 ) -> Frames:
     """Drop-in replacement for ``raytrace_ref.raytrace`` with the hot
-    intersection sweep as a Pallas kernel."""
+    intersection sweep as a Pallas kernel. ``accel="clusters"`` enables the
+    cluster-culled kernel (worth it once the per-world triangle count is in
+    the hundreds; "auto" switches at 256)."""
     del chunk
     soup = build_world_soup(state, scene)
     W, C = state.camera_pos.shape[:2]
+    S = soup.v0.shape[1]
+
+    use_clusters = accel == "clusters" or (accel == "auto" and S >= 256)
 
     dirs = camera_ray_dirs(state.camera_rot, height, width, fov_y_degrees)
-    t, idx, hit = intersect_pallas(
-        soup, state.camera_pos, dirs, near, far, interpret=interpret
-    )
+    if use_clusters:
+        cl_lo, cl_hi, cl_valid = world_clusters(state, scene)
+        cluster_size = S // cl_valid.shape[1]
+        t, idx, hit = intersect_pallas(
+            soup, state.camera_pos, dirs, near, far, interpret=interpret,
+            clusters=(cl_lo, cl_hi, cl_valid), cluster_size=cluster_size,
+        )
+    else:
+        t, idx, hit = intersect_pallas(
+            soup, state.camera_pos, dirs, near, far, interpret=interpret
+        )
 
     return finish_frames(
         soup, state, scene, dirs, idx, hit, t,

@@ -102,6 +102,37 @@ def test_parity_random_scenes(seed):
     _assert_frames_equal(a, b)
 
 
+def test_parity_cluster_culled_large_mesh():
+    """Cluster-culled kernel must match brute force exactly on a mesh big
+    enough to span many clusters (random triangle cloud + occluder wall)."""
+    rng = np.random.default_rng(7)
+    n_tris = 300
+    centers = rng.uniform(-8, 8, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(5, 30, size=n_tris)  # in front of camera
+    tris = []
+    for c in centers:
+        a = c + rng.normal(size=3) * 0.5
+        b = c + rng.normal(size=3) * 0.5
+        d = c + rng.normal(size=3) * 0.5
+        tris += [a, b, d]
+    mesh = np.asarray(tris, np.float32)
+    state, scene = build(
+        [mesh, quad_xz(half=50.0, y=0.0)],
+        [
+            ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0], scale=[1, 1, 1], object_id=0),
+            ImportedInstance(position=[0, 35, 0], rotation=[1, 0, 0, 0], scale=[1, 1, 1], object_id=1),
+        ],
+        [cam_at_origin_looking_plus_y()],
+    )
+    ref = rt_ref(state, scene, height=32, width=32)
+    culled = rt_pal(state, scene, height=32, width=32, interpret=True, accel="clusters")
+    brute = rt_pal(state, scene, height=32, width=32, interpret=True, accel="none")
+    _assert_frames_equal(ref, culled)
+    _assert_frames_equal(ref, brute)
+    # Scene sanity: both objects visible.
+    assert set(np.unique(np.asarray(ref.segmask))) >= {0, 1}
+
+
 def test_parity_nonaligned_resolution():
     """Resolutions whose pixel count is not a multiple of the 1024-pixel
     tile exercise the padding path."""
