@@ -1,32 +1,39 @@
-"""Batch raytracer — Pallas TPU kernel for the intersection sweep.
+"""Batch renderer core — Pallas TPU kernel (raytrace + raster visibility).
 
-Same semantics as ``raytrace_ref.raytrace`` (cross-checked by tests); this
-is the optimized single-pass intersector for TPU. Design notes:
+Semantics match ``raytrace_ref.raytrace`` / ``raster_ref.rasterize``
+(cross-checked by parity tests to the last pixel ±1 u8 LSB). This is the
+optimized TPU path; its design is driven by two measured facts:
 
-  * **Grid = (world·camera, pixel-row-tiles).** Each program owns an
-    (8, 128)-pixel tile of one view — the native f32 VPU tile — and sweeps
-    every triangle of that camera's world.
-  * **Triangle data lives in SMEM**, streamed as scalars by the scalar
-    unit while the VPU does 8×128-wide intersection math. A pinhole camera
-    shares one ray origin per view, which collapses three of
-    Möller–Trumbore's terms into *per-triangle scalars*:
-        tvec       = origin - v0              (scalar, 3)
-        qvec       = tvec × e1                (scalar, 3)
-        t_num      = e2 · qvec                (scalar, 1)
-    leaving per-pixel work at one vector cross (pvec = dir × e2), two
-    vector dots, one reciprocal, and the hit tests — ~39 VPU ops per
-    triangle per pixel.
-  * **Carry, not scatter:** the running (min-t, argmin) lives in VPU
-    registers across the triangle loop; one write per output at the end.
-    No atomics, no z-buffer scatter — the tile owns its pixels exclusively
-    (the same exclusivity argument the reference's tiled Vulkan pass uses).
-  * Shading stays in XLA: the kernel returns (t, triangle-id) per pixel;
-    hit attributes are recomputed for the single best triangle (identical
-    to the reference-path epilogue, one gather per attribute).
+  1. **Materialized ``[..., 3]`` arrays are poison on TPU**: the tiled
+     layout pads the minor dimension 3 → 128 lanes (42× memory/bandwidth).
+     A per-pixel direction buffer at 4096 worlds × 64² pixels is 805 MB of
+     payload but ~34 GB as a tiled allocation. So **rays are generated
+     inside the kernel** from 13 per-camera scalars; no pixel-sized
+     3-vector array ever exists in HBM.
+  2. **XLA gathers dominate the naive epilogue** (profiled at ~40× the
+     kernel's own time): fetching the best triangle's attributes per pixel
+     is a gather per field. Since every attribute is a *per-triangle
+     scalar* in the sweep, the kernel **interpolates attributes at hit
+     time** (uv, normal — two fused multiply-adds each once the
+     barycentrics are known) and carries the winners in registers. The
+     epilogue becomes pure elementwise math over well-tiled planar arrays.
+
+Kernel outputs per pixel: t (ray distance), z (camera-plane distance for
+raster mode), best index (segmask = idx // tris_per_object), material id,
+interpolated uv, and the viewer-flipped interpolated normal.
+
+Grid = (world·camera, pixel-row-tiles); each program owns an (8, 128) pixel
+tile — one f32 VPU tile — and sweeps its world's triangles from SMEM while
+the scalar unit streams per-triangle values (pinhole factorization: tvec,
+qvec = tvec×e1 and the t numerator are ray-independent scalars). The
+cluster-culled variant tests one AABB per cluster against the whole tile
+(slab test) and skips the cluster's triangle loop with a scalar branch —
+rays in a tile are image-coherent, so skip rates approach a real BVH's with
+zero per-lane control flow.
 
 Reference parity anchor: CUDA batch raytracer configured at
 ``src/mgr.cpp:468-479`` (RGBD, near 0.1, far 1000), outputs per
-``src/sim.cpp:52-60``.
+``src/sim.cpp:52-60``; Vulkan rasterizer semantics per ``src/mgr.cpp:99-110``.
 """
 
 from __future__ import annotations
@@ -42,91 +49,54 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.frames import Frames
 from ..core.scene import SceneData
 from ..core.state import SimState
-from .raytrace_ref import (
-    _EPS_BARY,
-    _EPS_DET,
-    build_world_soup,
-    camera_ray_dirs,
-    finish_frames,
-)
+from .quat import quat_rotate
+from .raytrace_ref import _EPS_BARY, _EPS_DET, build_world_soup
+from .shade import shade_lambert_attrs
 
 # Pixel tile: one f32 VPU tile.
 _TILE_SUB = 8
 _TILE_LANE = 128
 _TILE_PIX = _TILE_SUB * _TILE_LANE
 
-# Triangle SoA rows in the SMEM block (see _pack_tris).
-_N_TRI_ROWS = 10  # v0.xyz, e1.xyz, e2.xyz, valid
+# Triangle SoA rows in the SMEM block (see _pack_tris):
+# v0(3) e1(3) e2(3) valid(1) uv0(2) duv1(2) duv2(2) n0(3) dn1(3) dn2(3) mat(1)
+_N_TRI_ROWS = 26
+# Camera SoA row: origin(3) right(3) fwd(3) up(3) tan_x tan_y (pad to 16)
+_N_CAM_COLS = 16
 
 
-def _intersect_kernel(s_pad: int, near: float, far: float):
-    """Returns the kernel fn for a given (static) triangle count."""
+def _pack_tris(soup) -> jnp.ndarray:
+    """Soup → SMEM-layout SoA [W, 26, S]."""
+    rows = [
+        soup.v0[..., 0], soup.v0[..., 1], soup.v0[..., 2],
+        soup.e1[..., 0], soup.e1[..., 1], soup.e1[..., 2],
+        soup.e2[..., 0], soup.e2[..., 1], soup.e2[..., 2],
+        soup.valid,
+        soup.uv0[..., 0], soup.uv0[..., 1],
+        soup.duv1[..., 0], soup.duv1[..., 1],
+        soup.duv2[..., 0], soup.duv2[..., 1],
+        soup.n0[..., 0], soup.n0[..., 1], soup.n0[..., 2],
+        soup.dn1[..., 0], soup.dn1[..., 1], soup.dn1[..., 2],
+        soup.dn2[..., 0], soup.dn2[..., 1], soup.dn2[..., 2],
+        soup.mat.astype(jnp.float32),
+    ]
+    return jnp.stack(rows, axis=1)
 
-    def kernel(tri_ref, cam_ref, dir_ref, t_ref, idx_ref):
-        # Ray dirs for this tile: [3][8, 128]
-        dx = dir_ref[0, 0]
-        dy = dir_ref[0, 1]
-        dz = dir_ref[0, 2]
-        ox = cam_ref[0, 0, 0]
-        oy = cam_ref[0, 0, 1]
-        oz = cam_ref[0, 0, 2]
 
-        init_t = jnp.full((_TILE_SUB, _TILE_LANE), jnp.inf, jnp.float32)
-        init_idx = jnp.full((_TILE_SUB, _TILE_LANE), -1, jnp.int32)
-
-        def body(i, carry):
-            best_t, best_idx = carry
-            # Scalar triangle fetch (SMEM; scalar unit runs ahead of VPU).
-            v0x = tri_ref[0, 0, i]
-            v0y = tri_ref[0, 1, i]
-            v0z = tri_ref[0, 2, i]
-            e1x = tri_ref[0, 3, i]
-            e1y = tri_ref[0, 4, i]
-            e1z = tri_ref[0, 5, i]
-            e2x = tri_ref[0, 6, i]
-            e2y = tri_ref[0, 7, i]
-            e2z = tri_ref[0, 8, i]
-            valid = tri_ref[0, 9, i]
-
-            # Per-triangle scalars (shared ray origin).
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            t_num = e2x * qx + e2y * qy + e2z * qz
-
-            # Vector part: pvec = dir × e2 ; det = e1 · pvec
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-
-            u = (tvx * px + tvy * py + tvz * pz) * inv
-            v = (dx * qx + dy * qy + dz * qz) * inv
-            t = t_num * inv
-
-            ok = (
-                (u >= -_EPS_BARY)
-                & (v >= -_EPS_BARY)
-                & (u + v <= 1.0 + _EPS_BARY)
-                & (t > near)
-                & (t < far)
-                & (t < best_t)
-                & (jnp.abs(det) > _EPS_DET)
-                & (valid > 0.0)
-            )
-            best_t = jnp.where(ok, t, best_t)
-            best_idx = jnp.where(ok, i, best_idx)
-            return best_t, best_idx
-
-        best_t, best_idx = jax.lax.fori_loop(0, s_pad, body, (init_t, init_idx))
-        t_ref[0] = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
-        idx_ref[0] = best_idx
-
-    return kernel
+def _pack_cams(state: SimState, fov_y_degrees: float, width: int, height: int):
+    """Camera basis scalars [WC, 1, 16]."""
+    W, C = state.camera_pos.shape[:2]
+    rot = state.camera_rot
+    right = quat_rotate(rot, jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    fwd = quat_rotate(rot, jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    up = quat_rotate(rot, jnp.array([0.0, 0.0, 1.0], jnp.float32))
+    tan_y = jnp.full((W, C, 1), np.tan(np.deg2rad(fov_y_degrees) * 0.5), jnp.float32)
+    tan_x = tan_y * (width / height)
+    pad = jnp.zeros((W, C, 2), jnp.float32)
+    cams = jnp.concatenate(
+        [state.camera_pos, right, fwd, up, tan_x, tan_y, pad], axis=-1
+    )
+    return cams.reshape(W * C, 1, _N_CAM_COLS)
 
 
 def world_clusters(state: SimState, scene: SceneData):
@@ -134,8 +104,6 @@ def world_clusters(state: SimState, scene: SceneData):
     instance. Returns (cl_lo [W, CC, 3], cl_hi [W, CC, 3], cl_valid [W, CC])
     with CC = max_instances * clusters_per_object, matching the soup's
     triangle order (instance-major, cluster-minor)."""
-    from .quat import quat_rotate
-
     O, NC, _ = scene.cl_min.shape
     W, I = state.instance_obj.shape
     picks = jnp.asarray(
@@ -143,7 +111,7 @@ def world_clusters(state: SimState, scene: SceneData):
     )  # [8, 3]
     lo = scene.cl_min[state.instance_obj]  # [W, I, NC, 3]
     hi = scene.cl_max[state.instance_obj]
-    corners = lo[..., None, :] * (1 - picks) + hi[..., None, :] * picks  # [W,I,NC,8,3]
+    corners = lo[..., None, :] * (1 - picks) + hi[..., None, :] * picks
     pos = state.instance_pos[:, :, None, None, :]
     rot = state.instance_rot[:, :, None, None, :]
     scale = state.instance_scale[:, :, None, None, :]
@@ -166,33 +134,72 @@ def _pack_clusters(cl_lo, cl_hi, cl_valid) -> jnp.ndarray:
     return jnp.stack(rows, axis=1)
 
 
-def _intersect_kernel_culled(
-    n_clusters: int, cluster_size: int, near: float, far: float
+def _render_kernel(
+    s_pad: int,
+    near: float,
+    far: float,
+    width: int,
+    height: int,
+    n_tiles: int,
+    cluster_size: int = 0,
+    n_clusters: int = 0,
 ):
-    """Cluster-culled variant: per cluster, a vectorized slab test over the
-    whole (8, 128) ray tile; a scalar branch (lax.cond) skips the cluster's
-    triangles when no ray in the tile can beat its current best inside the
-    cluster's bounds. Rays within a tile are image-coherent, so the skip
-    rate approaches a real BVH's without any per-lane control flow."""
+    """Kernel factory. With cluster_size > 0, builds the culled variant."""
+    culled = cluster_size > 0
 
-    def kernel(tri_ref, cl_ref, cam_ref, dir_ref, t_ref, idx_ref):
-        dx = dir_ref[0, 0]
-        dy = dir_ref[0, 1]
-        dz = dir_ref[0, 2]
+    def kernel(*refs):
+        if culled:
+            tri_ref, cl_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
+        else:
+            tri_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
+
+        r = pl.program_id(1)
+
+        # ---- In-kernel ray generation --------------------------------- #
         ox = cam_ref[0, 0, 0]
         oy = cam_ref[0, 0, 1]
         oz = cam_ref[0, 0, 2]
+        rxx = cam_ref[0, 0, 3]
+        rxy = cam_ref[0, 0, 4]
+        rxz = cam_ref[0, 0, 5]
+        fx = cam_ref[0, 0, 6]
+        fy = cam_ref[0, 0, 7]
+        fz = cam_ref[0, 0, 8]
+        ux = cam_ref[0, 0, 9]
+        uy = cam_ref[0, 0, 10]
+        uz = cam_ref[0, 0, 11]
+        tan_x = cam_ref[0, 0, 12]
+        tan_y = cam_ref[0, 0, 13]
 
-        safe = lambda d: jnp.where(jnp.abs(d) > 1e-20, d, jnp.where(d < 0, -1e-20, 1e-20))
-        ivx = 1.0 / safe(dx)
-        ivy = 1.0 / safe(dy)
-        ivz = 1.0 / safe(dz)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_TILE_SUB, _TILE_LANE), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_TILE_SUB, _TILE_LANE), 1)
+        p = r * _TILE_PIX + sub * _TILE_LANE + lane
+        px = (p % width).astype(jnp.float32)
+        py = (p // width).astype(jnp.float32)
+        a = ((px + 0.5) * (2.0 / width) - 1.0) * tan_x
+        b = (1.0 - (py + 0.5) * (2.0 / height)) * tan_y
+        dx = a * rxx + fx + b * ux
+        dy = a * rxy + fy + b * uy
+        dz = a * rxz + fz + b * uz
+        inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dx = dx * inv_len
+        dy = dy * inv_len
+        dz = dz * inv_len
 
-        init_t = jnp.full((_TILE_SUB, _TILE_LANE), jnp.inf, jnp.float32)
-        init_idx = jnp.full((_TILE_SUB, _TILE_LANE), -1, jnp.int32)
+        zero = jnp.zeros((_TILE_SUB, _TILE_LANE), jnp.float32)
+        init = (
+            jnp.full((_TILE_SUB, _TILE_LANE), jnp.inf, jnp.float32),  # best_t
+            jnp.full((_TILE_SUB, _TILE_LANE), -1, jnp.int32),  # best_idx
+            zero,  # mat (as f32)
+            zero,  # uvx
+            zero,  # uvy
+            zero,  # nx
+            zero,  # ny
+            zero,  # nz
+        )
 
         def tri_test(i, carry):
-            best_t, best_idx = carry
+            best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry
             v0x = tri_ref[0, 0, i]
             v0y = tri_ref[0, 1, i]
             v0z = tri_ref[0, 2, i]
@@ -203,6 +210,8 @@ def _intersect_kernel_culled(
             e2y = tri_ref[0, 7, i]
             e2z = tri_ref[0, 8, i]
             valid = tri_ref[0, 9, i]
+
+            # Pinhole factorization: ray-independent per-triangle scalars.
             tvx = ox - v0x
             tvy = oy - v0y
             tvz = oz - v0z
@@ -210,14 +219,16 @@ def _intersect_kernel_culled(
             qy = tvz * e1x - tvx * e1z
             qz = tvx * e1y - tvy * e1x
             t_num = e2x * qx + e2y * qy + e2z * qz
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
+
+            px_ = dy * e2z - dz * e2y
+            py_ = dz * e2x - dx * e2z
+            pz_ = dx * e2y - dy * e2x
+            det = e1x * px_ + e1y * py_ + e1z * pz_
             inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-            u = (tvx * px + tvy * py + tvz * pz) * inv
+            u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
             v = (dx * qx + dy * qy + dz * qz) * inv
             t = t_num * inv
+
             ok = (
                 (u >= -_EPS_BARY)
                 & (v >= -_EPS_BARY)
@@ -228,148 +239,225 @@ def _intersect_kernel_culled(
                 & (jnp.abs(det) > _EPS_DET)
                 & (valid > 0.0)
             )
-            return jnp.where(ok, t, best_t), jnp.where(ok, i, best_idx)
 
-        def cluster_body(c, carry):
-            best_t, best_idx = carry
-            lox = cl_ref[0, 0, c]
-            loy = cl_ref[0, 1, c]
-            loz = cl_ref[0, 2, c]
-            hix = cl_ref[0, 3, c]
-            hiy = cl_ref[0, 4, c]
-            hiz = cl_ref[0, 5, c]
-            cvalid = cl_ref[0, 6, c]
+            # Attribute interpolation at hit time (clipped barycentrics,
+            # matching the reference-path epilogue).
+            uc = jnp.clip(u, 0.0, 1.0)
+            vc = jnp.clip(v, 0.0, 1.0)
+            uv0x = tri_ref[0, 10, i]
+            uv0y = tri_ref[0, 11, i]
+            duv1x = tri_ref[0, 12, i]
+            duv1y = tri_ref[0, 13, i]
+            duv2x = tri_ref[0, 14, i]
+            duv2y = tri_ref[0, 15, i]
+            n0x = tri_ref[0, 16, i]
+            n0y = tri_ref[0, 17, i]
+            n0z = tri_ref[0, 18, i]
+            dn1x = tri_ref[0, 19, i]
+            dn1y = tri_ref[0, 20, i]
+            dn1z = tri_ref[0, 21, i]
+            dn2x = tri_ref[0, 22, i]
+            dn2y = tri_ref[0, 23, i]
+            dn2z = tri_ref[0, 24, i]
+            mat = tri_ref[0, 25, i]
 
-            t1x = (lox - ox) * ivx
-            t2x = (hix - ox) * ivx
-            t1y = (loy - oy) * ivy
-            t2y = (hiy - oy) * ivy
-            t1z = (loz - oz) * ivz
-            t2z = (hiz - oz) * ivz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z),
+            uvx = uv0x + uc * duv1x + vc * duv2x
+            uvy = uv0y + uc * duv1y + vc * duv2y
+            nx = n0x + uc * dn1x + vc * dn2x
+            ny = n0y + uc * dn1y + vc * dn2y
+            nz = n0z + uc * dn1z + vc * dn2z
+
+            return (
+                jnp.where(ok, t, best_t),
+                jnp.where(ok, i, best_idx),
+                jnp.where(ok, mat, bmat),
+                jnp.where(ok, uvx, buvx),
+                jnp.where(ok, uvy, buvy),
+                jnp.where(ok, nx, bnx),
+                jnp.where(ok, ny, bny),
+                jnp.where(ok, nz, bnz),
             )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z),
-            )
-            possible = (tmax >= tmin) & (tmax > near) & (tmin < far) & (tmin < best_t)
-            any_hit = jnp.any(possible) & (cvalid > 0.0)
 
-            def process(cr):
-                base = c * cluster_size
-                return jax.lax.fori_loop(
-                    base, base + cluster_size, tri_test, cr
+        if culled:
+            safe = lambda d: jnp.where(
+                jnp.abs(d) > 1e-20, d, jnp.where(d < 0, -1e-20, 1e-20)
+            )
+            ivx = 1.0 / safe(dx)
+            ivy = 1.0 / safe(dy)
+            ivz = 1.0 / safe(dz)
+
+            def cluster_body(c, carry):
+                best_t = carry[0]
+                lox = cl_ref[0, 0, c]
+                loy = cl_ref[0, 1, c]
+                loz = cl_ref[0, 2, c]
+                hix = cl_ref[0, 3, c]
+                hiy = cl_ref[0, 4, c]
+                hiz = cl_ref[0, 5, c]
+                cvalid = cl_ref[0, 6, c]
+                t1x = (lox - ox) * ivx
+                t2x = (hix - ox) * ivx
+                t1y = (loy - oy) * ivy
+                t2y = (hiy - oy) * ivy
+                t1z = (loz - oz) * ivz
+                t2z = (hiz - oz) * ivz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
                 )
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                )
+                possible = (
+                    (tmax >= tmin) & (tmax > near) & (tmin < far) & (tmin < best_t)
+                )
+                any_hit = jnp.any(possible) & (cvalid > 0.0)
 
-            return jax.lax.cond(any_hit, process, lambda cr: cr, carry)
+                def process(cr):
+                    base = c * cluster_size
+                    return jax.lax.fori_loop(base, base + cluster_size, tri_test, cr)
 
-        best_t, best_idx = jax.lax.fori_loop(
-            0, n_clusters, cluster_body, (init_t, init_idx)
-        )
-        t_ref[0] = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+                return jax.lax.cond(any_hit, process, lambda cr: cr, carry)
+
+            out = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
+        else:
+            out = jax.lax.fori_loop(0, s_pad, tri_test, init)
+
+        best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = out
+
+        # Flip the normal toward the viewer (two-sided shading) in-kernel,
+        # where the ray direction still exists.
+        ndotd = bnx * dx + bny * dy + bnz * dz
+        flip = jnp.where(ndotd > 0, -1.0, 1.0)
+        bnx = bnx * flip
+        bny = bny * flip
+        bnz = bnz * flip
+
+        cosf = dx * fx + dy * fy + dz * fz
+        best_t = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+
+        t_ref[0] = best_t
+        z_ref[0] = best_t * cosf
         idx_ref[0] = best_idx
+        mat_ref[0] = bmat.astype(jnp.int32)
+        u_ref[0] = buvx
+        v_ref[0] = buvy
+        nx_ref[0] = bnx
+        ny_ref[0] = bny
+        nz_ref[0] = bnz
 
     return kernel
 
 
-def _pack_tris(soup) -> jnp.ndarray:
-    """Soup → SMEM-layout SoA [W, 10, S]."""
-    rows = [
-        soup.v0[..., 0], soup.v0[..., 1], soup.v0[..., 2],
-        soup.e1[..., 0], soup.e1[..., 1], soup.e1[..., 2],
-        soup.e2[..., 0], soup.e2[..., 1], soup.e2[..., 2],
-        soup.valid,
-    ]
-    return jnp.stack(rows, axis=1)  # [W, 10, S]
-
-
-def intersect_pallas(
-    soup,
-    orig: jnp.ndarray,  # f32 [W, C, 3]
-    dirs: jnp.ndarray,  # f32 [W, C, P, 3]
+def render_core(
+    state: SimState,
+    scene: SceneData,
+    *,
+    height: int,
+    width: int,
     near: float,
     far: float,
+    fov_y_degrees: float,
     interpret: bool = False,
-    clusters=None,  # optional (cl_lo, cl_hi, cl_valid) from world_clusters
-    cluster_size: int = 0,
+    accel: str = "auto",
 ):
-    """Pallas-accelerated equivalent of ``intersect_bruteforce``.
-    Returns (t [W,C,P], idx [W,C,P], hit [W,C,P]). With ``clusters`` set,
-    uses the cluster-culled kernel (AABB slab test per tile, scalar skip)."""
-    W, S, _ = soup.v0.shape
-    _, C, P, _ = dirs.shape
+    """Run the kernel over all views. Returns dict of [W, C, P] arrays:
+    t, z, idx, mat, uvx, uvy, nx, ny, nz."""
+    soup = build_world_soup(state, scene)
+    W, C = state.camera_pos.shape[:2]
+    S = soup.v0.shape[1]
     WC = W * C
+    P = height * width
 
-    # Mosaic kernels only compile for TPU; everywhere else (CPU tests,
-    # debugging) run the same kernel in the interpreter.
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+    use_clusters = accel == "clusters" or (accel == "auto" and S >= 256)
 
     n_tiles = -(-P // _TILE_PIX)
     p_pad = n_tiles * _TILE_PIX
 
-    tris = _pack_tris(soup)  # [W, 10, S]
-
-    # Dirs in kernel layout [WC, 3, n_tiles*8, 128] (row-major pixel order).
-    d = jnp.moveaxis(dirs.reshape(WC, P, 3), -1, 1)  # [WC, 3, P]
-    if p_pad != P:
-        d = jnp.pad(d, ((0, 0), (0, 0), (0, p_pad - P)), constant_values=1.0)
-    d = d.reshape(WC, 3, n_tiles * _TILE_SUB, _TILE_LANE)
-
-    cams = orig.reshape(WC, 1, 3)
+    tris = _pack_tris(soup)  # [W, 26, S]
+    cams = _pack_cams(state, fov_y_degrees, width, height)  # [WC, 1, 16]
 
     grid = (WC, n_tiles)
     tri_spec = pl.BlockSpec(
         (1, _N_TRI_ROWS, S), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
     )
     cam_spec = pl.BlockSpec(
-        (1, 1, 3), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
-    )
-    dir_spec = pl.BlockSpec(
-        (1, 3, _TILE_SUB, _TILE_LANE),
-        lambda wc, r: (wc, 0, r, 0),
-        memory_space=pltpu.VMEM,
+        (1, 1, _N_CAM_COLS), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
     )
     out_spec = pl.BlockSpec(
         (1, _TILE_SUB, _TILE_LANE), lambda wc, r: (wc, r, 0), memory_space=pltpu.VMEM
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.float32),
-        jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.int32),
-    ]
+    f32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.int32)
+    out_shape = [f32, f32, i32, i32, f32, f32, f32, f32, f32]
+    out_specs = [out_spec] * 9
 
-    if clusters is not None:
-        cl = _pack_clusters(*clusters)  # [W, 7, CC]
-        cc = cl.shape[2]
+    if use_clusters:
+        cl_lo, cl_hi, cl_valid = world_clusters(state, scene)
+        cc = cl_valid.shape[1]
+        cluster_size = S // cc
         assert cluster_size * cc == S, (cluster_size, cc, S)
-        kernel = _intersect_kernel_culled(cc, cluster_size, near, far)
+        cl = _pack_clusters(cl_lo, cl_hi, cl_valid)
+        kernel = _render_kernel(
+            S, near, far, width, height, n_tiles,
+            cluster_size=cluster_size, n_clusters=cc,
+        )
         cl_spec = pl.BlockSpec(
             (1, 7, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
         )
-        t_out, idx_out = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec, cl_spec, cam_spec, dir_spec],
-            out_specs=[out_spec, out_spec],
+            in_specs=[tri_spec, cl_spec, cam_spec],
+            out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(tris, cl, cams, d)
+        )(tris, cl, cams)
     else:
-        kernel = _intersect_kernel(S, near, far)
-        t_out, idx_out = pl.pallas_call(
+        kernel = _render_kernel(S, near, far, width, height, n_tiles)
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec, cam_spec, dir_spec],
-            out_specs=[out_spec, out_spec],
+            in_specs=[tri_spec, cam_spec],
+            out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(tris, cams, d)
+        )(tris, cams)
 
-    t = t_out.reshape(WC, p_pad)[:, :P].reshape(W, C, P)
-    idx = idx_out.reshape(WC, p_pad)[:, :P].reshape(W, C, P)
+    def unpack(x):
+        return x.reshape(WC, p_pad)[:, :P].reshape(W, C, P)
+
+    names = ["t", "z", "idx", "mat", "uvx", "uvy", "nx", "ny", "nz"]
+    return {k: unpack(v) for k, v in zip(names, outs)}, scene.tris_per_object
+
+
+def _frames_from_core(core, T, scene, state, height, width, texture_filter,
+                      depth_key: str, clip=None, with_segmask=True) -> Frames:
+    W, C = state.camera_pos.shape[:2]
+    idx = core["idx"]
     hit = idx >= 0
-    return jnp.where(hit, t, 0.0), jnp.where(hit, idx, 0), hit
+    if clip is not None:
+        near, far = clip
+        hit = hit & (core["z"] > near) & (core["z"] < far)
+    hit = hit & (state.camera_valid[:, :, None] > 0.0)
+
+    uv = jnp.stack([core["uvx"], core["uvy"]], axis=-1)
+    normal = jnp.stack([core["nx"], core["ny"], core["nz"]], axis=-1)
+    rgb = shade_lambert_attrs(
+        scene, core["mat"], uv, normal, hit, texture_filter
+    )
+    depth = jnp.where(hit, core[depth_key], 0.0)
+    if with_segmask:
+        segmask = jnp.where(hit, idx // T, -1)
+    else:
+        segmask = jnp.full_like(idx, -1)
+    return Frames(
+        rgb=rgb.reshape(W, C, height, width, 4),
+        depth=depth.reshape(W, C, height, width),
+        segmask=segmask.reshape(W, C, height, width),
+    )
 
 
 @partial(
@@ -393,31 +481,47 @@ def raytrace(
     texture_filter: str = "nearest",
     accel: str = "auto",  # "auto" | "none" | "clusters"
 ) -> Frames:
-    """Drop-in replacement for ``raytrace_ref.raytrace`` with the hot
-    intersection sweep as a Pallas kernel. ``accel="clusters"`` enables the
-    cluster-culled kernel (worth it once the per-world triangle count is in
-    the hundreds; "auto" switches at 256)."""
+    """Drop-in replacement for ``raytrace_ref.raytrace``; see module
+    docstring for the kernel design."""
     del chunk
-    soup = build_world_soup(state, scene)
-    W, C = state.camera_pos.shape[:2]
-    S = soup.v0.shape[1]
+    core, T = render_core(
+        state, scene, height=height, width=width, near=near, far=far,
+        fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
+    )
+    return _frames_from_core(
+        core, T, scene, state, height, width, texture_filter, depth_key="t"
+    )
 
-    use_clusters = accel == "clusters" or (accel == "auto" and S >= 256)
 
-    dirs = camera_ray_dirs(state.camera_rot, height, width, fov_y_degrees)
-    if use_clusters:
-        cl_lo, cl_hi, cl_valid = world_clusters(state, scene)
-        cluster_size = S // cl_valid.shape[1]
-        t, idx, hit = intersect_pallas(
-            soup, state.camera_pos, dirs, near, far, interpret=interpret,
-            clusters=(cl_lo, cl_hi, cl_valid), cluster_size=cluster_size,
-        )
-    else:
-        t, idx, hit = intersect_pallas(
-            soup, state.camera_pos, dirs, near, far, interpret=interpret
-        )
-
-    return finish_frames(
-        soup, state, scene, dirs, idx, hit, t,
-        height=height, width=width, texture_filter=texture_filter,
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "near", "far", "fov_y_degrees", "chunk", "interpret",
+        "texture_filter", "accel",
+    ),
+)
+def rasterize(
+    state: SimState,
+    scene: SceneData,
+    *,
+    height: int,
+    width: int,
+    near: float = 0.001,
+    far: float = 1000.0,
+    fov_y_degrees: float = 90.0,
+    chunk: int = 16,
+    interpret: bool = False,
+    texture_filter: str = "nearest",
+    accel: str = "auto",
+) -> Frames:
+    """Raster-convention rendering on the same kernel (camera-plane depth,
+    view znear clip, no segmask) — see raster_ref.py for the rationale."""
+    del chunk
+    core, T = render_core(
+        state, scene, height=height, width=width, near=near, far=far * 2.0,
+        fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
+    )
+    return _frames_from_core(
+        core, T, scene, state, height, width, texture_filter,
+        depth_key="z", clip=(near, far), with_segmask=False,
     )

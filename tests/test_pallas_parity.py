@@ -17,9 +17,14 @@ from tests.helpers import build, cam_at_origin_looking_plus_y, quad_xz
 
 
 def _assert_frames_equal(a, b):
-    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    # rgb within ±1 LSB: the kernel folds attribute interpolation into the
+    # sweep, so float op ordering differs from the reference epilogue.
+    rgb_a = np.asarray(a.rgb).astype(np.int16)
+    rgb_b = np.asarray(b.rgb).astype(np.int16)
+    diff = np.abs(rgb_a - rgb_b)
+    assert diff.max() <= 1, f"rgb diff {diff.max()}"
     np.testing.assert_allclose(
-        np.asarray(a.depth), np.asarray(b.depth), rtol=1e-6, atol=1e-6
+        np.asarray(a.depth), np.asarray(b.depth), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(a.segmask), np.asarray(b.segmask))
 
