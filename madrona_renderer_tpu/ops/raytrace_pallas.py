@@ -199,94 +199,84 @@ def _render_kernel(
         )
 
         def tri_test(i, carry):
-            # Padding triangles (valid == 0) are skipped entirely with a
-            # scalar branch — typically a third to half of the padded sweep.
+            best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry
+            v0x = tri_ref[0, 0, i]
+            v0y = tri_ref[0, 1, i]
+            v0z = tri_ref[0, 2, i]
+            e1x = tri_ref[0, 3, i]
+            e1y = tri_ref[0, 4, i]
+            e1z = tri_ref[0, 5, i]
+            e2x = tri_ref[0, 6, i]
+            e2y = tri_ref[0, 7, i]
+            e2z = tri_ref[0, 8, i]
             valid = tri_ref[0, 9, i]
 
-            def compute(carry):
-                best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry
-                v0x = tri_ref[0, 0, i]
-                v0y = tri_ref[0, 1, i]
-                v0z = tri_ref[0, 2, i]
-                e1x = tri_ref[0, 3, i]
-                e1y = tri_ref[0, 4, i]
-                e1z = tri_ref[0, 5, i]
-                e2x = tri_ref[0, 6, i]
-                e2y = tri_ref[0, 7, i]
-                e2z = tri_ref[0, 8, i]
+            # Pinhole factorization: ray-independent per-triangle scalars.
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            t_num = e2x * qx + e2y * qy + e2z * qz
 
-                # Pinhole factorization: ray-independent per-tri scalars.
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                t_num = e2x * qx + e2y * qy + e2z * qz
+            px_ = dy * e2z - dz * e2y
+            py_ = dz * e2x - dx * e2z
+            pz_ = dx * e2y - dy * e2x
+            det = e1x * px_ + e1y * py_ + e1z * pz_
+            inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+            u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+            v = (dx * qx + dy * qy + dz * qz) * inv
+            t = t_num * inv
 
-                px_ = dy * e2z - dz * e2y
-                py_ = dz * e2x - dx * e2z
-                pz_ = dx * e2y - dy * e2x
-                det = e1x * px_ + e1y * py_ + e1z * pz_
-                inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
-                v = (dx * qx + dy * qy + dz * qz) * inv
-                t = t_num * inv
+            ok = (
+                (u >= -_EPS_BARY)
+                & (v >= -_EPS_BARY)
+                & (u + v <= 1.0 + _EPS_BARY)
+                & (t > near)
+                & (t < far)
+                & (t < best_t)
+                & (jnp.abs(det) > _EPS_DET)
+                & (valid > 0.0)
+            )
 
-                ok = (
-                    (u >= -_EPS_BARY)
-                    & (v >= -_EPS_BARY)
-                    & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > near)
-                    & (t < far)
-                    & (t < best_t)
-                    & (jnp.abs(det) > _EPS_DET)
-                )
+            # Attribute interpolation at hit time (clipped barycentrics,
+            # matching the reference-path epilogue).
+            uc = jnp.clip(u, 0.0, 1.0)
+            vc = jnp.clip(v, 0.0, 1.0)
+            uv0x = tri_ref[0, 10, i]
+            uv0y = tri_ref[0, 11, i]
+            duv1x = tri_ref[0, 12, i]
+            duv1y = tri_ref[0, 13, i]
+            duv2x = tri_ref[0, 14, i]
+            duv2y = tri_ref[0, 15, i]
+            n0x = tri_ref[0, 16, i]
+            n0y = tri_ref[0, 17, i]
+            n0z = tri_ref[0, 18, i]
+            dn1x = tri_ref[0, 19, i]
+            dn1y = tri_ref[0, 20, i]
+            dn1z = tri_ref[0, 21, i]
+            dn2x = tri_ref[0, 22, i]
+            dn2y = tri_ref[0, 23, i]
+            dn2z = tri_ref[0, 24, i]
+            mat = tri_ref[0, 25, i]
 
-                def with_attrs(carry):
-                    # Attribute interpolation at hit time (clipped
-                    # barycentrics, matching the reference-path epilogue).
-                    best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry
-                    uc = jnp.clip(u, 0.0, 1.0)
-                    vc = jnp.clip(v, 0.0, 1.0)
-                    uv0x = tri_ref[0, 10, i]
-                    uv0y = tri_ref[0, 11, i]
-                    duv1x = tri_ref[0, 12, i]
-                    duv1y = tri_ref[0, 13, i]
-                    duv2x = tri_ref[0, 14, i]
-                    duv2y = tri_ref[0, 15, i]
-                    n0x = tri_ref[0, 16, i]
-                    n0y = tri_ref[0, 17, i]
-                    n0z = tri_ref[0, 18, i]
-                    dn1x = tri_ref[0, 19, i]
-                    dn1y = tri_ref[0, 20, i]
-                    dn1z = tri_ref[0, 21, i]
-                    dn2x = tri_ref[0, 22, i]
-                    dn2y = tri_ref[0, 23, i]
-                    dn2z = tri_ref[0, 24, i]
-                    mat = tri_ref[0, 25, i]
-                    uvx = uv0x + uc * duv1x + vc * duv2x
-                    uvy = uv0y + uc * duv1y + vc * duv2y
-                    nx = n0x + uc * dn1x + vc * dn2x
-                    ny = n0y + uc * dn1y + vc * dn2y
-                    nz = n0z + uc * dn1z + vc * dn2z
-                    return (
-                        jnp.where(ok, t, best_t),
-                        jnp.where(ok, i, best_idx),
-                        jnp.where(ok, mat, bmat),
-                        jnp.where(ok, uvx, buvx),
-                        jnp.where(ok, uvy, buvy),
-                        jnp.where(ok, nx, bnx),
-                        jnp.where(ok, ny, bny),
-                        jnp.where(ok, nz, bnz),
-                    )
+            uvx = uv0x + uc * duv1x + vc * duv2x
+            uvy = uv0y + uc * duv1y + vc * duv2y
+            nx = n0x + uc * dn1x + vc * dn2x
+            ny = n0y + uc * dn1y + vc * dn2y
+            nz = n0z + uc * dn1z + vc * dn2z
 
-                # Attribute fetch + 8 selects only when some ray improved.
-                return jax.lax.cond(
-                    jnp.any(ok), with_attrs, lambda cr: cr, carry
-                )
-
-            return jax.lax.cond(valid > 0.0, compute, lambda cr: cr, carry)
+            return (
+                jnp.where(ok, t, best_t),
+                jnp.where(ok, i, best_idx),
+                jnp.where(ok, mat, bmat),
+                jnp.where(ok, uvx, buvx),
+                jnp.where(ok, uvy, buvy),
+                jnp.where(ok, nx, bnx),
+                jnp.where(ok, ny, bny),
+                jnp.where(ok, nz, bnz),
+            )
 
         if culled:
             safe = lambda d: jnp.where(
