@@ -108,25 +108,48 @@ def run_config(
         return state, frames
 
     # Multi-step rollout in ONE dispatch (lax.scan), stacking every step's
-    # rgb like a training rollout buffer — this keeps per-frame HBM writes
-    # honest (nothing can be dead-code-eliminated: the stacked frames are
-    # returned) while removing host dispatch latency from the measurement.
-    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    # rgb like a training rollout buffer — nothing can be dead-code
+    # eliminated (a checksum over the stack is returned and fetched).
+    #
+    # Measurement: two-point (n_small and n_big rollouts, both
+    # pre-compiled), synced by fetching the checksum VALUE — on the axon
+    # tunnel, block_until_ready can return before execution finishes; only
+    # a value fetch truly syncs. The slope removes constant
+    # dispatch/fetch/tunnel overhead; warming both sizes keeps compiles out
+    # of the timed region.
+    import numpy as np
+
+    @partial(jax.jit, static_argnames=("n",))
     def rollout(state, scene, n):
         def body(st, _):
             st, frames = step(st, scene)
             return st, frames.rgb
-        return jax.lax.scan(body, state, None, length=n)
 
-    state, stack = rollout(state, scene, warmup)
-    jax.block_until_ready(stack)
+        st, stack = jax.lax.scan(body, state, None, length=n)
+        import jax.numpy as jnp
+
+        # Return the stack too so the rollout buffer is really materialized
+        # in HBM (only the checksum is fetched).
+        return st, stack, jnp.sum(stack[:, 0].astype(jnp.int32))
+
+    n_small = max(2, steps // 4)
+    n_big = steps
+    state, _, ck = rollout(state, scene, n_small)
+    float(np.asarray(ck))
+    state, _, ck = rollout(state, scene, n_big)
+    float(np.asarray(ck))
+    del warmup
 
     t0 = time.perf_counter()
-    state, stack = rollout(state, scene, steps)
-    jax.block_until_ready(stack)
-    elapsed = time.perf_counter() - t0
-    assert stack.shape[0] == steps
-    return steps * num_worlds / elapsed
+    state, _, ck = rollout(state, scene, n_small)
+    float(np.asarray(ck))
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, _, ck = rollout(state, scene, n_big)
+    float(np.asarray(ck))
+    t_big = time.perf_counter() - t0
+    per_step = (t_big - t_small) / (n_big - n_small)
+    return num_worlds / per_step
 
 
 BASELINE_CONFIGS = [

@@ -84,23 +84,44 @@ def main():
             )
             return st, fn(st, sc, height=height, width=width, near=near, far=1000.0)
 
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+        @partial(jax.jit, static_argnames=("n",))
         def rollout(st, sc, n):
             def body(s, _):
                 s, frames = step(s, sc)
                 return s, frames.rgb
             return jax.lax.scan(body, st, None, length=n)
 
+        # Two-point measurement: time n_small and n_big rollouts (both
+        # pre-compiled), sync via a value fetch of a checksum that depends
+        # on every frame (block_until_ready is unreliable over this
+        # platform's tunnel; only fetches truly sync). The slope removes
+        # constant dispatch/fetch/tunnel overhead.
+        n_small, n_big = max(2, steps // 4), steps
+
+        @partial(jax.jit, static_argnames=("n",))
+        def rollout_ck(st, sc, n):
+            st2, stack = rollout(st, sc, n)
+            return st2, stack, jnp.sum(stack[:, 0].astype(jnp.int32))
+
         t0 = time.perf_counter()
-        state, stack = rollout(state, scene, 3)
-        jax.block_until_ready(stack)
+        state, _, ck = rollout_ck(state, scene, n_small)
+        float(np.asarray(ck))
+        state, _, ck = rollout_ck(state, scene, n_big)
+        float(np.asarray(ck))
         log(f"  compile+warmup {time.perf_counter() - t0:.1f}s")
+
         t0 = time.perf_counter()
-        state, stack = rollout(state, scene, steps)
-        jax.block_until_ready(stack)
-        dt = time.perf_counter() - t0
-        fps = steps * num_worlds / dt
-        log(f"  {num_worlds}w {mode} {width}x{height}: {dt*1000/steps:.2f} ms/step "
+        state, _, ck = rollout_ck(state, scene, n_small)
+        float(np.asarray(ck))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, _, ck = rollout_ck(state, scene, n_big)
+        float(np.asarray(ck))
+        t_big = time.perf_counter() - t0
+        per_step = (t_big - t_small) / (n_big - n_small)
+        fps = num_worlds / per_step
+        log(f"  {num_worlds}w {mode} {width}x{height}: {per_step*1000:.2f} ms/step "
+            f"(t{n_small}={t_small*1000:.0f}ms t{n_big}={t_big*1000:.0f}ms) "
             f"→ {fps:,.0f} frames/s (vs 1e5 north-star: {fps/1e5:.1f}x)")
         return fps
 
