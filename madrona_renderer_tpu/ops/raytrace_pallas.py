@@ -66,11 +66,16 @@ _N_CAM_COLS = 16
 
 
 def _pack_tris(soup) -> jnp.ndarray:
-    """Soup → SMEM-layout SoA [W, 26, S]."""
+    """Soup → SMEM-layout SoA [W, 26, S].
+
+    Invalid triangles (padding slots, disabled instances) are made
+    *degenerate* (zero edges → det = 0 → the t > near test fails), so the
+    kernel needs no explicit validity check in its inner loop."""
+    val = soup.valid
     rows = [
         soup.v0[..., 0], soup.v0[..., 1], soup.v0[..., 2],
-        soup.e1[..., 0], soup.e1[..., 1], soup.e1[..., 2],
-        soup.e2[..., 0], soup.e2[..., 1], soup.e2[..., 2],
+        soup.e1[..., 0] * val, soup.e1[..., 1] * val, soup.e1[..., 2] * val,
+        soup.e2[..., 0] * val, soup.e2[..., 1] * val, soup.e2[..., 2] * val,
         soup.valid,
         soup.uv0[..., 0], soup.uv0[..., 1],
         soup.duv1[..., 0], soup.duv1[..., 1],
@@ -209,7 +214,6 @@ def _render_kernel(
             e2x = tri_ref[0, 6, i]
             e2y = tri_ref[0, 7, i]
             e2z = tri_ref[0, 8, i]
-            valid = tri_ref[0, 9, i]
 
             # Pinhole factorization: ray-independent per-triangle scalars.
             tvx = ox - v0x
@@ -229,6 +233,8 @@ def _render_kernel(
             v = (dx * qx + dy * qy + dz * qz) * inv
             t = t_num * inv
 
+            # No validity / det test needed: invalid or degenerate
+            # triangles produce inv = 0 → t = 0, which fails t > near.
             ok = (
                 (u >= -_EPS_BARY)
                 & (v >= -_EPS_BARY)
@@ -236,8 +242,6 @@ def _render_kernel(
                 & (t > near)
                 & (t < far)
                 & (t < best_t)
-                & (jnp.abs(det) > _EPS_DET)
-                & (valid > 0.0)
             )
 
             # Attribute interpolation at hit time (clipped barycentrics,
