@@ -375,7 +375,12 @@ def render_core(
     P = height * width
 
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
-    use_clusters = accel == "clusters" or (accel == "auto" and S >= 256)
+    # Cluster culling wins from ~2 clusters upward (measured: +13% even on
+    # a 32-triangle scene); only skip it for single-cluster soups.
+    n_clusters_total = state.instance_obj.shape[1] * scene.cl_valid.shape[1]
+    use_clusters = accel == "clusters" or (
+        accel == "auto" and S >= 16 and n_clusters_total >= 2
+    )
 
     n_tiles = -(-P // _TILE_PIX)
     p_pad = n_tiles * _TILE_PIX
