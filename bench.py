@@ -149,6 +149,10 @@ def run_config(
     float(np.asarray(ck))
     t_big = time.perf_counter() - t0
     per_step = (t_big - t_small) / (n_big - n_small)
+    if per_step <= 0:
+        # Tiny configs: the step is below the dispatch/fetch noise floor;
+        # report the conservative single-rollout bound instead.
+        per_step = t_big / n_big
     return num_worlds / per_step
 
 

@@ -51,7 +51,7 @@ from ..core.scene import SceneData
 from ..core.state import SimState
 from .quat import quat_rotate
 from .raytrace_ref import _EPS_BARY, _EPS_DET, build_world_soup
-from .shade import shade_lambert_attrs
+from .shade import packed_to_rgba8, shade_lambert_planar
 
 # Pixel tile: one f32 VPU tile.
 _TILE_SUB = 8
@@ -452,11 +452,13 @@ def _frames_from_core(core, T, scene, state, height, width, texture_filter,
         hit = hit & (core["z"] > near) & (core["z"] < far)
     hit = hit & (state.camera_valid[:, :, None] > 0.0)
 
-    uv = jnp.stack([core["uvx"], core["uvy"]], axis=-1)
-    normal = jnp.stack([core["nx"], core["ny"], core["nz"]], axis=-1)
-    rgb = shade_lambert_attrs(
-        scene, core["mat"], uv, normal, hit, texture_filter
+    # Planar shading (no [..., k<128] intermediates — they tile-pad 32-42x
+    # on TPU); pixels unpack to RGBA u8 only at the very end.
+    packed = shade_lambert_planar(
+        scene, core["mat"], core["uvx"], core["uvy"],
+        core["nx"], core["ny"], core["nz"], hit, texture_filter,
     )
+    rgb = packed_to_rgba8(packed)
     depth = jnp.where(hit, core[depth_key], 0.0)
     if with_segmask:
         segmask = jnp.where(hit, idx // T, -1)

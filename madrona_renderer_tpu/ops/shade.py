@@ -74,6 +74,97 @@ def sample_texture_bilinear(scene: SceneData, tex_id: jnp.ndarray, uv: jnp.ndarr
     return top * (1 - ay) + bot * ay
 
 
+def shade_lambert_planar(
+    scene: SceneData,
+    mat_id: jnp.ndarray,  # i32 [...]
+    u: jnp.ndarray,  # f32 [...] texture u
+    v: jnp.ndarray,  # f32 [...] texture v
+    nx: jnp.ndarray,  # f32 [...] normal components (pre-flipped)
+    ny: jnp.ndarray,
+    nz: jnp.ndarray,
+    hit_mask: jnp.ndarray,  # bool [...]
+    texture_filter: str = "nearest",
+) -> jnp.ndarray:
+    """Planar shading → packed RGBA as u32 [...].
+
+    Everything stays in planar (no trailing small dims): on TPU a
+    materialized ``f32[..., 4]`` tile-pads its minor dim 4 → 128 lanes
+    (32× memory) — measured as an OOM at 16k worlds. The packed u32 result
+    bitcasts to the final ``u8 [..., 4]`` image at the very end.
+    """
+    inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    lx, ly, lz = (
+        scene.light_dir[0], scene.light_dir[1], scene.light_dir[2],
+    )
+    l_inv = jax.lax.rsqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-20))
+    ndotl = -(nx * lx + ny * ly + nz * lz) * (inv_len * l_inv)
+    ndotl = jnp.maximum(0.0, ndotl)
+
+    m = scene.mat_color.shape[0]
+    onehot = jax.nn.one_hot(mat_id, m, dtype=jnp.float32)  # [..., M]
+    base_r = onehot @ scene.mat_color[:, 0]
+    base_g = onehot @ scene.mat_color[:, 1]
+    base_b = onehot @ scene.mat_color[:, 2]
+
+    if int(scene.tex_data.shape[0]) > 1:
+        tex_id = jnp.round(onehot @ scene.mat_tex.astype(jnp.float32)).astype(jnp.int32)
+        w = scene.tex_width[tex_id]
+        h = scene.tex_height[tex_id]
+        off = scene.tex_offset[tex_id]
+        uu = u - jnp.floor(u)
+        vv = v - jnp.floor(v)
+        if texture_filter == "bilinear":
+            wf = w.astype(jnp.float32)
+            hf = h.astype(jnp.float32)
+            fx = uu * wf - 0.5
+            fy = (1.0 - vv) * hf - 0.5
+            x0f = jnp.floor(fx)
+            y0f = jnp.floor(fy)
+            ax = fx - x0f
+            ay = fy - y0f
+
+            def texel_ch(xi, yi, ch):
+                xm = jnp.mod(xi.astype(jnp.int32), w)
+                ym = jnp.mod(yi.astype(jnp.int32), h)
+                return scene.tex_data[:, ch][off + ym * w + xm]
+
+            def lerp_ch(ch):
+                t00 = texel_ch(x0f, y0f, ch)
+                t10 = texel_ch(x0f + 1, y0f, ch)
+                t01 = texel_ch(x0f, y0f + 1, ch)
+                t11 = texel_ch(x0f + 1, y0f + 1, ch)
+                top = t00 * (1 - ax) + t10 * ax
+                bot = t01 * (1 - ax) + t11 * ax
+                return top * (1 - ay) + bot * ay
+
+            base_r = base_r * lerp_ch(0)
+            base_g = base_g * lerp_ch(1)
+            base_b = base_b * lerp_ch(2)
+        else:
+            x = jnp.clip((uu * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+            y = jnp.clip(((1.0 - vv) * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+            flat = off + y * w + x
+            base_r = base_r * scene.tex_data[:, 0][flat]
+            base_g = base_g * scene.tex_data[:, 1][flat]
+            base_b = base_b * scene.tex_data[:, 2][flat]
+
+    def channel(base, light_c):
+        intensity = AMBIENT + (1.0 - AMBIENT) * ndotl * light_c
+        c = jnp.clip(base * intensity, 0.0, 1.0)
+        c = jnp.where(hit_mask, c, 0.0)
+        return (c * 255.0 + 0.5).astype(jnp.uint32)
+
+    r8 = channel(base_r, scene.light_color[0])
+    g8 = channel(base_g, scene.light_color[1])
+    b8 = channel(base_b, scene.light_color[2])
+    return r8 | (g8 << 8) | (b8 << 16) | jnp.uint32(255 << 24)
+
+
+def packed_to_rgba8(packed: jnp.ndarray) -> jnp.ndarray:
+    """u32 [...] → u8 [..., 4] (little-endian byte order = RGBA)."""
+    return jax.lax.bitcast_convert_type(packed, jnp.uint8)
+
+
 def shade_lambert_attrs(
     scene: SceneData,
     mat_id: jnp.ndarray,  # i32 [...]
