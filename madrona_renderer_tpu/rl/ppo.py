@@ -64,8 +64,13 @@ def init_policy_params(cfg: PPOConfig, key: jax.Array) -> Dict[str, Any]:
 
 def _obs_from_frames(rgb: jnp.ndarray, cfg: PPOConfig) -> jnp.ndarray:
     """u8 [W, C, H, Wd, 4] → f32 [W, obs_dim] (gray, avg-pooled, cam 0).
-    Stays on device — the zero-copy handoff."""
-    gray = rgb[:, 0, :, :, :3].astype(jnp.float32).mean(-1) / 255.0  # [W, H, Wd]
+    Stays on device — the zero-copy handoff. Channels are sliced
+    separately: a materialized f32[..., 3] would tile-pad its minor dim
+    3 → 128 lanes (measured OOM at 16k worlds)."""
+    r = rgb[:, 0, :, :, 0].astype(jnp.float32)
+    g = rgb[:, 0, :, :, 1].astype(jnp.float32)
+    b = rgb[:, 0, :, :, 2].astype(jnp.float32)
+    gray = (r + g + b) * (1.0 / (3.0 * 255.0))  # [W, H, Wd]
     w, h, wd = gray.shape
     p = cfg.pool
     pooled = gray.reshape(w, h // p, p, wd // p, p).mean((2, 4))
