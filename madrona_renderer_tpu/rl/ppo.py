@@ -67,9 +67,10 @@ def _obs_from_frames(rgb: jnp.ndarray, cfg: PPOConfig) -> jnp.ndarray:
     Stays on device — the zero-copy handoff. Channels are sliced
     separately: a materialized f32[..., 3] would tile-pad its minor dim
     3 → 128 lanes (measured OOM at 16k worlds)."""
-    r = rgb[:, 0, :, :, 0].astype(jnp.float32)
-    g = rgb[:, 0, :, :, 1].astype(jnp.float32)
-    b = rgb[:, 0, :, :, 2].astype(jnp.float32)
+    packed = jax.lax.bitcast_convert_type(rgb[:, 0], jnp.uint32)  # [W, H, Wd]
+    r = (packed & 0xFF).astype(jnp.float32)
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+    b = ((packed >> 16) & 0xFF).astype(jnp.float32)
     gray = (r + g + b) * (1.0 / (3.0 * 255.0))  # [W, H, Wd]
     w, h, wd = gray.shape
     p = cfg.pool
