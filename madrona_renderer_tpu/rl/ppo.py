@@ -116,7 +116,10 @@ def make_train_step(
     import optax
 
     if render is None:
-        from ..ops.raytrace_ref import raytrace
+        if jax.default_backend() in ("tpu", "axon"):
+            from ..ops.raytrace_pallas import raytrace
+        else:
+            from ..ops.raytrace_ref import raytrace
 
         render = partial(raytrace, height=cfg.height, width=cfg.width)
 
