@@ -191,14 +191,16 @@ def run_ppo_streaming(num_worlds: int = 16384, updates: int = 3, res: int = 64) 
     params = init_policy_params(ppo, key)
     train_step = make_train_step(scene, ppo)
     opt_state = train_step.init_optimizer(params)
+    import numpy as np
+
     params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))  # value fetch = true sync
     t0 = time.perf_counter()
     for _ in range(updates):
         params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
-    frames = updates * ppo.rollout_len * num_worlds * 2  # 2 renders/env step
+    frames = updates * (ppo.rollout_len + 1) * num_worlds  # renders/update
     return frames / dt
 
 

@@ -56,7 +56,7 @@ def main():
             )
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
-    frames = args.updates * args.rollout * args.worlds * 2  # 2 renders per env step
+    frames = args.updates * (args.rollout + 1) * args.worlds  # renders per update
     print(
         f"{args.updates} updates in {dt:.2f}s — "
         f"{frames / dt:,.0f} rendered frames/sec into training"

@@ -126,17 +126,19 @@ def make_train_step(
     optimizer = optax.adam(cfg.lr)
 
     def env_step(carry, key):
+        # One render per step: this frame provides the observation for the
+        # current action AND the reward for the previous one (rewards are
+        # shifted by one step when assembling the trajectory below).
         sim_state, params = carry
         frames = render(sim_state, scene)
         obs = _obs_from_frames(frames.rgb, cfg)
+        reward_prev = _reward(frames.segmask)
         logits, value = policy_apply(params, obs)
         action = jax.random.categorical(key, logits)
         logp = jax.nn.log_softmax(logits)[jnp.arange(obs.shape[0]), action]
         sim_state = _apply_action(sim_state, action, cfg)
         sim_state = dataclasses.replace(sim_state, time=sim_state.time + 0.05)
-        frames2 = render(sim_state, scene)
-        reward = _reward(frames2.segmask)
-        return (sim_state, params), (obs, action, logp, value, reward)
+        return (sim_state, params), (obs, action, logp, value, reward_prev)
 
     def gae(rewards, values, last_value):
         def scan_fn(adv, t):
@@ -175,9 +177,15 @@ def make_train_step(
         (sim_state, _), traj = jax.lax.scan(
             env_step, (sim_state, params), jnp.stack(step_keys)
         )
-        obs, action, logp, value, reward = traj  # each [T, W, ...]
+        obs, action, logp, value, reward_prev = traj  # each [T, W, ...]
         frames = render(sim_state, scene)
-        _, last_value = policy_apply(params, _obs_from_frames(frames.rgb, cfg))
+        final_obs = _obs_from_frames(frames.rgb, cfg)
+        _, last_value = policy_apply(params, final_obs)
+        # reward_prev[t] is the reward observed AT step t (i.e. for action
+        # t-1); the reward for action t is reward_prev[t+1], with the final
+        # render supplying the last one.
+        final_reward = _reward(frames.segmask)
+        reward = jnp.concatenate([reward_prev[1:], final_reward[None]], axis=0)
         adv, returns = gae(reward, value, last_value)
 
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
