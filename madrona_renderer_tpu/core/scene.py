@@ -85,6 +85,10 @@ class SceneData:
     cl_min: jax.Array  # f32 [O, NC, 3]
     cl_max: jax.Array  # f32 [O, NC, 3]
     cl_valid: jax.Array  # f32 [O, NC]
+    # Valid triangles are Morton-sorted to the front of each object, so a
+    # cluster's valid slots are a contiguous prefix; the kernel loops only
+    # over this count instead of the full cluster (padding never swept).
+    cl_count: jax.Array  # i32 [O, NC]
 
     @property
     def num_objects(self) -> int:
@@ -221,6 +225,7 @@ def bake_scene(
     cl_min = np.zeros((num_objects, n_clusters, 3), np.float32)
     cl_max = np.full((num_objects, n_clusters, 3), -1.0, np.float32)
     cl_valid = np.zeros((num_objects, n_clusters), np.float32)
+    cl_count = np.zeros((num_objects, n_clusters), np.int32)
     per_tri = [v0, e1, e2, uv0, duv1, duv2, n0, dn1, dn2, tri_mat, tri_valid]
     for oi in range(num_objects):
         bvh = build_clusters(
@@ -236,13 +241,18 @@ def bake_scene(
             np.isfinite(bvh.cluster_max), bvh.cluster_max, -1.0
         )
         cl_valid[oi, :nc] = bvh.cluster_valid
+        n_valid = int((tri_valid[oi] > 0).sum())
+        for c in range(n_clusters):
+            cl_count[oi, c] = int(
+                np.clip(n_valid - c * cluster_size, 0, cluster_size)
+            )
 
     arrays = SceneData(
         v0=v0, e1=e1, e2=e2,
         uv0=uv0, duv1=duv1, duv2=duv2,
         n0=n0, dn1=dn1, dn2=dn2,
         tri_mat=tri_mat, tri_valid=tri_valid,
-        cl_min=cl_min, cl_max=cl_max, cl_valid=cl_valid,
+        cl_min=cl_min, cl_max=cl_max, cl_valid=cl_valid, cl_count=cl_count,
         mat_color=mat_color, mat_tex=mat_tex,
         mat_rough=mat_rough, mat_metal=mat_metal,
         tex_data=tex_data,

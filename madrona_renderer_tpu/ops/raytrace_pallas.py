@@ -126,15 +126,20 @@ def world_clusters(state: SimState, scene: SceneData):
     valid = (
         scene.cl_valid[state.instance_obj] * state.instance_valid[:, :, None]
     ).reshape(W, I * NC)
-    return cl_lo, cl_hi, valid
+    count = (
+        scene.cl_count[state.instance_obj].astype(jnp.float32)
+        * state.instance_valid[:, :, None]
+    ).reshape(W, I * NC)
+    return cl_lo, cl_hi, valid, count
 
 
-def _pack_clusters(cl_lo, cl_hi, cl_valid) -> jnp.ndarray:
-    """→ SMEM-layout [W, 7, CC]: rows lo.xyz, hi.xyz, valid."""
+def _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count) -> jnp.ndarray:
+    """→ SMEM-layout [W, 8, CC]: rows lo.xyz, hi.xyz, valid, count."""
     rows = [
         cl_lo[..., 0], cl_lo[..., 1], cl_lo[..., 2],
         cl_hi[..., 0], cl_hi[..., 1], cl_hi[..., 2],
         cl_valid,
+        cl_count,
     ]
     return jnp.stack(rows, axis=1)
 
@@ -319,8 +324,12 @@ def _render_kernel(
                 any_hit = jnp.any(possible) & (cvalid > 0.0)
 
                 def process(cr):
+                    # Loop only over the cluster's contiguous valid prefix
+                    # (Morton sort puts padding at the tail) — a dynamic
+                    # scalar bound, so padding slots are never swept.
                     base = c * cluster_size
-                    return jax.lax.fori_loop(base, base + cluster_size, tri_test, cr)
+                    cnt = cl_ref[0, 7, c].astype(jnp.int32)
+                    return jax.lax.fori_loop(base, base + cnt, tri_test, cr)
 
                 return jax.lax.cond(any_hit, process, lambda cr: cr, carry)
 
@@ -404,17 +413,17 @@ def render_core(
     out_specs = [out_spec] * 9
 
     if use_clusters:
-        cl_lo, cl_hi, cl_valid = world_clusters(state, scene)
+        cl_lo, cl_hi, cl_valid, cl_count = world_clusters(state, scene)
         cc = cl_valid.shape[1]
         cluster_size = S // cc
         assert cluster_size * cc == S, (cluster_size, cc, S)
-        cl = _pack_clusters(cl_lo, cl_hi, cl_valid)
+        cl = _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count)
         kernel = _render_kernel(
             S, near, far, width, height, n_tiles,
             cluster_size=cluster_size, n_clusters=cc,
         )
         cl_spec = pl.BlockSpec(
-            (1, 7, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
+            (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
         )
         outs = pl.pallas_call(
             kernel,
