@@ -60,18 +60,23 @@ _TILE_PIX = _TILE_SUB * _TILE_LANE
 
 # Triangle SoA rows in the SMEM block (see _pack_tris):
 # v0(3) e1(3) e2(3) valid(1) uv0(2) duv1(2) duv2(2) n0(3) dn1(3) dn2(3) mat(1)
-_N_TRI_ROWS = 26
-# Camera SoA row: origin(3) right(3) fwd(3) up(3) tan_x tan_y (pad to 16)
-_N_CAM_COLS = 16
+# + premultiplied material color rgb(3) for the fully-shaded kernel variant
+_N_TRI_ROWS = 29
+# Camera SoA row: origin(3) right(3) fwd(3) up(3) tan_x tan_y
+# light_dir(3, normalized) light_color(3) (pad to 24)
+_N_CAM_COLS = 24
 
 
-def _pack_tris(soup) -> jnp.ndarray:
-    """Soup → SMEM-layout SoA [W, 26, S].
+def _pack_tris(soup, scene: SceneData) -> jnp.ndarray:
+    """Soup → SMEM-layout SoA [W, 29, S].
 
     Invalid triangles (padding slots, disabled instances) are made
     *degenerate* (zero edges → det = 0 → the t > near test fails), so the
-    kernel needs no explicit validity check in its inner loop."""
+    kernel needs no explicit validity check in its inner loop. The last 3
+    rows carry the material base color per triangle, pre-gathered at pack
+    time, so the shaded kernel variant needs no material table at all."""
     val = soup.valid
+    col = scene.mat_color[soup.mat]  # [W, S, 4]
     rows = [
         soup.v0[..., 0], soup.v0[..., 1], soup.v0[..., 2],
         soup.e1[..., 0] * val, soup.e1[..., 1] * val, soup.e1[..., 2] * val,
@@ -84,12 +89,15 @@ def _pack_tris(soup) -> jnp.ndarray:
         soup.dn1[..., 0], soup.dn1[..., 1], soup.dn1[..., 2],
         soup.dn2[..., 0], soup.dn2[..., 1], soup.dn2[..., 2],
         soup.mat.astype(jnp.float32),
+        col[..., 0], col[..., 1], col[..., 2],
     ]
     return jnp.stack(rows, axis=1)
 
 
-def _pack_cams(state: SimState, fov_y_degrees: float, width: int, height: int):
-    """Camera basis scalars [WC, 1, 16]."""
+def _pack_cams(
+    state: SimState, scene: SceneData, fov_y_degrees: float, width: int, height: int
+):
+    """Camera basis + light scalars [WC, 1, 24]."""
     W, C = state.camera_pos.shape[:2]
     rot = state.camera_rot
     right = quat_rotate(rot, jnp.array([1.0, 0.0, 0.0], jnp.float32))
@@ -97,9 +105,13 @@ def _pack_cams(state: SimState, fov_y_degrees: float, width: int, height: int):
     up = quat_rotate(rot, jnp.array([0.0, 0.0, 1.0], jnp.float32))
     tan_y = jnp.full((W, C, 1), np.tan(np.deg2rad(fov_y_degrees) * 0.5), jnp.float32)
     tan_x = tan_y * (width / height)
-    pad = jnp.zeros((W, C, 2), jnp.float32)
+    ldir = scene.light_dir / jnp.maximum(jnp.linalg.norm(scene.light_dir), 1e-20)
+    light = jnp.broadcast_to(
+        jnp.concatenate([ldir, scene.light_color]), (W, C, 6)
+    )
+    pad = jnp.zeros((W, C, 4), jnp.float32)
     cams = jnp.concatenate(
-        [state.camera_pos, right, fwd, up, tan_x, tan_y, pad], axis=-1
+        [state.camera_pos, right, fwd, up, tan_x, tan_y, light, pad], axis=-1
     )
     return cams.reshape(W * C, 1, _N_CAM_COLS)
 
@@ -153,12 +165,22 @@ def _render_kernel(
     n_tiles: int,
     cluster_size: int = 0,
     n_clusters: int = 0,
+    shaded: bool = False,
+    z_clip=None,  # (near, far) camera-plane clip for raster mode (shaded)
 ):
-    """Kernel factory. With cluster_size > 0, builds the culled variant."""
+    """Kernel factory. With cluster_size > 0, builds the culled variant.
+    With shaded=True (untextured scenes), shading happens in-kernel and the
+    outputs shrink to (t, z, idx, packed rgb) — no XLA shading epilogue and
+    5 fewer pixel-sized output arrays."""
     culled = cluster_size > 0
 
     def kernel(*refs):
-        if culled:
+        if shaded:
+            if culled:
+                tri_ref, cl_ref, cam_ref, t_ref, z_ref, idx_ref, rgb_ref = refs
+            else:
+                tri_ref, cam_ref, t_ref, z_ref, idx_ref, rgb_ref = refs
+        elif culled:
             tri_ref, cl_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
         else:
             tri_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
@@ -253,12 +275,6 @@ def _render_kernel(
             # matching the reference-path epilogue).
             uc = jnp.clip(u, 0.0, 1.0)
             vc = jnp.clip(v, 0.0, 1.0)
-            uv0x = tri_ref[0, 10, i]
-            uv0y = tri_ref[0, 11, i]
-            duv1x = tri_ref[0, 12, i]
-            duv1y = tri_ref[0, 13, i]
-            duv2x = tri_ref[0, 14, i]
-            duv2y = tri_ref[0, 15, i]
             n0x = tri_ref[0, 16, i]
             n0y = tri_ref[0, 17, i]
             n0z = tri_ref[0, 18, i]
@@ -268,20 +284,33 @@ def _render_kernel(
             dn2x = tri_ref[0, 22, i]
             dn2y = tri_ref[0, 23, i]
             dn2z = tri_ref[0, 24, i]
-            mat = tri_ref[0, 25, i]
-
-            uvx = uv0x + uc * duv1x + vc * duv2x
-            uvy = uv0y + uc * duv1y + vc * duv2y
             nx = n0x + uc * dn1x + vc * dn2x
             ny = n0y + uc * dn1y + vc * dn2y
             nz = n0z + uc * dn1z + vc * dn2z
 
+            if shaded:
+                # Premultiplied material color (rows 26-28): carry color
+                # instead of (mat, uv) — same carry count, no epilogue.
+                a0 = tri_ref[0, 26, i]
+                a1 = tri_ref[0, 27, i]
+                a2 = tri_ref[0, 28, i]
+            else:
+                uv0x = tri_ref[0, 10, i]
+                uv0y = tri_ref[0, 11, i]
+                duv1x = tri_ref[0, 12, i]
+                duv1y = tri_ref[0, 13, i]
+                duv2x = tri_ref[0, 14, i]
+                duv2y = tri_ref[0, 15, i]
+                a0 = tri_ref[0, 25, i]  # mat id
+                a1 = uv0x + uc * duv1x + vc * duv2x
+                a2 = uv0y + uc * duv1y + vc * duv2y
+
             return (
                 jnp.where(ok, t, best_t),
                 jnp.where(ok, i, best_idx),
-                jnp.where(ok, mat, bmat),
-                jnp.where(ok, uvx, buvx),
-                jnp.where(ok, uvy, buvy),
+                jnp.where(ok, a0, bmat),
+                jnp.where(ok, a1, buvx),
+                jnp.where(ok, a2, buvy),
                 jnp.where(ok, nx, bnx),
                 jnp.where(ok, ny, bny),
                 jnp.where(ok, nz, bnz),
@@ -349,16 +378,48 @@ def _render_kernel(
 
         cosf = dx * fx + dy * fy + dz * fz
         best_t = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+        z = best_t * cosf
 
         t_ref[0] = best_t
-        z_ref[0] = best_t * cosf
+        z_ref[0] = z
         idx_ref[0] = best_idx
-        mat_ref[0] = bmat.astype(jnp.int32)
-        u_ref[0] = buvx
-        v_ref[0] = buvy
-        nx_ref[0] = bnx
-        ny_ref[0] = bny
-        nz_ref[0] = bnz
+
+        if shaded:
+            from .shade import AMBIENT
+
+            lx = cam_ref[0, 0, 14]
+            ly = cam_ref[0, 0, 15]
+            lz = cam_ref[0, 0, 16]
+            lcr = cam_ref[0, 0, 17]
+            lcg = cam_ref[0, 0, 18]
+            lcb = cam_ref[0, 0, 19]
+            n_inv = jax.lax.rsqrt(
+                jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
+            )
+            ndotl = jnp.maximum(0.0, -(bnx * lx + bny * ly + bnz * lz) * n_inv)
+            hit = best_idx >= 0
+            if z_clip is not None:
+                hit = hit & (z > z_clip[0]) & (z < z_clip[1])
+
+            def chan(base, lc):
+                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * ndotl * lc), 0.0, 1.0)
+                c = jnp.where(hit, c, 0.0)
+                return (c * 255.0 + 0.5).astype(jnp.uint32)
+
+            packed = (
+                chan(bmat, lcr)
+                | (chan(buvx, lcg) << 8)
+                | (chan(buvy, lcb) << 16)
+                | jnp.uint32(255 << 24)
+            )
+            rgb_ref[0] = packed
+        else:
+            mat_ref[0] = bmat.astype(jnp.int32)
+            u_ref[0] = buvx
+            v_ref[0] = buvy
+            nx_ref[0] = bnx
+            ny_ref[0] = bny
+            nz_ref[0] = bnz
 
     return kernel
 
@@ -374,9 +435,11 @@ def render_core(
     fov_y_degrees: float,
     interpret: bool = False,
     accel: str = "auto",
+    z_clip=None,
 ):
     """Run the kernel over all views. Returns dict of [W, C, P] arrays:
-    t, z, idx, mat, uvx, uvy, nx, ny, nz."""
+    (t, z, idx, rgb) when the scene is untextured (in-kernel shading), else
+    (t, z, idx, mat, uvx, uvy, nx, ny, nz)."""
     soup = build_world_soup(state, scene)
     W, C = state.camera_pos.shape[:2]
     S = soup.v0.shape[1]
@@ -394,8 +457,12 @@ def render_core(
     n_tiles = -(-P // _TILE_PIX)
     p_pad = n_tiles * _TILE_PIX
 
-    tris = _pack_tris(soup)  # [W, 26, S]
-    cams = _pack_cams(state, fov_y_degrees, width, height)  # [WC, 1, 16]
+    # Untextured scenes shade in-kernel: 4 outputs instead of 9 and no
+    # XLA shading epilogue (static check on the texel-pool shape).
+    shaded = int(scene.tex_data.shape[0]) == 1
+
+    tris = _pack_tris(soup, scene)  # [W, 29, S]
+    cams = _pack_cams(state, scene, fov_y_degrees, width, height)  # [WC, 1, 24]
 
     grid = (WC, n_tiles)
     tri_spec = pl.BlockSpec(
@@ -409,8 +476,13 @@ def render_core(
     )
     f32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.int32)
-    out_shape = [f32, f32, i32, i32, f32, f32, f32, f32, f32]
-    out_specs = [out_spec] * 9
+    u32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.uint32)
+    if shaded:
+        out_shape = [f32, f32, i32, u32]
+        out_specs = [out_spec] * 4
+    else:
+        out_shape = [f32, f32, i32, i32, f32, f32, f32, f32, f32]
+        out_specs = [out_spec] * 9
 
     if use_clusters:
         cl_lo, cl_hi, cl_valid, cl_count = world_clusters(state, scene)
@@ -421,6 +493,7 @@ def render_core(
         kernel = _render_kernel(
             S, near, far, width, height, n_tiles,
             cluster_size=cluster_size, n_clusters=cc,
+            shaded=shaded, z_clip=z_clip,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -434,7 +507,9 @@ def render_core(
             interpret=interpret,
         )(tris, cl, cams)
     else:
-        kernel = _render_kernel(S, near, far, width, height, n_tiles)
+        kernel = _render_kernel(
+            S, near, far, width, height, n_tiles, shaded=shaded, z_clip=z_clip
+        )
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -447,7 +522,10 @@ def render_core(
     def unpack(x):
         return x.reshape(WC, p_pad)[:, :P].reshape(W, C, P)
 
-    names = ["t", "z", "idx", "mat", "uvx", "uvy", "nx", "ny", "nz"]
+    if shaded:
+        names = ["t", "z", "idx", "rgb"]
+    else:
+        names = ["t", "z", "idx", "mat", "uvx", "uvy", "nx", "ny", "nz"]
     return {k: unpack(v) for k, v in zip(names, outs)}, scene.tris_per_object
 
 
@@ -461,12 +539,17 @@ def _frames_from_core(core, T, scene, state, height, width, texture_filter,
         hit = hit & (core["z"] > near) & (core["z"] < far)
     hit = hit & (state.camera_valid[:, :, None] > 0.0)
 
-    # Planar shading (no [..., k<128] intermediates — they tile-pad 32-42x
-    # on TPU); pixels unpack to RGBA u8 only at the very end.
-    packed = shade_lambert_planar(
-        scene, core["mat"], core["uvx"], core["uvy"],
-        core["nx"], core["ny"], core["nz"], hit, texture_filter,
-    )
+    if "rgb" in core:
+        # In-kernel shaded (hit/clip already applied); mask invalid cameras.
+        cam_ok = state.camera_valid[:, :, None] > 0.0
+        packed = jnp.where(cam_ok, core["rgb"], jnp.uint32(255 << 24))
+    else:
+        # Planar shading (no [..., k<128] intermediates — they tile-pad
+        # 32-42x on TPU); pixels unpack to RGBA u8 only at the very end.
+        packed = shade_lambert_planar(
+            scene, core["mat"], core["uvx"], core["uvy"],
+            core["nx"], core["ny"], core["nz"], hit, texture_filter,
+        )
     rgb = packed_to_rgba8(packed)
     depth = jnp.where(hit, core[depth_key], 0.0)
     if with_segmask:
@@ -540,6 +623,7 @@ def rasterize(
     core, T = render_core(
         state, scene, height=height, width=width, near=near, far=far * 2.0,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
+        z_clip=(near, far),
     )
     return _frames_from_core(
         core, T, scene, state, height, width, texture_filter,
