@@ -404,14 +404,12 @@ def _render_kernel(
             def chan(base, lc):
                 c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * ndotl * lc), 0.0, 1.0)
                 c = jnp.where(hit, c, 0.0)
-                return (c * 255.0 + 0.5).astype(jnp.uint32)
+                # Mosaic supports f32→i32 but not f32→u32; pack signed and
+                # bitcast to u32 outside the kernel.
+                return (c * 255.0 + 0.5).astype(jnp.int32)
 
-            packed = (
-                chan(bmat, lcr)
-                | (chan(buvx, lcg) << 8)
-                | (chan(buvy, lcb) << 16)
-                | jnp.uint32(255 << 24)
-            )
+            alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
+            packed = chan(bmat, lcr) | (chan(buvx, lcg) << 8) | (chan(buvy, lcb) << 16) | alpha
             rgb_ref[0] = packed
         else:
             mat_ref[0] = bmat.astype(jnp.int32)
@@ -476,9 +474,8 @@ def render_core(
     )
     f32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.int32)
-    u32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.uint32)
     if shaded:
-        out_shape = [f32, f32, i32, u32]
+        out_shape = [f32, f32, i32, i32]
         out_specs = [out_spec] * 4
     else:
         out_shape = [f32, f32, i32, i32, f32, f32, f32, f32, f32]
@@ -524,6 +521,8 @@ def render_core(
 
     if shaded:
         names = ["t", "z", "idx", "rgb"]
+        outs = list(outs)
+        outs[3] = jax.lax.bitcast_convert_type(outs[3], jnp.uint32)
     else:
         names = ["t", "z", "idx", "mat", "uvx", "uvy", "nx", "ny", "nz"]
     return {k: unpack(v) for k, v in zip(names, outs)}, scene.tris_per_object
