@@ -95,9 +95,13 @@ class AssetImporter:
     """
 
     def __init__(self) -> None:
+        from .gltf import parse_gltf
+
         self.image_importer = ImageImporter()
         self._mesh_handlers: Dict[str, Callable[[str], SourceObject]] = {
             "obj": parse_obj,
+            "gltf": parse_gltf,
+            "glb": parse_gltf,
         }
         from .. import native
 
@@ -173,7 +177,13 @@ def load_render_assets(
         return tex_path_to_idx[path]
 
     def intern_material(src: SourceMaterial) -> int:
-        tex_idx = intern_texture(src.texture_path) if src.texture_path else -1
+        if src.texture_image is not None:
+            tex_idx = len(out.textures)
+            out.textures.append(src.texture_image)
+        elif src.texture_path:
+            tex_idx = intern_texture(src.texture_path)
+        else:
+            tex_idx = -1
         out.materials.append(
             AdditionalMaterial(
                 color=tuple(src.color),

@@ -23,16 +23,18 @@ import numpy as np
 
 @dataclass
 class SourceMaterial:
-    """Parsed material: base color RGBA, optional texture path, pbr params.
+    """Parsed material: base color RGBA, optional texture, pbr params.
 
     Analog of ``madrona::imp::SourceMaterial`` (bound at reference
-    ``src/bindings.cpp:38-54``), with the texture referenced by path rather
-    than index — the bake step resolves paths to texture-table indices.
+    ``src/bindings.cpp:38-54``), with the texture referenced by path (the
+    bake step resolves paths to texture-table indices) or carried inline as
+    decoded RGBA8 (glTF embedded images).
     """
 
     name: str = ""
     color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     texture_path: Optional[str] = None
+    texture_image: Optional["np.ndarray"] = None  # RGBA8 [H, W, 4]
     roughness: float = 0.8
     metalness: float = 0.2
 

@@ -1,0 +1,193 @@
+"""glTF/GLB import tests (fixtures built programmatically in-test)."""
+
+import base64
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from madrona_renderer_tpu.assets.gltf import parse_gltf
+from madrona_renderer_tpu.assets.png import encode_png
+
+
+def _accessor_blob():
+    """Build a quad mesh (4 verts, 2 tris) binary blob + accessors."""
+    positions = np.array(
+        [[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32
+    )
+    normals = np.tile(np.array([[0, -1, 0]], np.float32), (4, 1))
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    indices = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    blob = positions.tobytes() + normals.tobytes() + uvs.tobytes() + indices.tobytes()
+    views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+        {"buffer": 0, "byteOffset": 48, "byteLength": 48},
+        {"buffer": 0, "byteOffset": 96, "byteLength": 32},
+        {"buffer": 0, "byteOffset": 128, "byteLength": 12},
+    ]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+        {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+        {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+        {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+    ]
+    return blob, views, accessors, positions, uvs
+
+
+def _make_glb(gltf: dict, blob: bytes) -> bytes:
+    js = json.dumps(gltf).encode()
+    js += b" " * (-len(js) % 4)
+    blob += b"\0" * (-len(blob) % 4)
+    total = 12 + 8 + len(js) + 8 + len(blob)
+    return (
+        struct.pack("<III", 0x46546C67, 2, total)
+        + struct.pack("<II", len(js), 0x4E4F534A)
+        + js
+        + struct.pack("<II", len(blob), 0x004E4942)
+        + blob
+    )
+
+
+def _base_gltf(views, accessors):
+    return {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [
+            {
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                        "indices": 3,
+                        "material": 0,
+                    }
+                ]
+            }
+        ],
+        "materials": [
+            {
+                "name": "quad",
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": [0.2, 0.4, 0.8, 1.0],
+                    "roughnessFactor": 0.5,
+                    "metallicFactor": 0.1,
+                },
+            }
+        ],
+        "bufferViews": views,
+        "accessors": accessors,
+        "buffers": [{"byteLength": 140}],
+    }
+
+
+def test_glb_roundtrip(tmp_path):
+    blob, views, accessors, positions, uvs = _accessor_blob()
+    glb = _make_glb(_base_gltf(views, accessors), blob)
+    path = str(tmp_path / "quad.glb")
+    with open(path, "wb") as f:
+        f.write(glb)
+    obj = parse_gltf(path)
+    assert len(obj.meshes) == 1 and len(obj.materials) == 1
+    mesh = obj.meshes[0]
+    np.testing.assert_allclose(mesh.positions, positions)
+    assert mesh.num_faces == 2
+    assert mesh.material_idx == 0
+    # UV v-flip (glTF top-left → our bottom-left)
+    np.testing.assert_allclose(mesh.uvs[:, 1], 1.0 - uvs[:, 1])
+    assert obj.materials[0].color == (0.2, 0.4, 0.8, 1.0)
+    assert obj.materials[0].roughness == 0.5
+
+
+def test_gltf_json_with_data_uri(tmp_path):
+    blob, views, accessors, positions, _ = _accessor_blob()
+    gltf = _base_gltf(views, accessors)
+    gltf["buffers"] = [
+        {
+            "byteLength": len(blob),
+            "uri": "data:application/octet-stream;base64,"
+            + base64.b64encode(blob).decode(),
+        }
+    ]
+    path = str(tmp_path / "quad.gltf")
+    with open(path, "w") as f:
+        json.dump(gltf, f)
+    obj = parse_gltf(path)
+    np.testing.assert_allclose(obj.meshes[0].positions, positions)
+
+
+def test_node_transform_baked(tmp_path):
+    blob, views, accessors, positions, _ = _accessor_blob()
+    gltf = _base_gltf(views, accessors)
+    gltf["nodes"] = [{"mesh": 0, "translation": [10, 0, 0], "scale": [2, 2, 2]}]
+    path = str(tmp_path / "moved.glb")
+    with open(path, "wb") as f:
+        f.write(_make_glb(gltf, blob))
+    obj = parse_gltf(path)
+    np.testing.assert_allclose(
+        obj.meshes[0].positions, positions * 2 + [10, 0, 0], rtol=1e-6
+    )
+
+
+def test_embedded_png_texture(tmp_path, rng):
+    blob, views, accessors, _, _ = _accessor_blob()
+    tex = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    png = encode_png(tex)
+    img_off = len(blob) + (-len(blob) % 4)
+    blob = blob + b"\0" * (-len(blob) % 4) + png
+    gltf = _base_gltf(views, accessors)
+    gltf["bufferViews"].append(
+        {"buffer": 0, "byteOffset": img_off, "byteLength": len(png)}
+    )
+    gltf["buffers"] = [{"byteLength": len(blob)}]
+    gltf["images"] = [{"bufferView": 4, "mimeType": "image/png"}]
+    gltf["textures"] = [{"source": 0}]
+    gltf["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {"index": 0}
+    path = str(tmp_path / "tex.glb")
+    with open(path, "wb") as f:
+        f.write(_make_glb(gltf, blob))
+    obj = parse_gltf(path)
+    np.testing.assert_array_equal(obj.materials[0].texture_image, tex)
+
+
+def test_gltf_renders_end_to_end(tmp_path):
+    """A GLB asset through the full Manager pipeline."""
+    import madrona_renderer_tpu as m
+
+    blob, views, accessors, _, _ = _accessor_blob()
+    path = str(tmp_path / "quad.glb")
+    with open(path, "wb") as f:
+        f.write(_make_glb(_base_gltf(views, accessors), blob))
+    r = m.MadronaRenderer(
+        gpu_id=0,
+        num_worlds=1,
+        render_mode=m.RenderMode.Raytracer,
+        batch_render_view_width=16,
+        batch_render_view_height=16,
+        asset_paths=[m.ImportedAsset(path=path)],
+        instances=[
+            m.ImportedInstance(
+                position=[0, 10, 0], rotation=[1, 0, 0, 0], scale=[8, 1, 8], object_id=0
+            )
+        ],
+        cameras=[m.ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0])],
+        worlds=[m.WorldInit(num_instances=1, instance_offset=0, num_cameras=1, camera_offset=0)],
+    )
+    seg = r.segmask_tensor().numpy()
+    assert (seg == 0).any()
+    rgb = r.rgb_tensor().numpy()
+    # Blue-ish base color shows.
+    hits = seg[0] == 0
+    assert rgb[0][hits][:, 2].mean() > rgb[0][hits][:, 0].mean()
+
+
+def test_sparse_accessor_rejected(tmp_path):
+    blob, views, accessors, _, _ = _accessor_blob()
+    accessors[0]["sparse"] = {"count": 1}
+    gltf = _base_gltf(views, accessors)
+    path = str(tmp_path / "sparse.glb")
+    with open(path, "wb") as f:
+        f.write(_make_glb(gltf, blob))
+    with pytest.raises(NotImplementedError, match="sparse"):
+        parse_gltf(path)
