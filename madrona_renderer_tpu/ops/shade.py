@@ -165,50 +165,6 @@ def packed_to_rgba8(packed: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(packed, jnp.uint8)
 
 
-def shade_lambert_attrs(
-    scene: SceneData,
-    mat_id: jnp.ndarray,  # i32 [...]
-    uv: jnp.ndarray,  # f32 [..., 2]
-    normal: jnp.ndarray,  # f32 [..., 3] — already flipped toward the viewer
-    hit_mask: jnp.ndarray,  # bool [...]
-    texture_filter: str = "nearest",
-) -> jnp.ndarray:
-    """Shading from kernel-produced attributes (pre-flipped normals).
-
-    TPU notes vs :func:`shade_lambert`: material color/texture-id lookups
-    use a one-hot matmul instead of a gather (the table is a handful of
-    rows; a gather at pixel count is the slowest op on TPU), and texture
-    sampling is skipped entirely when the scene has no real textures
-    (texel pool == the 1×1 white default) — a trace-time static check.
-    """
-    n = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
-    light_dir = scene.light_dir / jnp.maximum(jnp.linalg.norm(scene.light_dir), 1e-20)
-    ndotl = jnp.maximum(0.0, -jnp.sum(n * light_dir, axis=-1, keepdims=True))
-    intensity = AMBIENT + (1.0 - AMBIENT) * ndotl * scene.light_color
-
-    m = scene.mat_color.shape[0]
-    onehot = jax.nn.one_hot(mat_id, m, dtype=jnp.float32)  # [..., M]
-    base = onehot @ scene.mat_color  # [..., 4]
-
-    if int(scene.tex_data.shape[0]) > 1:
-        tex_id = jnp.round(onehot @ scene.mat_tex.astype(jnp.float32)).astype(jnp.int32)
-        sampler = (
-            sample_texture_bilinear
-            if texture_filter == "bilinear"
-            else sample_texture_nearest
-        )
-        tex = sampler(scene, tex_id, uv)
-        albedo = base * tex
-    else:
-        albedo = base
-
-    rgb = jnp.clip(albedo[..., :3] * intensity, 0.0, 1.0)
-    rgba = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
-    rgba = jnp.where(hit_mask[..., None], rgba, jnp.zeros_like(rgba))
-    rgba = rgba.at[..., 3].set(1.0)
-    return (rgba * 255.0 + 0.5).astype(jnp.uint8)
-
-
 def shade_lambert(
     scene: SceneData,
     mat_id: jnp.ndarray,  # i32 [...]
