@@ -138,6 +138,39 @@ def test_parity_cluster_culled_large_mesh():
     assert set(np.unique(np.asarray(ref.segmask))) >= {0, 1}
 
 
+def test_parity_textured_bilinear(tmp_path):
+    """Textured scene exercises the non-shaded kernel + planar bilinear
+    sampling; must match the jnp reference within ±1 LSB."""
+    from madrona_renderer_tpu.assets.png import write_png
+    from madrona_renderer_tpu.config import AdditionalMaterial
+
+    from tests.fixtures import make_checker_png
+    from tests.helpers import quad_uvs
+
+    path = str(tmp_path / "checker.png")
+    write_png(path, make_checker_png(16, 4))
+    state, scene = build(
+        [quad_xz(half=100.0, y=0.0)],
+        [ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0], scale=[1, 1, 1], object_id=0)],
+        [cam_at_origin_looking_plus_y()],
+        uvs=[quad_uvs()],
+        mesh_materials=[0],
+        additional_mats=[AdditionalMaterial(color=(1, 1, 1, 1), texture_id=0)],
+        additional_textures=[path],
+    )
+    for filt in ("nearest", "bilinear"):
+        a = rt_ref(state, scene, height=32, width=32, texture_filter=filt)
+        b = rt_pal(state, scene, height=32, width=32, interpret=True, texture_filter=filt)
+        diff = np.abs(
+            np.asarray(a.rgb).astype(np.int16) - np.asarray(b.rgb).astype(np.int16)
+        )
+        assert diff.max() <= 1, (filt, diff.max())
+    # Bilinear really differs from nearest (filtering happens).
+    n = rt_pal(state, scene, height=32, width=32, interpret=True, texture_filter="nearest")
+    bl = rt_pal(state, scene, height=32, width=32, interpret=True, texture_filter="bilinear")
+    assert (np.asarray(n.rgb) != np.asarray(bl.rgb)).any()
+
+
 def test_parity_nonaligned_resolution():
     """Resolutions whose pixel count is not a multiple of the 1024-pixel
     tile exercise the padding path."""
