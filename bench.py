@@ -85,7 +85,7 @@ def run_config(
             from madrona_renderer_tpu.ops.raster_ref import rasterize as render
         near = cfg.raster_near_plane
 
-    from madrona_renderer_tpu.ops.quat import quat_multiply
+    from madrona_renderer_tpu.ops.quat import quat_multiply, quat_normalize
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, scene):
@@ -100,7 +100,7 @@ def run_config(
         state = dataclasses.replace(
             state,
             time=state.time + 0.05,
-            instance_rot=quat_multiply(dq, state.instance_rot),
+            instance_rot=quat_normalize(quat_multiply(dq, state.instance_rot)),
         )
         frames = render(
             state, scene, height=height, width=width, near=near, far=cfg.far_plane

@@ -73,6 +73,7 @@ def build_sharded_render(
     fov_y_degrees: float = 90.0,
     chunk: int = 16,
     donate: bool = True,
+    impl: str = "auto",  # "auto" | "pallas" | "jnp"
 ):
     """jit a full step (time advance + render) over the mesh.
 
@@ -81,12 +82,24 @@ def build_sharded_render(
     state/scene already placed (``shard_state`` / ``replicate_scene``);
     world count must divide the worlds-axis size.
     """
+    import jax as _jax
+
+    if impl == "auto":
+        impl = (
+            "pallas" if _jax.devices()[0].platform in ("tpu", "axon") else "jnp"
+        )
     if mode == "rt":
-        from ..ops.raytrace_ref import raytrace as render
+        if impl == "pallas":
+            from ..ops.raytrace_pallas import raytrace as render
+        else:
+            from ..ops.raytrace_ref import raytrace as render
 
         near = 0.1 if near is None else near
     else:
-        from ..ops.raster_ref import rasterize as render
+        if impl == "pallas":
+            from ..ops.raster_pallas import rasterize as render
+        else:
+            from ..ops.raster_ref import rasterize as render
 
         near = 0.001 if near is None else near
 

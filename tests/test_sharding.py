@@ -61,6 +61,26 @@ def test_2d_mesh_worlds_by_rows():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pallas_impl_under_sharding():
+    """The Pallas kernel (interpret mode on CPU) runs under the sharded
+    step and matches the jnp path."""
+    state, scene = _scene_state(8)
+    from madrona_renderer_tpu.ops.raytrace_ref import raytrace
+
+    want = raytrace(state, scene, height=16, width=16)
+    mesh = make_mesh(8, 1)
+    step = build_sharded_render(
+        mesh, height=16, width=16, mode="rt", donate=False, impl="pallas"
+    )
+    _, frames = step(shard_state(state, mesh), replicate_scene(scene, mesh))
+    diff = np.abs(
+        np.asarray(frames.rgb).astype(np.int16) - np.asarray(want.rgb).astype(np.int16)
+    )
+    assert diff.max() <= 1
+    assert len(frames.rgb.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_step_chain_keeps_sharding():
     state, scene = _scene_state(8)
     mesh = make_mesh(8, 1)

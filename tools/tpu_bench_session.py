@@ -38,7 +38,7 @@ def main():
     log(f"devices: {jax.devices()}")
 
     from bench import build
-    from madrona_renderer_tpu.ops.quat import quat_multiply
+    from madrona_renderer_tpu.ops.quat import quat_multiply, quat_normalize
 
     if args.impl == "pallas":
         from madrona_renderer_tpu.ops.raytrace_pallas import raytrace as render
@@ -80,7 +80,7 @@ def main():
             half = jnp.float32(0.015)
             dq = jnp.array([jnp.cos(half), 0.0, 0.0, jnp.sin(half)], jnp.float32)
             st = dataclasses.replace(
-                st, time=st.time + 0.05, instance_rot=quat_multiply(dq, st.instance_rot)
+                st, time=st.time + 0.05, instance_rot=quat_normalize(quat_multiply(dq, st.instance_rot))
             )
             return st, fn(st, sc, height=height, width=width, near=near, far=1000.0)
 

@@ -49,7 +49,7 @@ def main():
 
     worlds = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     from bench import build
-    from madrona_renderer_tpu.ops.quat import quat_multiply
+    from madrona_renderer_tpu.ops.quat import quat_multiply, quat_normalize
     from madrona_renderer_tpu.ops.raytrace_pallas import raytrace
 
     def make_step(**render_kw):
@@ -59,7 +59,7 @@ def main():
             dq = jnp.array([jnp.cos(half), 0.0, 0.0, jnp.sin(half)], jnp.float32)
             st = dataclasses.replace(
                 st, time=st.time + 0.05,
-                instance_rot=quat_multiply(dq, st.instance_rot),
+                instance_rot=quat_normalize(quat_multiply(dq, st.instance_rot)),
             )
             return st, raytrace(
                 st, sc, height=64, width=64, near=0.1, far=1000.0, **render_kw

@@ -24,7 +24,7 @@ def main():
     log(f"worlds={worlds}")
 
     from bench import build
-    from madrona_renderer_tpu.ops.quat import quat_multiply
+    from madrona_renderer_tpu.ops.quat import quat_multiply, quat_normalize
     from madrona_renderer_tpu.ops.raytrace_pallas import raytrace as render
 
     def fresh():
@@ -36,7 +36,7 @@ def main():
         half = jnp.float32(0.015)
         dq = jnp.array([jnp.cos(half), 0.0, 0.0, jnp.sin(half)], jnp.float32)
         st = dataclasses.replace(
-            st, time=st.time + 0.05, instance_rot=quat_multiply(dq, st.instance_rot)
+            st, time=st.time + 0.05, instance_rot=quat_normalize(quat_multiply(dq, st.instance_rot))
         )
         return st, render(st, sc, height=64, width=64, near=0.1, far=1000.0)
 
