@@ -167,14 +167,23 @@ def _render_kernel(
     n_clusters: int = 0,
     shaded: bool = False,
     z_clip=None,  # (near, far) camera-plane clip for raster mode (shaded)
+    dma_tris: bool = False,
+    num_cams: int = 1,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With shaded=True (untextured scenes), shading happens in-kernel and the
     outputs shrink to (t, z, idx, packed rgb) — no XLA shading epilogue and
-    5 fewer pixel-sized output arrays."""
+    5 fewer pixel-sized output arrays. With dma_tris=True (large meshes:
+    the triangle SoA exceeds SMEM), triangles stay in HBM and each program
+    DMAs only the clusters that pass its tile's AABB test into an SMEM
+    scratch slab."""
     culled = cluster_size > 0
+    assert not dma_tris or culled, "DMA triangle streaming requires clusters"
 
     def kernel(*refs):
+        scratch = sem = None
+        if dma_tris:
+            *refs, scratch, sem = refs
         if shaded:
             if culled:
                 tri_ref, cl_ref, cam_ref, t_ref, z_ref, idx_ref, rgb_ref = refs
@@ -186,6 +195,7 @@ def _render_kernel(
             tri_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
 
         r = pl.program_id(1)
+        w_idx = pl.program_id(0) // num_cams  # world index (DMA source row)
 
         # ---- In-kernel ray generation --------------------------------- #
         ox = cam_ref[0, 0, 0]
@@ -230,91 +240,99 @@ def _render_kernel(
             zero,  # nz
         )
 
-        def tri_test(i, carry):
-            best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry
-            v0x = tri_ref[0, 0, i]
-            v0y = tri_ref[0, 1, i]
-            v0z = tri_ref[0, 2, i]
-            e1x = tri_ref[0, 3, i]
-            e1y = tri_ref[0, 4, i]
-            e1z = tri_ref[0, 5, i]
-            e2x = tri_ref[0, 6, i]
-            e2y = tri_ref[0, 7, i]
-            e2z = tri_ref[0, 8, i]
+        def make_tri_test(read, idx_base):
+            """Triangle test parametric over the scalar reader: the SMEM
+            path reads the resident block; the DMA path reads the streamed
+            scratch slab with a global index offset for best_idx."""
 
-            # Pinhole factorization: ray-independent per-triangle scalars.
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            t_num = e2x * qx + e2y * qy + e2z * qz
+            def tri_test(i, carry):
+                best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry
+                gi = i + idx_base
+                v0x = read(0, i)
+                v0y = read(1, i)
+                v0z = read(2, i)
+                e1x = read(3, i)
+                e1y = read(4, i)
+                e1z = read(5, i)
+                e2x = read(6, i)
+                e2y = read(7, i)
+                e2z = read(8, i)
 
-            px_ = dy * e2z - dz * e2y
-            py_ = dz * e2x - dx * e2z
-            pz_ = dx * e2y - dy * e2x
-            det = e1x * px_ + e1y * py_ + e1z * pz_
-            inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-            u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
-            v = (dx * qx + dy * qy + dz * qz) * inv
-            t = t_num * inv
+                # Pinhole factorization: ray-independent per-tri scalars.
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                t_num = e2x * qx + e2y * qy + e2z * qz
 
-            # No validity / det test needed: invalid or degenerate
-            # triangles produce inv = 0 → t = 0, which fails t > near.
-            ok = (
-                (u >= -_EPS_BARY)
-                & (v >= -_EPS_BARY)
-                & (u + v <= 1.0 + _EPS_BARY)
-                & (t > near)
-                & (t < far)
-                & (t < best_t)
-            )
+                px_ = dy * e2z - dz * e2y
+                py_ = dz * e2x - dx * e2z
+                pz_ = dx * e2y - dy * e2x
+                det = e1x * px_ + e1y * py_ + e1z * pz_
+                inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+                v = (dx * qx + dy * qy + dz * qz) * inv
+                t = t_num * inv
 
-            # Attribute interpolation at hit time (clipped barycentrics,
-            # matching the reference-path epilogue).
-            uc = jnp.clip(u, 0.0, 1.0)
-            vc = jnp.clip(v, 0.0, 1.0)
-            n0x = tri_ref[0, 16, i]
-            n0y = tri_ref[0, 17, i]
-            n0z = tri_ref[0, 18, i]
-            dn1x = tri_ref[0, 19, i]
-            dn1y = tri_ref[0, 20, i]
-            dn1z = tri_ref[0, 21, i]
-            dn2x = tri_ref[0, 22, i]
-            dn2y = tri_ref[0, 23, i]
-            dn2z = tri_ref[0, 24, i]
-            nx = n0x + uc * dn1x + vc * dn2x
-            ny = n0y + uc * dn1y + vc * dn2y
-            nz = n0z + uc * dn1z + vc * dn2z
+                # No validity / det test needed: invalid or degenerate
+                # triangles produce inv = 0 → t = 0, which fails t > near.
+                ok = (
+                    (u >= -_EPS_BARY)
+                    & (v >= -_EPS_BARY)
+                    & (u + v <= 1.0 + _EPS_BARY)
+                    & (t > near)
+                    & (t < far)
+                    & (t < best_t)
+                )
 
-            if shaded:
-                # Premultiplied material color (rows 26-28): carry color
-                # instead of (mat, uv) — same carry count, no epilogue.
-                a0 = tri_ref[0, 26, i]
-                a1 = tri_ref[0, 27, i]
-                a2 = tri_ref[0, 28, i]
-            else:
-                uv0x = tri_ref[0, 10, i]
-                uv0y = tri_ref[0, 11, i]
-                duv1x = tri_ref[0, 12, i]
-                duv1y = tri_ref[0, 13, i]
-                duv2x = tri_ref[0, 14, i]
-                duv2y = tri_ref[0, 15, i]
-                a0 = tri_ref[0, 25, i]  # mat id
-                a1 = uv0x + uc * duv1x + vc * duv2x
-                a2 = uv0y + uc * duv1y + vc * duv2y
+                # Attribute interpolation at hit time (clipped barycentrics,
+                # matching the reference-path epilogue).
+                uc = jnp.clip(u, 0.0, 1.0)
+                vc = jnp.clip(v, 0.0, 1.0)
+                n0x = read(16, i)
+                n0y = read(17, i)
+                n0z = read(18, i)
+                dn1x = read(19, i)
+                dn1y = read(20, i)
+                dn1z = read(21, i)
+                dn2x = read(22, i)
+                dn2y = read(23, i)
+                dn2z = read(24, i)
+                nx = n0x + uc * dn1x + vc * dn2x
+                ny = n0y + uc * dn1y + vc * dn2y
+                nz = n0z + uc * dn1z + vc * dn2z
 
-            return (
-                jnp.where(ok, t, best_t),
-                jnp.where(ok, i, best_idx),
-                jnp.where(ok, a0, bmat),
-                jnp.where(ok, a1, buvx),
-                jnp.where(ok, a2, buvy),
-                jnp.where(ok, nx, bnx),
-                jnp.where(ok, ny, bny),
-                jnp.where(ok, nz, bnz),
-            )
+                if shaded:
+                    # Premultiplied material color (rows 26-28): carry color
+                    # instead of (mat, uv) — same carry count, no epilogue.
+                    a0 = read(26, i)
+                    a1 = read(27, i)
+                    a2 = read(28, i)
+                else:
+                    uv0x = read(10, i)
+                    uv0y = read(11, i)
+                    duv1x = read(12, i)
+                    duv1y = read(13, i)
+                    duv2x = read(14, i)
+                    duv2y = read(15, i)
+                    a0 = read(25, i)  # mat id
+                    a1 = uv0x + uc * duv1x + vc * duv2x
+                    a2 = uv0y + uc * duv1y + vc * duv2y
+
+                return (
+                    jnp.where(ok, t, best_t),
+                    jnp.where(ok, gi, best_idx),
+                    jnp.where(ok, a0, bmat),
+                    jnp.where(ok, a1, buvx),
+                    jnp.where(ok, a2, buvy),
+                    jnp.where(ok, nx, bnx),
+                    jnp.where(ok, ny, bny),
+                    jnp.where(ok, nz, bnz),
+                )
+
+            return tri_test
 
         if culled:
             safe = lambda d: jnp.where(
@@ -358,13 +376,28 @@ def _render_kernel(
                     # scalar bound, so padding slots are never swept.
                     base = c * cluster_size
                     cnt = cl_ref[0, 7, c].astype(jnp.int32)
-                    return jax.lax.fori_loop(base, base + cnt, tri_test, cr)
+                    if dma_tris:
+                        # Stream this cluster's triangle slab HBM → SMEM.
+                        dma = pltpu.make_async_copy(
+                            tri_ref.at[w_idx, :, pl.ds(base, cluster_size)],
+                            scratch,
+                            sem,
+                        )
+                        dma.start()
+                        dma.wait()
+                        tri_local = make_tri_test(
+                            lambda k, j: scratch[k, j], base
+                        )
+                        return jax.lax.fori_loop(0, cnt, tri_local, cr)
+                    tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
+                    return jax.lax.fori_loop(base, base + cnt, tri_resident, cr)
 
                 return jax.lax.cond(any_hit, process, lambda cr: cr, carry)
 
             out = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
         else:
-            out = jax.lax.fori_loop(0, s_pad, tri_test, init)
+            tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
+            out = jax.lax.fori_loop(0, s_pad, tri_resident, init)
 
         best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = out
 
@@ -481,6 +514,11 @@ def render_core(
         out_shape = [f32, f32, i32, i32, f32, f32, f32, f32, f32]
         out_specs = [out_spec] * 9
 
+    # Large meshes: the resident triangle SoA block would exceed SMEM
+    # (~1 MB on v5e, double-buffered); stream clusters via DMA instead.
+    tri_block_bytes = _N_TRI_ROWS * S * 4
+    dma_tris = use_clusters and tri_block_bytes > 384 * 1024
+
     if use_clusters:
         cl_lo, cl_hi, cl_valid, cl_count = world_clusters(state, scene)
         cc = cl_valid.shape[1]
@@ -490,20 +528,35 @@ def render_core(
         kernel = _render_kernel(
             S, near, far, width, height, n_tiles,
             cluster_size=cluster_size, n_clusters=cc,
-            shaded=shaded, z_clip=z_clip,
+            shaded=shaded, z_clip=z_clip, dma_tris=dma_tris, num_cams=C,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
         )
+        if dma_tris:
+            tri_spec_used = pl.BlockSpec(memory_space=pltpu.ANY)
+            scratch_shapes = [
+                pltpu.SMEM((_N_TRI_ROWS, cluster_size), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
+        else:
+            tri_spec_used = tri_spec
+            scratch_shapes = []
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec, cl_spec, cam_spec],
+            in_specs=[tri_spec_used, cl_spec, cam_spec],
             out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(tris, cl, cams)
     else:
+        if tri_block_bytes > 384 * 1024:
+            raise ValueError(
+                f"accel='none' with {S} triangles/world exceeds the SMEM "
+                "budget; use accel='clusters' (streams triangles via DMA)"
+            )
         kernel = _render_kernel(
             S, near, far, width, height, n_tiles, shaded=shaded, z_clip=z_clip
         )

@@ -171,6 +171,34 @@ def test_parity_textured_bilinear(tmp_path):
     assert (np.asarray(n.rgb) != np.asarray(bl.rgb)).any()
 
 
+def test_parity_dma_streamed_large_mesh():
+    """Meshes whose triangle SoA exceeds the SMEM budget stream clusters
+    via DMA — exact parity with the jnp reference (interpret mode)."""
+    rng = np.random.default_rng(11)
+    n_tris = 3600  # 29 rows * 3600 * 4B ≈ 418 KB > 384 KB threshold
+    centers = rng.uniform(-10, 10, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 40, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    state, scene = build(
+        [tris],
+        [ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0], scale=[1, 1, 1], object_id=0)],
+        [cam_at_origin_looking_plus_y()],
+    )
+    from madrona_renderer_tpu.ops import raytrace_pallas as rp
+
+    S = state.instance_obj.shape[1] * scene.tris_per_object
+    assert rp._N_TRI_ROWS * S * 4 > 384 * 1024, "test no longer triggers DMA"
+    ref = rt_ref(state, scene, height=16, width=16)
+    dma = rt_pal(state, scene, height=16, width=16, interpret=True, accel="clusters")
+    _assert_frames_equal(ref, dma)
+    assert (np.asarray(ref.segmask) >= 0).any()
+    # accel='none' at this size must refuse (SMEM budget).
+    with pytest.raises(ValueError, match="SMEM budget"):
+        rt_pal(state, scene, height=16, width=16, interpret=True, accel="none")
+
+
 def test_parity_nonaligned_resolution():
     """Resolutions whose pixel count is not a multiple of the 1024-pixel
     tile exercise the padding path."""
