@@ -534,7 +534,7 @@ def render_core(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
         )
         if dma_tris:
-            tri_spec_used = pl.BlockSpec(memory_space=pltpu.ANY)
+            tri_spec_used = pl.BlockSpec(memory_space=pltpu.HBM)
             scratch_shapes = [
                 pltpu.SMEM((_N_TRI_ROWS, cluster_size), jnp.float32),
                 pltpu.SemaphoreType.DMA,
