@@ -61,14 +61,16 @@ _TILE_PIX = _TILE_SUB * _TILE_LANE
 # Triangle SoA rows in the SMEM block (see _pack_tris):
 # v0(3) e1(3) e2(3) valid(1) uv0(2) duv1(2) duv2(2) n0(3) dn1(3) dn2(3) mat(1)
 # + premultiplied material color rgb(3) for the fully-shaded kernel variant
-_N_TRI_ROWS = 29
+# + 3 zero rows padding the row count to 32 (DMA slices must be 8-aligned
+#   in the sublane dimension)
+_N_TRI_ROWS = 32
 # Camera SoA row: origin(3) right(3) fwd(3) up(3) tan_x tan_y
 # light_dir(3, normalized) light_color(3) (pad to 24)
 _N_CAM_COLS = 24
 
 
 def _pack_tris(soup, scene: SceneData) -> jnp.ndarray:
-    """Soup → SMEM-layout SoA [W, 29, S].
+    """Soup → SMEM-layout SoA [W, 32, S].
 
     Invalid triangles (padding slots, disabled instances) are made
     *degenerate* (zero edges → det = 0 → the t > near test fails), so the
@@ -91,6 +93,8 @@ def _pack_tris(soup, scene: SceneData) -> jnp.ndarray:
         soup.mat.astype(jnp.float32),
         col[..., 0], col[..., 1], col[..., 2],
     ]
+    zero = jnp.zeros_like(soup.valid)
+    rows += [zero, zero, zero]  # pad to 32 rows (8-aligned for DMA slices)
     return jnp.stack(rows, axis=1)
 
 
