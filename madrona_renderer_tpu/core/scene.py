@@ -106,6 +106,11 @@ DEFAULT_LIGHT_COLOR = (1.0, 1.0, 1.0)
 
 
 CLUSTER_SIZE = 64
+# SMEM budget for the resident triangle block in the Pallas kernel (32 rows
+# x t_pad x 4B, double-buffered within ~1MB SMEM); beyond it the kernel
+# streams clusters via DMA, whose slices must be 128-lane aligned.
+SMEM_TRI_BUDGET = 384 * 1024
+_TRI_ROWS = 32
 
 
 def bake_scene(
@@ -161,6 +166,10 @@ def bake_scene(
 
     t_max = max([object_tri_count(o) for o in objects], default=1)
     t_pad = _round_up(max(t_max, 1), tri_pad_multiple)
+    if _TRI_ROWS * t_pad * 4 > SMEM_TRI_BUDGET:
+        # DMA-streamed kernel path: cluster slabs are DMA'd with
+        # 128-lane-aligned slices → 128-triangle clusters, t_pad multiple.
+        t_pad = _round_up(t_pad, 128)
 
     v0 = np.zeros((num_objects, t_pad, 3), np.float32)
     e1 = np.zeros((num_objects, t_pad, 3), np.float32)
@@ -215,12 +224,15 @@ def bake_scene(
     # maps to triangle base c*cl_eff across instance-concatenated soups.
     from ..geometry.bvh import build_clusters
 
-    cl_eff = t_pad
-    for d in range(min(cluster_size, t_pad), 7, -1):
-        if t_pad % d == 0:
-            cl_eff = d
-            break
-    cluster_size = cl_eff
+    if _TRI_ROWS * t_pad * 4 > SMEM_TRI_BUDGET:
+        cluster_size = 128  # t_pad already a multiple (padded above)
+    else:
+        cl_eff = t_pad
+        for d in range(min(cluster_size, t_pad), 7, -1):
+            if t_pad % d == 0:
+                cl_eff = d
+                break
+        cluster_size = cl_eff
     n_clusters = t_pad // cluster_size
     cl_min = np.zeros((num_objects, n_clusters, 3), np.float32)
     cl_max = np.full((num_objects, n_clusters, 3), -1.0, np.float32)

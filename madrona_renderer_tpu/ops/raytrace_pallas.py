@@ -519,9 +519,12 @@ def render_core(
         out_specs = [out_spec] * 9
 
     # Large meshes: the resident triangle SoA block would exceed SMEM
-    # (~1 MB on v5e, double-buffered); stream clusters via DMA instead.
+    # (~1 MB on v5e, double-buffered); stream clusters via DMA instead
+    # (threshold shared with the bake, which sizes clusters accordingly).
+    from ..core.scene import SMEM_TRI_BUDGET
+
     tri_block_bytes = _N_TRI_ROWS * S * 4
-    dma_tris = use_clusters and tri_block_bytes > 384 * 1024
+    dma_tris = use_clusters and tri_block_bytes > SMEM_TRI_BUDGET
 
     if use_clusters:
         cl_lo, cl_hi, cl_valid, cl_count = world_clusters(state, scene)
@@ -556,7 +559,7 @@ def render_core(
             interpret=interpret,
         )(tris, cl, cams)
     else:
-        if tri_block_bytes > 384 * 1024:
+        if tri_block_bytes > SMEM_TRI_BUDGET:
             raise ValueError(
                 f"accel='none' with {S} triangles/world exceeds the SMEM "
                 "budget; use accel='clusters' (streams triangles via DMA)"
