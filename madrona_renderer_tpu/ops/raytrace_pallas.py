@@ -149,6 +149,21 @@ def world_clusters(state: SimState, scene: SceneData):
     return cl_lo, cl_hi, valid, count
 
 
+def camera_cluster_order(cl_lo, cl_hi, cl_valid, cam_pos):
+    """Front-to-back cluster visit order per camera [WC, CC] (i32).
+
+    Visiting near clusters first tightens best_t early, so the per-tile
+    slab test (tmin < best_t) culls far clusters — the BVH-order payoff.
+    Invalid clusters sort to the back."""
+    center = (cl_lo + cl_hi) * 0.5  # [W, CC, 3]
+    d = center[:, None, :, :] - cam_pos[:, :, None, :]  # [W, C, CC, 3]
+    dist = jnp.sum(d * d, axis=-1)
+    dist = jnp.where(cl_valid[:, None, :] > 0, dist, jnp.inf)
+    order = jnp.argsort(dist, axis=-1).astype(jnp.float32)  # [W, C, CC]
+    W, C, CC = order.shape
+    return order.reshape(W * C, 1, CC)
+
+
 def _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count) -> jnp.ndarray:
     """→ SMEM-layout [W, 8, CC]: rows lo.xyz, hi.xyz, valid, count."""
     rows = [
@@ -190,11 +205,11 @@ def _render_kernel(
             *refs, scratch, sem = refs
         if shaded:
             if culled:
-                tri_ref, cl_ref, cam_ref, t_ref, z_ref, idx_ref, rgb_ref = refs
+                tri_ref, cl_ref, perm_ref, cam_ref, t_ref, z_ref, idx_ref, rgb_ref = refs
             else:
                 tri_ref, cam_ref, t_ref, z_ref, idx_ref, rgb_ref = refs
         elif culled:
-            tri_ref, cl_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
+            tri_ref, cl_ref, perm_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
         else:
             tri_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
 
@@ -346,8 +361,10 @@ def _render_kernel(
             ivy = 1.0 / safe(dy)
             ivz = 1.0 / safe(dz)
 
-            def cluster_body(c, carry):
+            def cluster_body(ci, carry):
                 best_t = carry[0]
+                # Front-to-back visit order (per camera).
+                c = perm_ref[0, 0, ci].astype(jnp.int32)
                 lox = cl_ref[0, 0, c]
                 loy = cl_ref[0, 1, c]
                 loz = cl_ref[0, 2, c]
@@ -532,6 +549,7 @@ def render_core(
         cluster_size = S // cc
         assert cluster_size * cc == S, (cluster_size, cc, S)
         cl = _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count)
+        perm = camera_cluster_order(cl_lo, cl_hi, cl_valid, state.camera_pos)
         kernel = _render_kernel(
             S, near, far, width, height, n_tiles,
             cluster_size=cluster_size, n_clusters=cc,
@@ -539,6 +557,9 @@ def render_core(
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
+        )
+        perm_spec = pl.BlockSpec(
+            (1, 1, cc), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
         )
         if dma_tris:
             tri_spec_used = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -552,12 +573,12 @@ def render_core(
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec_used, cl_spec, cam_spec],
+            in_specs=[tri_spec_used, cl_spec, perm_spec, cam_spec],
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
-        )(tris, cl, cams)
+        )(tris, cl, perm, cams)
     else:
         if tri_block_bytes > SMEM_TRI_BUDGET:
             raise ValueError(

@@ -154,9 +154,8 @@ def main():
     cov = (np.asarray(f_tpu.segmask) >= 0).mean()
     log(f"correctness: max LSB diff {diff.max()}, coverage {cov:.2f}")
 
-    for accel in ("clusters", "none"):
-        per = measure(make_step(accel))
-        log(f"accel={accel}: {per*1000:.2f} ms/step → {worlds/per:,.0f} frames/s")
+    per = measure(make_step("clusters"))
+    log(f"accel=clusters: {per*1000:.2f} ms/step → {worlds/per:,.0f} frames/s")
     log("DONE")
 
 
