@@ -188,6 +188,7 @@ def _render_kernel(
     z_clip=None,  # (near, far) camera-plane clip for raster mode (shaded)
     dma_tris: bool = False,
     num_cams: int = 1,
+    ordered: bool = False,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With shaded=True (untextured scenes), shading happens in-kernel and the
@@ -203,15 +204,17 @@ def _render_kernel(
         scratch = sem = None
         if dma_tris:
             *refs, scratch, sem = refs
-        if shaded:
-            if culled:
-                tri_ref, cl_ref, perm_ref, cam_ref, t_ref, z_ref, idx_ref, rgb_ref = refs
-            else:
-                tri_ref, cam_ref, t_ref, z_ref, idx_ref, rgb_ref = refs
+        perm_ref = None
+        if culled and ordered:
+            tri_ref, cl_ref, perm_ref, cam_ref, *rest = refs
         elif culled:
-            tri_ref, cl_ref, perm_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
+            tri_ref, cl_ref, cam_ref, *rest = refs
         else:
-            tri_ref, cam_ref, t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = refs
+            tri_ref, cam_ref, *rest = refs
+        if shaded:
+            t_ref, z_ref, idx_ref, rgb_ref = rest
+        else:
+            t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = rest
 
         r = pl.program_id(1)
         w_idx = pl.program_id(0) // num_cams  # world index (DMA source row)
@@ -363,8 +366,11 @@ def _render_kernel(
 
             def cluster_body(ci, carry):
                 best_t = carry[0]
-                # Front-to-back visit order (per camera).
-                c = perm_ref[0, 0, ci].astype(jnp.int32)
+                if ordered:
+                    # Front-to-back visit order (per camera).
+                    c = perm_ref[0, 0, ci].astype(jnp.int32)
+                else:
+                    c = ci
                 lox = cl_ref[0, 0, c]
                 loy = cl_ref[0, 1, c]
                 loz = cl_ref[0, 2, c]
@@ -549,11 +555,14 @@ def render_core(
         cluster_size = S // cc
         assert cluster_size * cc == S, (cluster_size, cc, S)
         cl = _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count)
-        perm = camera_cluster_order(cl_lo, cl_hi, cl_valid, state.camera_pos)
+        # Front-to-back ordering pays for itself only with many clusters
+        # (the argsort + indirection cost a few % on tiny scenes).
+        ordered = cc >= 16
         kernel = _render_kernel(
             S, near, far, width, height, n_tiles,
             cluster_size=cluster_size, n_clusters=cc,
             shaded=shaded, z_clip=z_clip, dma_tris=dma_tris, num_cams=C,
+            ordered=ordered,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -561,6 +570,13 @@ def render_core(
         perm_spec = pl.BlockSpec(
             (1, 1, cc), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
         )
+        if ordered:
+            perm = camera_cluster_order(cl_lo, cl_hi, cl_valid, state.camera_pos)
+            extra_in_specs = [cl_spec, perm_spec, cam_spec]
+            extra_inputs = (cl, perm, cams)
+        else:
+            extra_in_specs = [cl_spec, cam_spec]
+            extra_inputs = (cl, cams)
         if dma_tris:
             tri_spec_used = pl.BlockSpec(memory_space=pltpu.HBM)
             scratch_shapes = [
@@ -573,12 +589,12 @@ def render_core(
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec_used, cl_spec, perm_spec, cam_spec],
+            in_specs=[tri_spec_used] + extra_in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
-        )(tris, cl, perm, cams)
+        )(tris, *extra_inputs)
     else:
         if tri_block_bytes > SMEM_TRI_BUDGET:
             raise ValueError(
