@@ -133,7 +133,7 @@ def run_config(
         return st, stack, jnp.sum(stack[:, 0].astype(jnp.int32))
 
     n_small = max(2, steps // 4)
-    n_big = steps
+    n_big = max(steps, n_small + 1)
     state, _, ck = rollout(state, scene, n_small)
     float(np.asarray(ck))
     state, _, ck = rollout(state, scene, n_big)

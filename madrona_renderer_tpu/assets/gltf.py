@@ -101,11 +101,24 @@ class _Buffers:
         stride = view.get("byteStride") or ncomp * itemsize
         if stride == ncomp * itemsize:
             out = np.frombuffer(raw, dtype, count=count * ncomp, offset=base)
-            return out.reshape(count, ncomp).copy()
-        # Strided (interleaved) layout.
-        out = np.empty((count, ncomp), dtype)
-        for k in range(count):
-            out[k] = np.frombuffer(raw, dtype, count=ncomp, offset=base + k * stride)
+            out = out.reshape(count, ncomp).copy()
+        else:
+            # Strided (interleaved) layout.
+            out = np.empty((count, ncomp), dtype)
+            for k in range(count):
+                out[k] = np.frombuffer(
+                    raw, dtype, count=ncomp, offset=base + k * stride
+                )
+        if acc.get("normalized"):
+            # KHR-normalized integer attributes rescale to [0,1] / [-1,1]
+            # (glTF 2.0 §3.6.2.2).
+            scale = {
+                5120: 127.0, 5121: 255.0, 5122: 32767.0, 5123: 65535.0,
+            }.get(acc["componentType"])
+            if scale is not None:
+                out = out.astype(np.float32) / scale
+                if acc["componentType"] in (5120, 5122):  # signed
+                    out = np.maximum(out, -1.0)
         return out
 
 

@@ -123,7 +123,8 @@ def decode_png(data: bytes) -> np.ndarray:
         out[..., :3] = palette[idx]
         if trns is not None:
             alpha = np.full((len(palette),), 255, np.uint8)
-            alpha[: len(trns)] = trns
+            n = min(len(trns), len(palette))
+            alpha[:n] = trns[:n]
             out[..., 3] = alpha[idx]
     elif color_type == 4:  # gray + alpha
         out[..., 0] = out[..., 1] = out[..., 2] = img[..., 0]

@@ -227,11 +227,16 @@ def bake_scene(
     if _TRI_ROWS * t_pad * 4 > SMEM_TRI_BUDGET:
         cluster_size = 128  # t_pad already a multiple (padded above)
     else:
-        cl_eff = t_pad
-        for d in range(min(cluster_size, t_pad), 7, -1):
-            if t_pad % d == 0:
-                cl_eff = d
-                break
+        # Largest power-of-two divisor of t_pad, capped at cluster_size.
+        # Power-of-two sizes divide 128, which keeps the DMA-streamed
+        # kernel's 128-lane-aligned slab windows valid even when the
+        # *soup* (instances x t_pad) exceeds the SMEM budget while the
+        # per-object block does not.
+        cl_eff = 8
+        while (
+            cl_eff * 2 <= min(cluster_size, t_pad) and t_pad % (cl_eff * 2) == 0
+        ):
+            cl_eff *= 2
         cluster_size = cl_eff
     n_clusters = t_pad // cluster_size
     cl_min = np.zeros((num_objects, n_clusters, 3), np.float32)

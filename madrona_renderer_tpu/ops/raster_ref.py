@@ -74,12 +74,19 @@ def rasterize(
     # scalar bounds, so clip on z after the fact and use a slightly wider
     # t-window to avoid missing hits near the planes.
     cosf = jnp.einsum("wcpk,wck->wcp", dirs, fwd)
+    # t search window must cover z < far for the worst-case (corner) ray:
+    # t = z / cosf with cos_min = 1/sqrt(1 + tan_x^2 + tan_y^2).
+    import math as _math
+
+    tan_y = _math.tan(_math.radians(fov_y_degrees) * 0.5)
+    tan_x = tan_y * (width / height)
+    t_far = far * _math.sqrt(1.0 + tan_x * tan_x + tan_y * tan_y)
     t, idx, hit = intersect_bruteforce(
         soup,
         state.camera_pos,
         dirs,
         near,  # t >= near is weaker than z >= near; refined below
-        far * 2.0,
+        t_far,
         chunk=chunk,
     )
     z = t * cosf

@@ -405,15 +405,22 @@ def _render_kernel(
                     cnt = cl_ref[0, 7, c].astype(jnp.int32)
                     if dma_tris:
                         # Stream this cluster's triangle slab HBM → SMEM.
+                        # DMA lane slices must be 128-aligned; cluster sizes
+                        # are powers of two (bake guarantee), so a window of
+                        # max(cluster_size, 128) starting at the aligned
+                        # base always covers the cluster.
+                        window = max(cluster_size, 128)
+                        aligned = (base // window) * window
+                        off = base - aligned
                         dma = pltpu.make_async_copy(
-                            tri_ref.at[w_idx, :, pl.ds(base, cluster_size)],
+                            tri_ref.at[w_idx, :, pl.ds(aligned, window)],
                             scratch,
                             sem,
                         )
                         dma.start()
                         dma.wait()
                         tri_local = make_tri_test(
-                            lambda k, j: scratch[k, j], base
+                            lambda k, j: scratch[k, off + j], base
                         )
                         return jax.lax.fori_loop(0, cnt, tri_local, cr)
                     tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
@@ -554,6 +561,10 @@ def render_core(
         cc = cl_valid.shape[1]
         cluster_size = S // cc
         assert cluster_size * cc == S, (cluster_size, cc, S)
+        if dma_tris:
+            # bake guarantees power-of-two cluster sizes; the DMA window
+            # alignment math below relies on it.
+            assert cluster_size & (cluster_size - 1) == 0, cluster_size
         cl = _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count)
         # Front-to-back ordering pays for itself only with many clusters
         # (the argsort + indirection cost a few % on tiny scenes).
@@ -578,9 +589,14 @@ def render_core(
             extra_in_specs = [cl_spec, cam_spec]
             extra_inputs = (cl, cams)
         if dma_tris:
+            # Pad the lane dim so the 128-aligned DMA window of the last
+            # cluster never overruns the array.
+            s_pad_lanes = -(-S // 128) * 128
+            if s_pad_lanes != S:
+                tris = jnp.pad(tris, ((0, 0), (0, 0), (0, s_pad_lanes - S)))
             tri_spec_used = pl.BlockSpec(memory_space=pltpu.HBM)
             scratch_shapes = [
-                pltpu.SMEM((_N_TRI_ROWS, cluster_size), jnp.float32),
+                pltpu.SMEM((_N_TRI_ROWS, max(cluster_size, 128)), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ]
         else:
@@ -716,8 +732,14 @@ def rasterize(
     """Raster-convention rendering on the same kernel (camera-plane depth,
     view znear clip, no segmask) — see raster_ref.py for the rationale."""
     del chunk
+    # t window covers z < far for the worst-case (corner) ray.
+    import math as _math
+
+    tan_y = _math.tan(_math.radians(fov_y_degrees) * 0.5)
+    tan_x = tan_y * (width / height)
+    t_far = far * _math.sqrt(1.0 + tan_x * tan_x + tan_y * tan_y)
     core, T = render_core(
-        state, scene, height=height, width=width, near=near, far=far * 2.0,
+        state, scene, height=height, width=width, near=near, far=t_far,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
         z_clip=(near, far),
     )

@@ -202,7 +202,8 @@ def intersect_bruteforce(
     e2 = soup.e2[:, None, :, :]
     A = jnp.cross(e2, tvec)
     B = jnp.cross(tvec, e1)
-    D = jnp.cross(jnp.broadcast_to(e2, tvec.shape), jnp.broadcast_to(e1, tvec.shape))
+    # Determinant vector is camera-independent: [W, 1, S, 3].
+    D = jnp.cross(soup.e2, soup.e1)[:, None, :, :]
     t_num = jnp.sum(e2 * B, axis=-1)  # [W, C, S]
     tri_ok = soup.valid[:, None, :] > 0.0  # [W, 1→C, S]
 

@@ -16,6 +16,7 @@ Typical use (same script on every host):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -28,19 +29,30 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """jax.distributed.initialize, tolerating single-process use (no-op if
-    already initialized or nothing to coordinate)."""
-    if jax.process_count() > 1:
+    """jax.distributed.initialize, tolerating single-process use.
+
+    Must run before any JAX call that initializes the XLA backend
+    (jax.devices(), jax.process_count(), any computation) — so this checks
+    the distributed client state directly instead of process_count(),
+    which would itself initialize the backend and turn this into a no-op.
+    Raises if the backend is already initialized in a multi-process env.
+    """
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
         return  # already initialized
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (ValueError, RuntimeError):
-        # Single-process / env not set: fine — local devices only.
-        pass
+    if coordinator_address is None and not (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("TPU_WORKER_HOSTNAMES")
+    ):
+        # Nothing to coordinate: single-process run, local devices only.
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def global_world_mesh() -> Mesh:

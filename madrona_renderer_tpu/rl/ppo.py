@@ -27,7 +27,7 @@ import numpy as np
 
 from ..core.scene import SceneData
 from ..core.state import SimState
-from ..ops.quat import quat_multiply
+from ..ops.quat import quat_multiply, quat_normalize
 
 
 class PPOConfig(NamedTuple):
@@ -94,7 +94,8 @@ def _apply_action(state: SimState, action: jnp.ndarray, cfg: PPOConfig) -> SimSt
         axis=-1,
     )  # [W, 4] rotation about world Z
     cam_rot = state.camera_rot
-    new0 = quat_multiply(dq, cam_rot[:, 0, :])
+    # Renormalize: fp32 error random-walks over long training runs.
+    new0 = quat_normalize(quat_multiply(dq, cam_rot[:, 0, :]))
     cam_rot = cam_rot.at[:, 0, :].set(new0)
     return dataclasses.replace(state, camera_rot=cam_rot)
 

@@ -191,3 +191,32 @@ def test_sparse_accessor_rejected(tmp_path):
         f.write(_make_glb(gltf, blob))
     with pytest.raises(NotImplementedError, match="sparse"):
         parse_gltf(path)
+
+
+def test_normalized_uint16_uvs(tmp_path):
+    """normalized:true integer accessors rescale (glTF 2.0 §3.6.2.2)."""
+    import struct as _struct
+
+    blob, views, accessors, positions, _ = _accessor_blob()
+    # Append u16-normalized UVs: (0, 65535, 32767, 0) per vertex pairs.
+    uv16 = np.array([[0, 0], [65535, 0], [65535, 65535], [0, 65535]], np.uint16)
+    off = len(blob)
+    blob = blob + uv16.tobytes()
+    gltf = _base_gltf(views, accessors)
+    gltf["bufferViews"].append({"buffer": 0, "byteOffset": off, "byteLength": 16})
+    gltf["accessors"].append(
+        {"bufferView": 4, "componentType": 5123, "count": 4, "type": "VEC2",
+         "normalized": True}
+    )
+    gltf["meshes"][0]["primitives"][0]["attributes"]["TEXCOORD_0"] = 4
+    gltf["buffers"] = [{"byteLength": len(blob)}]
+    path = str(tmp_path / "norm.glb")
+    with open(path, "wb") as f:
+        f.write(_make_glb(gltf, blob))
+    obj = parse_gltf(path)
+    # v-flipped: v' = 1 - v
+    np.testing.assert_allclose(
+        obj.meshes[0].uvs,
+        np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32),
+        atol=1e-4,
+    )

@@ -199,6 +199,38 @@ def test_parity_dma_streamed_large_mesh():
         rt_pal(state, scene, height=16, width=16, interpret=True, accel="none")
 
 
+def test_parity_dma_multi_instance_small_clusters():
+    """Many instances of a medium object: the per-object block fits SMEM
+    (cluster_size < 128) but the soup forces the DMA path — exercises the
+    128-aligned window covering sub-128 clusters (off ∈ {0, 64, ...})."""
+    rng = np.random.default_rng(13)
+    n_tris = 500  # t_pad 512, cluster_size 64
+    centers = rng.uniform(-6, 6, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 25, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.5
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.5
+    instances = [
+        ImportedInstance(
+            position=[(i % 8 - 3.5) * 2, 0, (i // 8 - 3.5) * 2],
+            rotation=[1, 0, 0, 0], scale=[0.5, 0.5, 0.5], object_id=0,
+        )
+        for i in range(64)
+    ]
+    state, scene = build([tris], instances, [cam_at_origin_looking_plus_y()])
+    from madrona_renderer_tpu.ops import raytrace_pallas as rp
+    from madrona_renderer_tpu.core.scene import SMEM_TRI_BUDGET
+
+    S = state.instance_obj.shape[1] * scene.tris_per_object
+    cs = scene.tris_per_object // scene.cl_valid.shape[1]
+    assert rp._N_TRI_ROWS * S * 4 > SMEM_TRI_BUDGET, "must trigger DMA"
+    assert cs < 128, f"must exercise sub-128 clusters (got {cs})"
+    ref = rt_ref(state, scene, height=16, width=16)
+    dma = rt_pal(state, scene, height=16, width=16, interpret=True, accel="clusters")
+    _assert_frames_equal(ref, dma)
+    assert (np.asarray(ref.segmask) >= 0).any()
+
+
 def test_parity_nonaligned_resolution():
     """Resolutions whose pixel count is not a multiple of the 1024-pixel
     tile exercise the padding path."""
