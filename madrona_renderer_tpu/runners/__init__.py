@@ -1,0 +1,1 @@
+"""Runners: headless benchmark CLI, tiled PNG dump, interactive viewer."""
