@@ -46,6 +46,14 @@ def make_mesh(
     if n_worlds_shards is None:
         n_worlds_shards = len(devices) // n_row_shards
     n = n_worlds_shards * n_row_shards
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh needs {n} devices ({n_worlds_shards} worlds-shards x "
+            f"{n_row_shards} row-shards) but jax only sees {len(devices)} "
+            f"({[d.platform for d in devices]}). For CPU testing, set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and force "
+            f"the cpu platform BEFORE jax initializes."
+        )
     dev_array = np.asarray(devices[:n]).reshape(n_worlds_shards, n_row_shards)
     return Mesh(dev_array, ("worlds", "rows"))
 
