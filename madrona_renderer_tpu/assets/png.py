@@ -82,7 +82,9 @@ def decode_png(data: bytes) -> np.ndarray:
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
-        if ctype == b"IHDR":
+        if ctype == b"IHDR" and width == 0:
+            # Only the first IHDR counts (duplicate-IHDR guard, matching the
+            # native decoder — a later IHDR must not redefine dimensions).
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -103,6 +105,11 @@ def decode_png(data: bytes) -> np.ndarray:
     bpp = channels * bytes_per_sample
     stride = width * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError(
+            f"PNG: IDAT stream inflates to {raw.size} bytes, header implies "
+            f"{height * (stride + 1)}"
+        )
     img = _unfilter(raw, height, stride, bpp)
     if bit_depth == 16:
         # Keep the high byte (same as stb's 16→8 reduction).

@@ -83,7 +83,8 @@ def load() -> Optional[ctypes.CDLL]:
     ]
     lib.mrt_png_decode.restype = ctypes.c_int
     lib.mrt_png_decode.argtypes = [
-        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint8)
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int,
     ]
     _lib = lib
     return lib
@@ -105,7 +106,13 @@ def parse_obj_native(path: str):
     try:
         err = lib.mrt_obj_error(h)
         if err:
-            raise FileNotFoundError(err.decode())
+            msg = err.decode()
+            # Python-parser parity: file-content errors raise ValueError
+            # (assets/obj.py's int() on a bad face token), missing files
+            # raise FileNotFoundError.
+            if msg.startswith("cannot open"):
+                raise FileNotFoundError(msg)
+            raise ValueError(msg)
         obj = SourceObject()
         buf = ctypes.create_string_buffer(1024)
         for i in range(lib.mrt_obj_num_materials(h)):
@@ -152,6 +159,13 @@ def decode_png_native(data: bytes) -> np.ndarray:
     if lib.mrt_png_size(data, len(data), ctypes.byref(w), ctypes.byref(h)) != 0:
         raise ValueError("not a PNG file")
     out = np.zeros((h.value, w.value, 4), np.uint8)
-    if lib.mrt_png_decode(data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))) != 0:
+    rc = lib.mrt_png_decode(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w.value, h.value,
+    )
+    if rc == -2:
+        raise ValueError("PNG decode failed: dimensions differ from header probe")
+    if rc != 0:
         raise ValueError("PNG decode failed (unsupported variant?)")
     return out

@@ -129,7 +129,9 @@ bool parse_mtl_file(const std::string &path, std::vector<Material> &out,
     return true;
 }
 
-void parse_face_corner(const char *tok, int nv, int nvt, int nvn, Corner &c) {
+// Returns false on a malformed token (non-numeric character where an index
+// is expected) — Python-parity: assets/obj.py raises ValueError via int().
+bool parse_face_corner(const char *tok, int nv, int nvt, int nvn, Corner &c) {
     c.v = c.vt = c.vn = -1;
     int field = 0;
     const char *p = tok;
@@ -139,13 +141,17 @@ void parse_face_corner(const char *tok, int nv, int nvt, int nvn, Corner &c) {
             ++p;
             continue;
         }
-        long idx = strtol(p, (char **)&p, 10);
+        char *endp = nullptr;
+        long idx = strtol(p, &endp, 10);
+        if (endp == p) return false;  // strtol made no progress: bad char
+        p = endp;
         int n = field == 0 ? nv : (field == 1 ? nvt : nvn);
         int32_t val = idx > 0 ? (int32_t)(idx - 1) : (int32_t)(n + idx);
         if (field == 0) c.v = val;
         else if (field == 1) c.vt = val;
         else c.vn = val;
     }
+    return true;
 }
 
 ObjFile *obj_parse_impl(const char *path) {
@@ -208,7 +214,11 @@ ObjFile *obj_parse_impl(const char *path) {
                 q = skip_ws(q, end);
                 if (q >= end || *q == '\n' || *q == '\0' || *q == '#') break;
                 Corner c;
-                parse_face_corner(q, nv, nvt, nvn, c);
+                if (!parse_face_corner(q, nv, nvt, nvn, c)) {
+                    fclose(f);
+                    out->error = std::string("malformed face token in ") + path;
+                    return out;
+                }
                 corners.push_back(c);
                 while (q < end && !isspace((unsigned char)*q)) ++q;
             }
@@ -316,7 +326,10 @@ bool png_decode_impl(const uint8_t *data, size_t n, PngImage &img) {
         const uint8_t *type = data + pos + 4;
         const uint8_t *body = data + pos + 8;
         if (pos + 12 + len > n) break;
-        if (memcmp(type, "IHDR", 4) == 0 && len >= 13) {
+        // Only the first IHDR counts: a later duplicate IHDR must not be
+        // able to enlarge the image after the caller sized its buffer from
+        // the probe (heap-overflow guard; mrt_png_size reads the first).
+        if (memcmp(type, "IHDR", 4) == 0 && len >= 13 && width == 0) {
             width = (int)be32(body);
             height = (int)be32(body + 4);
             bit_depth = body[8];
@@ -479,10 +492,17 @@ int mrt_png_size(const uint8_t *data, long n, int *w, int *hgt) {
     return 0;
 }
 
-int mrt_png_decode(const uint8_t *data, long n, uint8_t *out_rgba) {
+// Decode into a caller buffer sized for expected_w x expected_h RGBA8
+// (from mrt_png_size). Fails rather than overrunning if the decoded
+// dimensions differ from the probe for any reason.
+int mrt_png_decode(const uint8_t *data, long n, uint8_t *out_rgba,
+                   int expected_w, int expected_h) {
     PngImage img;
     if (!png_decode_impl(data, (size_t)n, img)) return -1;
-    memcpy(out_rgba, img.rgba.data(), img.rgba.size());
+    if (img.width != expected_w || img.height != expected_h) return -2;
+    size_t need = (size_t)expected_w * expected_h * 4;
+    if (img.rgba.size() != need) return -2;
+    memcpy(out_rgba, img.rgba.data(), need);
     return 0;
 }
 

@@ -16,16 +16,23 @@ import numpy as np
 from ..core.state import SimState
 
 
+def _norm(path: str) -> str:
+    # np.savez appends '.npz' to suffix-less paths; normalize in both
+    # directions so load_state(path) accepts the exact string given to
+    # save_state(path).
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state: SimState) -> None:
     arrays = {
         f.name: np.asarray(getattr(state, f.name))
         for f in dataclasses.fields(SimState)
     }
-    np.savez(path, **arrays)
+    np.savez(_norm(path), **arrays)
 
 
 def load_state(path: str, device=None) -> SimState:
-    with np.load(path) as data:
+    with np.load(_norm(path)) as data:
         kwargs = {k: data[k] for k in data.files}
     state = SimState(**kwargs)
     put = (lambda x: jax.device_put(x, device)) if device else jax.device_put

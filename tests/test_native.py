@@ -79,3 +79,46 @@ def test_native_obj_missing_file():
 def test_native_png_garbage():
     with pytest.raises(ValueError):
         native.decode_png_native(b"garbage")
+
+
+def test_native_png_duplicate_ihdr_no_overflow():
+    """ADVICE r1 (high): a crafted PNG with a tiny first IHDR and a larger
+    duplicate IHDR must not write past the caller's probe-sized buffer."""
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        c = struct.pack(">I", len(body)) + typ + body
+        return c + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_small = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    ihdr_big = struct.pack(">IIBBBBB", 100, 100, 8, 6, 0, 0, 0)
+    # Payload inflates to 100 rows of (1 filter byte + 100*4 px) zeros.
+    raw = b"\x00" * (100 * (1 + 100 * 4))
+    evil = (
+        sig
+        + chunk(b"IHDR", ihdr_small)
+        + chunk(b"IHDR", ihdr_big)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    # First IHDR (1x1) wins; the 100x100 IDAT stream then fails the size
+    # check inside the decoder. Either way: an exception, never a segfault.
+    with pytest.raises(ValueError):
+        native.decode_png_native(evil)
+    from madrona_renderer_tpu.assets.png import decode_png as py_decode
+
+    with pytest.raises(ValueError):
+        py_decode(evil)
+
+
+def test_native_obj_malformed_face_parity(tmp_path):
+    """ADVICE r1 (medium): a malformed face token must terminate (was an
+    infinite loop) and raise ValueError like the pure-Python parser."""
+    p = tmp_path / "bad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 x\n")
+    with pytest.raises(ValueError):
+        native.parse_obj_native(str(p))
+    with pytest.raises(ValueError):
+        parse_obj(str(p))

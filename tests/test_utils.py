@@ -87,3 +87,13 @@ def test_trace_writes_profile(tmp_path, mgr):
 def test_trace_noop_without_logdir(mgr):
     with trace(None):
         mgr.step()  # must not raise
+
+
+def test_checkpoint_suffixless_path(mgr, tmp_path):
+    """ADVICE r1 (low): save/load must agree on '.npz' suffix handling."""
+    path = str(tmp_path / "state")  # no suffix
+    save_state(path, mgr.state)
+    loaded = load_state(path)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.instance_pos), np.asarray(mgr.state.instance_pos)
+    )
