@@ -127,3 +127,38 @@ def test_time_singleton_advances(renderer):
     renderer.step()
     t1 = np.asarray(renderer.state.time)
     np.testing.assert_allclose(t1 - t0, 0.05, atol=1e-6)
+
+
+def test_dirty_flag_skips_untouched_upload():
+    """Untouched steps must not re-upload transform mirrors; mutated ones
+    must (and only the mutated array)."""
+    from tests.fixtures import ensure_fixtures
+
+    kw = smoke_scene(ensure_fixtures())
+    mgr = m.MadronaRenderer(
+        gpu_id=0,
+        num_worlds=4,
+        render_mode=m.RenderMode.Raytracer,
+        batch_render_view_width=64,
+        batch_render_view_height=64,
+        **kw,
+    )
+    # No tensor handed out yet → nothing can be dirty.
+    before = mgr.state.instance_pos
+    mgr.step()
+    # donate_argnums consumes the buffer, but no *upload* happened: the
+    # value fed to the step was the previous state's array object.
+    assert not any(mgr._mirror_exported.values())
+
+    pos = mgr.instance_position_tensor().to_torch()
+    assert mgr._mirror_exported["inst_pos"]
+    rgb_a = np.asarray(mgr.rgb_tensor().numpy()).copy()
+    mgr.step()  # exported but unmutated → snapshot equal → no upload
+    rgb_b = np.asarray(mgr.rgb_tensor().numpy())
+    np.testing.assert_array_equal(rgb_a, rgb_b)
+
+    pos[0][2] += 5.0
+    mgr.step()
+    rgb_c = np.asarray(mgr.rgb_tensor().numpy())
+    assert not np.array_equal(rgb_b, rgb_c)
+    del before
