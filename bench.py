@@ -8,9 +8,15 @@ Default run = 4096 worlds × 1 camera × 64×64 RGB-D raytrace on one chip
 vs_baseline is value / 1e5 (the driver-declared target; the reference
 publishes no numbers of its own — see BASELINE.md).
 
+The default (argument-less, driver) invocation additionally runs the five
+BASELINE.json configs and embeds them in that same line under "configs", so
+every round's artifact carries the full perf ladder.
+
 Other configs: bench.py [--worlds N] [--steps N] [--mode rt|rast]
 [--width W] [--height H] [--impl auto|jnp|pallas] [--all] (--all runs the
-five BASELINE.json configs and prints one JSON line each, headline last).
+five BASELINE.json configs and prints one JSON line each) [--headline-only]
+(skip the config suite). MRT_BENCH_SMOKE=1 shrinks every config ~256x for
+CI smoke-testing of the full code path on CPU.
 """
 
 from __future__ import annotations
@@ -156,6 +162,16 @@ def run_config(
     return num_worlds / per_step
 
 
+def _smoke() -> bool:
+    import os
+
+    return os.environ.get("MRT_BENCH_SMOKE", "0") == "1"
+
+
+def _scaled(worlds: int) -> int:
+    return max(1, worlds // 256) if _smoke() else worlds
+
+
 BASELINE_CONFIGS = [
     # (name, worlds, steps, mode, width, height)
     ("cpu_sanity_1w", 1, 8, "rt", 64, 64),
@@ -204,6 +220,37 @@ def run_ppo_streaming(num_worlds: int = 16384, updates: int = 3, res: int = 64) 
     return frames / dt
 
 
+def run_baseline_suite(impl: str) -> dict:
+    """All five BASELINE.json configs, each isolated so one failure can't
+    sink the artifact. Returns {name: {value, vs_baseline} | {error}}."""
+    import sys
+    import traceback
+
+    out = {}
+    for name, worlds, steps, mode, w, h in BASELINE_CONFIGS:
+        try:
+            fps = run_config(_scaled(worlds), steps, mode, w, h, impl)
+            out[name] = {
+                "value": round(fps, 1),
+                "vs_baseline": round(fps / 1e5, 4),
+            }
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            out[name] = {"error": traceback.format_exc(limit=1).strip()[-200:]}
+    try:
+        fps = run_ppo_streaming(num_worlds=_scaled(16384))
+        out["ppo_streaming_16384w"] = {
+            "value": round(fps, 1),
+            "vs_baseline": round(fps / 1e5, 4),
+        }
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        out["ppo_streaming_16384w"] = {
+            "error": traceback.format_exc(limit=1).strip()[-200:]
+        }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worlds", type=int, default=4096)
@@ -212,48 +259,40 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--impl", default="auto")
-    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--all", action="store_true",
+                    help="one JSON line per BASELINE config (human use)")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the BASELINE config suite in the default run")
     args = ap.parse_args()
 
+    default_invocation = (
+        not args.all
+        and not args.headline_only
+        and args.worlds == 4096 and args.mode == "rt"
+        and args.width == 64 and args.height == 64
+    )
+
     if args.all:
-        for name, worlds, steps, mode, w, h in BASELINE_CONFIGS:
-            fps = run_config(worlds, steps, mode, w, h, args.impl)
-            print(
-                json.dumps(
-                    {
-                        "metric": name,
-                        "value": round(fps, 1),
-                        "unit": "frames/sec",
-                        "vs_baseline": round(fps / 1e5, 4),
-                    }
-                )
-            )
-        fps = run_ppo_streaming()
-        print(
-            json.dumps(
-                {
-                    "metric": "ppo_streaming_16384w",
-                    "value": round(fps, 1),
-                    "unit": "frames/sec",
-                    "vs_baseline": round(fps / 1e5, 4),
-                }
-            )
-        )
+        for name, result in run_baseline_suite(args.impl).items():
+            print(json.dumps({"metric": name, "unit": "frames/sec", **result}))
 
     fps = run_config(
-        args.worlds, args.steps, args.mode, args.width, args.height, args.impl
+        _scaled(args.worlds), args.steps, args.mode, args.width, args.height,
+        args.impl,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"{'raytrace' if args.mode == 'rt' else 'raster'}_fps_"
-                f"{args.worlds}w_{args.width}px",
-                "value": round(fps, 1),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 1e5, 4),
-            }
-        )
-    )
+    record = {
+        "metric": f"{'raytrace' if args.mode == 'rt' else 'raster'}_fps_"
+        f"{args.worlds}w_{args.width}px",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 1e5, 4),
+    }
+    if default_invocation:
+        # The driver's invocation (plain `python bench.py`): carry the full
+        # BASELINE ladder inside the one parsed JSON line so regressions in
+        # the non-headline configs are visible per round (VERDICT r1 #9).
+        record["configs"] = run_baseline_suite(args.impl)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
