@@ -41,18 +41,25 @@ def initialize(
 
     if _dist.global_state.client is not None:
         return  # already initialized
-    if coordinator_address is None and not (
-        os.environ.get("JAX_COORDINATOR_ADDRESS")
-        or os.environ.get("COORDINATOR_ADDRESS")
-        or os.environ.get("TPU_WORKER_HOSTNAMES")
-    ):
-        # Nothing to coordinate: single-process run, local devices only.
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
     )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except ValueError:
+        # jax's cluster auto-detection found no coordinator. With explicit
+        # args that's a real error; env-driven it means "not a fleet" —
+        # single-process run, local devices only. (Env sniffing is NOT a
+        # reliable pre-check: e.g. the axon TPU plugin sets
+        # TPU_WORKER_HOSTNAMES=localhost on single-chip hosts.)
+        if explicit:
+            raise
 
 
 def global_world_mesh() -> Mesh:
