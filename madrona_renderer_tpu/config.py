@@ -78,12 +78,17 @@ class ImportedCamera:
     """One camera: position + orientation quaternion (w, x, y, z).
 
     Mirrors ``madRender::ImportedCamera`` (reference ``src/sim.hpp:45-48``).
-    The view itself is created with fov=90°, znear=1e-3 defaults, matching
-    ``attachEntityToView`` usage (reference ``src/sim.cpp:168-171``).
+    The reference creates every view with fixed fov=90°, znear=1e-3
+    (``attachEntityToView``, reference ``src/sim.cpp:168-171``); here both
+    generalize to per-camera state. The defaults of 0.0 mean "inherit the
+    render-call / mode default" (fov 90°; znear 0.1 raytrace, 1e-3 raster),
+    which reproduces reference behavior exactly.
     """
 
     position: Sequence[float]
     rotation: Sequence[float]
+    fov_y_degrees: float = 0.0  # 0 → inherit render-call fov
+    znear: float = 0.0  # 0 → inherit mode default near plane
 
 
 @dataclass

@@ -68,6 +68,11 @@ def register_types(max_instances: int, max_cameras: int) -> ECSRegistry:
         [
             component("position", (3,), np.float32),
             component("rotation", (4,), np.float32, default=0),
+            # Per-view camera parameters. The reference pins these at
+            # attachEntityToView(fov=90, znear=1e-3) (src/sim.cpp:168-171);
+            # ours are per-entity state (0 = inherit the call-site default).
+            component("fov", (), np.float32, default=0),
+            component("znear", (), np.float32, default=0),
         ],
         capacity=max_cameras,
     )
@@ -107,5 +112,7 @@ def init_worlds(
                 w,
                 position=np.asarray(src.position, np.float32),
                 rotation=np.asarray(src.rotation, np.float32),
+                fov=np.float32(getattr(src, "fov_y_degrees", 0.0)),
+                znear=np.float32(getattr(src, "znear", 0.0)),
             )
     return tables

@@ -46,6 +46,11 @@ class SimState:
     camera_pos: jax.Array  # f32 [W, C, 3]
     camera_rot: jax.Array  # f32 [W, C, 4]
     camera_valid: jax.Array  # f32 [W, C]
+    # Per-view camera parameters; 0.0 = inherit the render-call default
+    # (reference pins fov=90, znear=1e-3 at attachEntityToView,
+    # src/sim.cpp:168-171 — ours generalize to heterogeneous views).
+    camera_fov: jax.Array  # f32 [W, C] (degrees, vertical)
+    camera_znear: jax.Array  # f32 [W, C]
     # TimeSingleton analog: advanced +0.05 per step
     # (reference timeUpdateSys, src/sim.cpp:73-77).
     time: jax.Array  # f32 [W]
@@ -110,6 +115,8 @@ def init_state(
         camera_pos=agent["position"],
         camera_rot=agent["rotation"],
         camera_valid=agent[VALID],
+        camera_fov=agent["fov"],
+        camera_znear=agent["znear"],
         time=tables.singletons["time"],
     )
     put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put

@@ -65,32 +65,34 @@ def rasterize(
     soup = build_world_soup(state, scene)
     W, C = state.camera_pos.shape[:2]
 
-    dirs = camera_ray_dirs(state.camera_rot, height, width, fov_y_degrees)
+    eff_fov = jnp.where(state.camera_fov > 0, state.camera_fov, fov_y_degrees)
+    eff_near = jnp.where(state.camera_znear > 0, state.camera_znear, near)
+    dirs = camera_ray_dirs(state.camera_rot, height, width, eff_fov)
     # Forward axis per camera: local +Y.
     fwd = quat_rotate(state.camera_rot, jnp.array([0.0, 1.0, 0.0], jnp.float32))
-    # cos(angle to forward) per pixel; z_cam = t * cosf. Clip by z_cam, so
-    # feed the intersector near/far scaled per-pixel via t-space bounds:
-    # t in (near / cosf, far / cosf). The brute-force intersector takes
-    # scalar bounds, so clip on z after the fact and use a slightly wider
-    # t-window to avoid missing hits near the planes.
+    # cos(angle to forward) per pixel; z_cam = t * cosf. A z-buffer
+    # rasterizer clips fragments with z < znear BEFORE the depth test, so
+    # the near bound must exclude pre-near hits from the min-t competition:
+    # pass the exact per-pixel t-space bound znear / cosf. (Fixed in r2 —
+    # previously a nearer-than-near hit blanked the pixel even when a
+    # farther in-range fragment existed.)
     cosf = jnp.einsum("wcpk,wck->wcp", dirs, fwd)
+    t_min = eff_near[:, :, None] / jnp.maximum(cosf, 1e-6)  # [W, C, P]
     # t search window must cover z < far for the worst-case (corner) ray:
     # t = z / cosf with cos_min = 1/sqrt(1 + tan_x^2 + tan_y^2).
-    import math as _math
-
-    tan_y = _math.tan(_math.radians(fov_y_degrees) * 0.5)
+    tan_y = jnp.tan(jnp.deg2rad(eff_fov) * 0.5)
     tan_x = tan_y * (width / height)
-    t_far = far * _math.sqrt(1.0 + tan_x * tan_x + tan_y * tan_y)
+    t_far = far * jnp.sqrt(1.0 + tan_x * tan_x + tan_y * tan_y)  # [W, C]
     t, idx, hit = intersect_bruteforce(
         soup,
         state.camera_pos,
         dirs,
-        near,  # t >= near is weaker than z >= near; refined below
+        t_min,
         t_far,
         chunk=chunk,
     )
     z = t * cosf
-    hit = hit & (z > near) & (z < far)
+    hit = hit & (z < far)  # near handled exactly in t-space above
 
     # No segmask under raster (reference FATALs; our Manager raises).
     return finish_frames(

@@ -65,7 +65,9 @@ _TILE_PIX = _TILE_SUB * _TILE_LANE
 #   in the sublane dimension)
 _N_TRI_ROWS = 32
 # Camera SoA row: origin(3) right(3) fwd(3) up(3) tan_x tan_y
-# light_dir(3, normalized) light_color(3) (pad to 24)
+# light_dir(3, normalized) light_color(3) near far_t far_z (pad to 24).
+# near/far are per-camera row entries (not kernel constants) so
+# heterogeneous per-view fov/znear costs nothing (VERDICT r1 #10).
 _N_CAM_COLS = 24
 
 
@@ -99,23 +101,32 @@ def _pack_tris(soup, scene: SceneData) -> jnp.ndarray:
 
 
 def _pack_cams(
-    state: SimState, scene: SceneData, fov_y_degrees: float, width: int, height: int
+    state: SimState,
+    scene: SceneData,
+    width: int,
+    height: int,
+    eff_fov: jnp.ndarray,  # f32 [W, C] degrees
+    eff_near: jnp.ndarray,  # f32 [W, C] (t-space rt; z-space raster)
+    far_t: jnp.ndarray,  # f32 [W, C] t-space search window upper bound
+    far_z: jnp.ndarray,  # f32 [W, C] z-space far clip (raster)
 ):
-    """Camera basis + light scalars [WC, 1, 24]."""
+    """Camera basis + light + clip scalars [WC, 1, 24]."""
     W, C = state.camera_pos.shape[:2]
     rot = state.camera_rot
     right = quat_rotate(rot, jnp.array([1.0, 0.0, 0.0], jnp.float32))
     fwd = quat_rotate(rot, jnp.array([0.0, 1.0, 0.0], jnp.float32))
     up = quat_rotate(rot, jnp.array([0.0, 0.0, 1.0], jnp.float32))
-    tan_y = jnp.full((W, C, 1), np.tan(np.deg2rad(fov_y_degrees) * 0.5), jnp.float32)
+    tan_y = jnp.tan(jnp.deg2rad(eff_fov) * 0.5)[..., None]  # [W, C, 1]
     tan_x = tan_y * (width / height)
     ldir = scene.light_dir / jnp.maximum(jnp.linalg.norm(scene.light_dir), 1e-20)
     light = jnp.broadcast_to(
         jnp.concatenate([ldir, scene.light_color]), (W, C, 6)
     )
-    pad = jnp.zeros((W, C, 4), jnp.float32)
+    clip = jnp.stack([eff_near, far_t, far_z], axis=-1)  # [W, C, 3]
+    pad = jnp.zeros((W, C, 1), jnp.float32)
     cams = jnp.concatenate(
-        [state.camera_pos, right, fwd, up, tan_x, tan_y, light, pad], axis=-1
+        [state.camera_pos, right, fwd, up, tan_x, tan_y, light, clip, pad],
+        axis=-1,
     )
     return cams.reshape(W * C, 1, _N_CAM_COLS)
 
@@ -177,15 +188,13 @@ def _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count) -> jnp.ndarray:
 
 def _render_kernel(
     s_pad: int,
-    near: float,
-    far: float,
     width: int,
     height: int,
     n_tiles: int,
     cluster_size: int = 0,
     n_clusters: int = 0,
     shaded: bool = False,
-    z_clip=None,  # (near, far) camera-plane clip for raster mode (shaded)
+    raster_clip: bool = False,  # camera-plane (z) near/far semantics
     dma_tris: bool = False,
     num_cams: int = 1,
     ordered: bool = False,
@@ -234,6 +243,8 @@ def _render_kernel(
         uz = cam_ref[0, 0, 11]
         tan_x = cam_ref[0, 0, 12]
         tan_y = cam_ref[0, 0, 13]
+        near = cam_ref[0, 0, 20]  # t-space (rt) or z-space (raster) near
+        far = cam_ref[0, 0, 21]  # t-space search window upper bound
 
         sub = jax.lax.broadcasted_iota(jnp.int32, (_TILE_SUB, _TILE_LANE), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (_TILE_SUB, _TILE_LANE), 1)
@@ -249,6 +260,14 @@ def _render_kernel(
         dx = dx * inv_len
         dy = dy * inv_len
         dz = dz * inv_len
+        cosf = dx * fx + dy * fy + dz * fz
+        if raster_clip:
+            # z-buffer near-plane semantics: a fragment with z < znear is
+            # clipped BEFORE the depth competition, so the per-pixel
+            # t-space lower bound is exactly znear / cos(angle to forward).
+            t_lo = near / jnp.maximum(cosf, 1e-6)
+        else:
+            t_lo = near
 
         zero = jnp.zeros((_TILE_SUB, _TILE_LANE), jnp.float32)
         init = (
@@ -299,12 +318,13 @@ def _render_kernel(
                 t = t_num * inv
 
                 # No validity / det test needed: invalid or degenerate
-                # triangles produce inv = 0 → t = 0, which fails t > near.
+                # triangles produce inv = 0 → t = 0, which fails t > t_lo
+                # (t_lo > 0 always: effective near planes are positive).
                 ok = (
                     (u >= -_EPS_BARY)
                     & (v >= -_EPS_BARY)
                     & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > near)
+                    & (t > t_lo)
                     & (t < far)
                     & (t < best_t)
                 )
@@ -443,7 +463,6 @@ def _render_kernel(
         bny = bny * flip
         bnz = bnz * flip
 
-        cosf = dx * fx + dy * fy + dz * fz
         best_t = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
         z = best_t * cosf
 
@@ -465,8 +484,9 @@ def _render_kernel(
             )
             ndotl = jnp.maximum(0.0, -(bnx * lx + bny * ly + bnz * lz) * n_inv)
             hit = best_idx >= 0
-            if z_clip is not None:
-                hit = hit & (z > z_clip[0]) & (z < z_clip[1])
+            if raster_clip:
+                # Far clip in z (near is exact via t_lo in the sweep).
+                hit = hit & (z < cam_ref[0, 0, 22])
 
             def chan(base, lc):
                 c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * ndotl * lc), 0.0, 1.0)
@@ -500,7 +520,7 @@ def render_core(
     fov_y_degrees: float,
     interpret: bool = False,
     accel: str = "auto",
-    z_clip=None,
+    raster_clip: bool = False,
 ):
     """Run the kernel over all views. Returns dict of [W, C, P] arrays:
     (t, z, idx, rgb) when the scene is untextured (in-kernel shading), else
@@ -510,6 +530,19 @@ def render_core(
     S = soup.v0.shape[1]
     WC = W * C
     P = height * width
+
+    # Effective per-camera view parameters (0 = inherit the call defaults;
+    # reference pins fov=90/znear at attachEntityToView, src/sim.cpp:168-171).
+    eff_fov = jnp.where(state.camera_fov > 0, state.camera_fov, fov_y_degrees)
+    eff_near = jnp.where(state.camera_znear > 0, state.camera_znear, near)
+    far_z = jnp.full_like(eff_near, far)
+    if raster_clip:
+        # t search window must cover z < far for the worst-case corner ray.
+        tan_y = jnp.tan(jnp.deg2rad(eff_fov) * 0.5)
+        tan_x = tan_y * (width / height)
+        far_t = far * jnp.sqrt(1.0 + tan_x * tan_x + tan_y * tan_y)
+    else:
+        far_t = far_z
 
     interpret = interpret or jax.default_backend() not in ("tpu", "axon")
     # Cluster culling wins from ~2 clusters upward (measured: +13% even on
@@ -527,7 +560,9 @@ def render_core(
     shaded = int(scene.tex_data.shape[0]) == 1
 
     tris = _pack_tris(soup, scene)  # [W, 29, S]
-    cams = _pack_cams(state, scene, fov_y_degrees, width, height)  # [WC, 1, 24]
+    cams = _pack_cams(
+        state, scene, width, height, eff_fov, eff_near, far_t, far_z
+    )  # [WC, 1, 24]
 
     grid = (WC, n_tiles)
     tri_spec = pl.BlockSpec(
@@ -570,10 +605,10 @@ def render_core(
         # (the argsort + indirection cost a few % on tiny scenes).
         ordered = cc >= 16
         kernel = _render_kernel(
-            S, near, far, width, height, n_tiles,
+            S, width, height, n_tiles,
             cluster_size=cluster_size, n_clusters=cc,
-            shaded=shaded, z_clip=z_clip, dma_tris=dma_tris, num_cams=C,
-            ordered=ordered,
+            shaded=shaded, raster_clip=raster_clip, dma_tris=dma_tris,
+            num_cams=C, ordered=ordered,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -618,7 +653,7 @@ def render_core(
                 "budget; use accel='clusters' (streams triangles via DMA)"
             )
         kernel = _render_kernel(
-            S, near, far, width, height, n_tiles, shaded=shaded, z_clip=z_clip
+            S, width, height, n_tiles, shaded=shaded, raster_clip=raster_clip
         )
         outs = pl.pallas_call(
             kernel,
@@ -642,13 +677,14 @@ def render_core(
 
 
 def _frames_from_core(core, T, scene, state, height, width, texture_filter,
-                      depth_key: str, clip=None, with_segmask=True) -> Frames:
+                      depth_key: str, far_clip=None, with_segmask=True) -> Frames:
     W, C = state.camera_pos.shape[:2]
     idx = core["idx"]
     hit = idx >= 0
-    if clip is not None:
-        near, far = clip
-        hit = hit & (core["z"] > near) & (core["z"] < far)
+    if far_clip is not None:
+        # Raster z-far clip; the near plane is exact in the kernel sweep
+        # (per-pixel t-space bound), so no near re-test here.
+        hit = hit & (core["z"] < far_clip)
     hit = hit & (state.camera_valid[:, :, None] > 0.0)
 
     if "rgb" in core:
@@ -732,18 +768,12 @@ def rasterize(
     """Raster-convention rendering on the same kernel (camera-plane depth,
     view znear clip, no segmask) — see raster_ref.py for the rationale."""
     del chunk
-    # t window covers z < far for the worst-case (corner) ray.
-    import math as _math
-
-    tan_y = _math.tan(_math.radians(fov_y_degrees) * 0.5)
-    tan_x = tan_y * (width / height)
-    t_far = far * _math.sqrt(1.0 + tan_x * tan_x + tan_y * tan_y)
     core, T = render_core(
-        state, scene, height=height, width=width, near=near, far=t_far,
+        state, scene, height=height, width=width, near=near, far=far,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
-        z_clip=(near, far),
+        raster_clip=True,
     )
     return _frames_from_core(
         core, T, scene, state, height, width, texture_filter,
-        depth_key="z", clip=(near, far), with_segmask=False,
+        depth_key="z", far_clip=far, with_segmask=False,
     )

@@ -124,28 +124,33 @@ def camera_ray_dirs(
     cam_rot: jnp.ndarray,  # f32 [..., 4]
     height: int,
     width: int,
-    fov_y_degrees: float = 90.0,
+    fov_y_degrees=90.0,  # float or f32 array broadcastable to cam_rot batch
 ) -> jnp.ndarray:
     """Unit ray directions [..., H*W, 3] for each camera.
 
     Camera local frame: +X right, +Y forward, +Z up (see ops/quat.py header
     for the derivation from the reference test camera). Pixel (0, 0) is the
-    image's top-left; rays pass through pixel centers.
+    image's top-left; rays pass through pixel centers. ``fov_y_degrees`` may
+    be per-camera (any shape broadcastable to the camera batch) — the
+    reference pins fov at 90° (src/sim.cpp:168-171); ours generalizes.
     """
-    tan_y = jnp.tan(jnp.deg2rad(fov_y_degrees) * 0.5)
+    batch = cam_rot.shape[:-1]
+    fov = jnp.broadcast_to(jnp.asarray(fov_y_degrees, jnp.float32), batch)
+    tan_y = jnp.tan(jnp.deg2rad(fov) * 0.5)[..., None]  # [..., 1]
     tan_x = tan_y * (width / height)
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height  # top→bottom
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     ndc_x = xs * 2.0 - 1.0  # [-1, 1] left→right
     ndc_z = 1.0 - ys * 2.0  # [+1, -1] top→bottom
-    dx = jnp.broadcast_to(ndc_x[None, :] * tan_x, (height, width))
-    dz = jnp.broadcast_to(ndc_z[:, None] * tan_y, (height, width))
-    local = jnp.stack([dx, jnp.ones_like(dx), dz], axis=-1).reshape(-1, 3)
+    gx = jnp.broadcast_to(ndc_x[None, :], (height, width)).reshape(-1)  # [P]
+    gz = jnp.broadcast_to(ndc_z[:, None], (height, width)).reshape(-1)
+    dx = gx * tan_x  # [..., P]
+    dz = gz * tan_y
+    local = jnp.stack([dx, jnp.ones_like(dx), dz], axis=-1)  # [..., P, 3]
     local = local / jnp.linalg.norm(local, axis=-1, keepdims=True)
-    # Broadcast rotate: cam_rot [..., 4] × local [P, 3] → [..., P, 3]
-    batch = cam_rot.shape[:-1]
+    # Broadcast rotate: cam_rot [..., 4] × local [..., P, 3] → [..., P, 3]
     rot = cam_rot.reshape(batch + (1, 4))
-    return quat_rotate(rot, local.reshape((1,) * len(batch) + (-1, 3)))
+    return quat_rotate(rot, local)
 
 
 def _moller_trumbore(orig, dirs, v0, e1, e2):
@@ -166,11 +171,15 @@ def intersect_bruteforce(
     soup: TriangleSoup,
     orig: jnp.ndarray,  # f32 [W, C, 3]
     dirs: jnp.ndarray,  # f32 [W, C, P, 3]
-    near: float,
-    far: float,
+    near,  # float | f32 [W, C] | f32 [W, C, P] (t-space lower bound)
+    far,  # float | f32 [W, C]
     chunk: int = 512,
 ):
     """Min-t intersection of every ray against its world's soup.
+
+    ``near`` may be per-camera or per-pixel: hits below it are excluded
+    from the min-t competition (needed for exact z-buffer near-plane
+    semantics in raster mode, where the bound is znear/cos per pixel).
 
     Returns (t [W, C, P], idx [W, C, P] into S, hit_mask [W, C, P]).
 
@@ -196,6 +205,12 @@ def intersect_bruteforce(
     n_chunks = -(-P // chunk)
     p_pad = n_chunks * chunk
 
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    far_b = far[:, :, None, None] if far.ndim == 2 else far
+    near_per_pixel = near.ndim == 3
+    near_b = near[:, :, None, None] if near.ndim == 2 else near
+
     # Per-(camera, triangle) precompute — tiny ([W, C, S, 3]).
     tvec = orig[:, :, None, :] - soup.v0[:, None, :, :]  # [W, C, S, 3]
     e1 = soup.e1[:, None, :, :]
@@ -214,9 +229,22 @@ def intersect_bruteforce(
         else dirs
     )
     xs = d_pad.reshape(W, C, n_chunks, chunk, 3).transpose(2, 0, 1, 3, 4)
+    if near_per_pixel:
+        n_pad = (
+            jnp.pad(near, ((0, 0), (0, 0), (0, p_pad - P)), constant_values=jnp.inf)
+            if p_pad != P
+            else near
+        )
+        near_xs = n_pad.reshape(W, C, n_chunks, chunk).transpose(2, 0, 1, 3)
+    else:
+        # Scalar/per-camera bound: a trivial per-chunk carrier keeps one
+        # scan body for both cases.
+        near_xs = jnp.zeros((n_chunks, 1, 1, 1), jnp.float32)
 
-    def scan_body(_, d_chunk):
+    def scan_body(_, chunk_xs):
+        d_chunk, near_chunk = chunk_xs
         # det/u_num/v_num: [W, C, S, chunk] — pixels on lanes.
+        n_lo = near_chunk[:, :, None, :] if near_per_pixel else near_b
         det = jnp.einsum("wcpk,wcsk->wcsp", d_chunk, D)
         u_num = jnp.einsum("wcpk,wcsk->wcsp", d_chunk, A)
         v_num = jnp.einsum("wcpk,wcsk->wcsp", d_chunk, B)
@@ -229,8 +257,8 @@ def intersect_bruteforce(
             & (u >= -_EPS_BARY)
             & (v >= -_EPS_BARY)
             & (u + v <= 1.0 + _EPS_BARY)
-            & (t > near)
-            & (t < far)
+            & (t > n_lo)
+            & (t < far_b)
             & tri_ok[..., None]
         )
         t = jnp.where(ok, t, jnp.inf)
@@ -238,7 +266,7 @@ def intersect_bruteforce(
         best_idx = jnp.argmin(t, axis=2).astype(jnp.int32)
         return None, (best_t, best_idx)
 
-    _, (t_chunks, idx_chunks) = jax.lax.scan(scan_body, None, xs)
+    _, (t_chunks, idx_chunks) = jax.lax.scan(scan_body, None, (xs, near_xs))
     # [n_chunks, W, C, chunk] → [W, C, P]
     best_t = t_chunks.transpose(1, 2, 0, 3).reshape(W, C, p_pad)[:, :, :P]
     best_idx = idx_chunks.transpose(1, 2, 0, 3).reshape(W, C, p_pad)[:, :, :P]
@@ -334,9 +362,12 @@ def raytrace(
     """Render every (world, camera) view. Returns padded Frames
     [W, C, H, Wd, ...]; invalid camera slots render black/0/-1."""
     soup = build_world_soup(state, scene)
-    dirs = camera_ray_dirs(state.camera_rot, height, width, fov_y_degrees)
+    eff_fov = jnp.where(state.camera_fov > 0, state.camera_fov, fov_y_degrees)
+    eff_near = jnp.where(state.camera_znear > 0, state.camera_znear, near)
+    dirs = camera_ray_dirs(state.camera_rot, height, width, eff_fov)
     t, idx, hit = intersect_bruteforce(
-        soup, state.camera_pos, dirs, near, far, chunk=chunk
+        soup, state.camera_pos, dirs, eff_near, jnp.full_like(eff_near, far),
+        chunk=chunk,
     )
     return finish_frames(
         soup, state, scene, dirs, idx, hit, t,

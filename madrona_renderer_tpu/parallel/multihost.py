@@ -52,12 +52,13 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except ValueError:
-        # jax's cluster auto-detection found no coordinator. With explicit
-        # args that's a real error; env-driven it means "not a fleet" —
-        # single-process run, local devices only. (Env sniffing is NOT a
-        # reliable pre-check: e.g. the axon TPU plugin sets
-        # TPU_WORKER_HOSTNAMES=localhost on single-chip hosts.)
+    except (ValueError, RuntimeError):
+        # ValueError: jax's cluster auto-detection found no coordinator.
+        # RuntimeError: the XLA backend is already initialized (too late
+        # to join a fleet). With explicit args either is a real error;
+        # env-driven they mean "single-process run, local devices only".
+        # (Env sniffing is NOT a reliable pre-check: e.g. the axon TPU
+        # plugin sets TPU_WORKER_HOSTNAMES=localhost on single-chip hosts.)
         if explicit:
             raise
 

@@ -172,3 +172,137 @@ def test_raster_single_quad_closed_form():
 
     with pytest.raises(RuntimeError):
         r.segmask_tensor()
+
+
+def test_heterogeneous_fov_two_cameras():
+    """Two cameras in one world with different per-view fov render
+    distinct, closed-form frustums (VERDICT r1 #10)."""
+    verts, uvs, idx = _quad_mesh(2.5)
+    # fov 2*atan(1/2) ≈ 53.13°: tan = 0.5, so the quad's footprint doubles
+    # in ndc relative to the default fov 90 (tan = 1).
+    import math
+
+    narrow_fov = math.degrees(2.0 * math.atan(0.5))
+    r = m.MadronaRenderer(
+        gpu_id=0,
+        num_worlds=1,
+        render_mode=m.RenderMode.Raytracer,
+        batch_render_view_width=RES,
+        batch_render_view_height=RES,
+        mesh_vertices=verts,
+        mesh_uvs=uvs,
+        mesh_indices=idx,
+        mesh_vertex_offsets=np.array([0], np.uint32),
+        mesh_indices_offsets=np.array([0], np.uint32),
+        mesh_materials=np.array([0], np.int32),
+        materials=[m.AdditionalMaterial(color=QUAD_COLOR, texture_id=-1)],
+        # Quad at distance 10: a/d = 0.25.
+        instances=[
+            m.ImportedInstance(
+                position=[0.0, 10.0, 0.0], rotation=[1, 0, 0, 0], object_id=0
+            )
+        ],
+        cameras=[
+            m.ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0]),
+            m.ImportedCamera(
+                position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                fov_y_degrees=narrow_fov,
+            ),
+        ],
+        worlds=[
+            m.WorldInit(
+                num_instances=1, instance_offset=0, num_cameras=2,
+                camera_offset=0,
+            )
+        ],
+    )
+    seg = r.segmask_tensor().numpy()  # [2, RES, RES]
+    # Camera 0 (fov 90, tan 1): hit iff |ndc| <= 1/4 → 16×16 block 24..39.
+    np.testing.assert_array_equal(seg[0] == 0, _block(0.25))
+    # Camera 1 (tan 1/2): hit iff |ndc|/2 <= 1/4 → 32×32 block 16..47.
+    np.testing.assert_array_equal(seg[1] == 0, _block(0.5))
+
+
+def test_per_camera_znear_culls():
+    """A camera whose znear lies beyond the whole quad sees nothing; the
+    default camera still sees it."""
+    verts, uvs, idx = _quad_mesh(2.5)
+    r = m.MadronaRenderer(
+        gpu_id=0,
+        num_worlds=1,
+        render_mode=m.RenderMode.Raytracer,
+        batch_render_view_width=RES,
+        batch_render_view_height=RES,
+        mesh_vertices=verts,
+        mesh_uvs=uvs,
+        mesh_indices=idx,
+        mesh_vertex_offsets=np.array([0], np.uint32),
+        mesh_indices_offsets=np.array([0], np.uint32),
+        mesh_materials=np.array([0], np.int32),
+        materials=[m.AdditionalMaterial(color=QUAD_COLOR, texture_id=-1)],
+        instances=[QUAD_AT_5],
+        cameras=[
+            m.ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0]),
+            # Max hit distance is 5·√1.5 ≈ 6.12 < 7 → everything pre-near.
+            m.ImportedCamera(
+                position=[0, 0, 0], rotation=[1, 0, 0, 0], znear=7.0
+            ),
+        ],
+        worlds=[
+            m.WorldInit(
+                num_instances=1, instance_offset=0, num_cameras=2,
+                camera_offset=0,
+            )
+        ],
+    )
+    seg = r.segmask_tensor().numpy()
+    np.testing.assert_array_equal(seg[0] == 0, _block(0.5))
+    np.testing.assert_array_equal(seg[1], -1)
+
+
+def test_raster_near_plane_zbuffer_semantics():
+    """z-buffer near-plane semantics (ADVICE r1 low): geometry nearer than
+    znear is clipped BEFORE the depth competition — a pre-near occluder
+    must not blank pixels where an in-range fragment exists behind it."""
+    verts, uvs, idx = _quad_mesh(2.5)
+    r = m.MadronaRenderer(
+        gpu_id=0,
+        num_worlds=1,
+        render_mode=m.RenderMode.Rasterizer,
+        batch_render_view_width=RES,
+        batch_render_view_height=RES,
+        mesh_vertices=verts,
+        mesh_uvs=uvs,
+        mesh_indices=idx,
+        mesh_vertex_offsets=np.array([0], np.uint32),
+        mesh_indices_offsets=np.array([0], np.uint32),
+        mesh_materials=np.array([0], np.int32),
+        materials=[m.AdditionalMaterial(color=QUAD_COLOR, texture_id=-1)],
+        instances=[
+            QUAD_AT_5,
+            # Pre-near occluder: covers the whole image (a/d = 1.25) but
+            # sits at z = 0.5 < znear = 1.
+            m.ImportedInstance(
+                position=[0.0, 0.5, 0.0],
+                rotation=[1, 0, 0, 0],
+                scale=[0.25, 0.25, 0.25],
+                object_id=0,
+            ),
+        ],
+        cameras=[
+            m.ImportedCamera(
+                position=[0, 0, 0], rotation=[1, 0, 0, 0], znear=1.0
+            )
+        ],
+        worlds=[
+            m.WorldInit(
+                num_instances=2, instance_offset=0, num_cameras=1,
+                camera_offset=0,
+            )
+        ],
+    )
+    depth = r.depth_tensor().numpy()[0, ..., 0]
+    block = _block(0.5)
+    # The back quad (z = 5) must be visible through the clipped occluder.
+    np.testing.assert_allclose(depth[block], 5.0, rtol=1e-5)
+    np.testing.assert_array_equal(depth[~block], 0.0)
