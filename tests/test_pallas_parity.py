@@ -287,3 +287,112 @@ def test_parity_per_camera_fov_znear():
     np.testing.assert_allclose(
         np.asarray(a.depth), np.asarray(b.depth), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_parity_mxu_random_scenes(seed):
+    """Fuzz the batched (MXU) kernel against the jnp reference — same
+    scene generator as the scalar-kernel fuzz."""
+    rng = np.random.default_rng(1000 + seed)
+    n_meshes = int(rng.integers(1, 4))
+    meshes = [
+        (rng.normal(size=(int(rng.integers(1, 7)) * 3, 3)) * 5).astype(np.float32)
+        for _ in range(n_meshes)
+    ]
+    instances = [
+        ImportedInstance(
+            position=rng.normal(size=3).tolist(),
+            rotation=(lambda q: (q / np.linalg.norm(q)).tolist())(rng.normal(size=4)),
+            scale=rng.uniform(0.5, 2.0, size=3).tolist(),
+            object_id=int(rng.integers(0, n_meshes)),
+        )
+        for _ in range(int(rng.integers(1, 5)))
+    ]
+    cameras = [
+        ImportedCamera(
+            position=(rng.normal(size=3) * 3 + [0, -12, 0]).tolist(),
+            rotation=(lambda q: (q / np.linalg.norm(q)).tolist())(
+                rng.normal(size=4) * 0.2 + [1, 0, 0, 0]
+            ),
+        )
+        for _ in range(int(rng.integers(1, 3)))
+    ]
+    state, scene = build(meshes, instances, cameras)
+    a = rt_ref(state, scene, height=32, width=32)
+    b = rt_pal(state, scene, height=32, width=32, interpret=True, accel="mxu")
+    _assert_frames_equal(a, b)
+
+
+def test_parity_mxu_multichunk_and_modes():
+    """MXU kernel with >1 triangle chunk (S_pad > k_chunk exercises the
+    chunk carry/merge), non-aligned resolution, textured scene (unshaded
+    variant), raster mode, and heterogeneous per-camera fov/znear."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(42)
+    # 300 triangles → S_pad 384 with k_chunk 128 → 3 chunks.
+    centers = rng.uniform(-8, 8, size=(300, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(5, 30, size=300)
+    tris = []
+    for c in centers:
+        tris += [c + rng.normal(size=3) * 0.5 for _ in range(3)]
+    mesh = np.asarray(tris, np.float32)
+    state, scene = build(
+        [mesh, quad_xz(half=50.0, y=0.0)],
+        [
+            ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0], object_id=0),
+            ImportedInstance(position=[0, 35, 0], rotation=[1, 0, 0, 0], object_id=1),
+        ],
+        [
+            cam_at_origin_looking_plus_y(),
+            ImportedCamera(position=[0, -5, 2], rotation=[1, 0, 0, 0],
+                           fov_y_degrees=60.0, znear=2.0),
+        ],
+    )
+    a = rt_ref(state, scene, height=24, width=40)
+    b = rt_pal(state, scene, height=24, width=40, interpret=True, accel="mxu")
+    _assert_frames_equal(a, b)
+
+    from madrona_renderer_tpu.ops.raster_pallas import rasterize as rast_pal
+    from madrona_renderer_tpu.ops.raster_ref import rasterize as rast_ref
+
+    a = rast_ref(state, scene, height=24, width=40)
+    b = rast_pal(state, scene, height=24, width=40, interpret=True, accel="mxu")
+    rgb_a = np.asarray(a.rgb).astype(np.int16)
+    rgb_b = np.asarray(b.rgb).astype(np.int16)
+    assert np.abs(rgb_a - rgb_b).max() <= 1
+    np.testing.assert_allclose(
+        np.asarray(a.depth), np.asarray(b.depth), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_parity_mxu_textured():
+    """Textured scene drives the unshaded (9-output) variant of the MXU
+    kernel: uv/mat/normal outputs must match the reference epilogue."""
+    import os
+
+    from madrona_renderer_tpu.assets.png import write_png
+    from madrona_renderer_tpu.config import AdditionalMaterial
+
+    from tests.fixtures import make_checker_png
+    from tests.helpers import quad_uvs
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tex = os.path.join(td, "checker.png")
+        write_png(tex, make_checker_png())
+        state, scene = build(
+            [quad_xz(half=20.0, y=0.0)],
+            [ImportedInstance(position=[0, 15, 0], rotation=[1, 0, 0, 0], object_id=0)],
+            [cam_at_origin_looking_plus_y()],
+            uvs=[quad_uvs()],
+            mesh_materials=[0],
+            additional_mats=[AdditionalMaterial(color=[1, 1, 1, 1], texture_id=0)],
+            additional_textures=[tex],
+        )
+        a = rt_ref(state, scene, height=32, width=32)
+        b = rt_pal(state, scene, height=32, width=32, interpret=True, accel="mxu")
+        _assert_frames_equal(a, b)
