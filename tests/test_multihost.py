@@ -28,6 +28,10 @@ def test_two_process_distributed_fleet():
         for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
+    # sys.path[0] for `python tests/_multihost_worker.py` is tests/, not the
+    # repo root, so the package is only importable if installed — make the
+    # worker independent of an editable install.
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(port), str(pid)],
