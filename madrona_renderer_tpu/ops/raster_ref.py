@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..core.frames import Frames
 from ..core.scene import SceneData
 from ..core.state import SimState
+from ..utils.precision import f32_precise
 from .quat import quat_rotate
 from .raytrace_ref import (
     build_world_soup,
@@ -49,6 +50,7 @@ from .raytrace_ref import (
 
 
 @partial(jax.jit, static_argnames=("height", "width", "fov_y_degrees", "chunk", "texture_filter"))
+@f32_precise
 def rasterize(
     state: SimState,
     scene: SceneData,

@@ -49,14 +49,30 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.frames import Frames
 from ..core.scene import SceneData
 from ..core.state import SimState
+from ..utils.precision import f32_precise
 from .quat import quat_rotate
 from .raytrace_ref import _EPS_BARY, _EPS_DET, build_world_soup
 from .shade import packed_to_rgba8, shade_lambert_planar
 
-# Pixel tile: one f32 VPU tile.
+# Pixel tile. The lane dim is fixed at the VPU width; the sublane count is
+# chosen per call (see _pick_tile_sub): larger tiles amortize the
+# per-triangle scalar SMEM reads and loop overhead over more pixels —
+# measured on v5e (demo scene, 4096 worlds): 8→250k, 16→332k, 32→473k,
+# 64→227k f/s at 64×64 (64 spills registers), so 32 is the cap.
 _TILE_SUB = 8
 _TILE_LANE = 128
 _TILE_PIX = _TILE_SUB * _TILE_LANE
+_MAX_TILE_SUB = 32
+
+
+def _pick_tile_sub(n_pixels: int) -> int:
+    """Largest power-of-two sublane count ≤ 32 that the image actually
+    fills (small images keep small tiles so padding lanes aren't swept)."""
+    need = -(-n_pixels // _TILE_LANE)
+    sub = _TILE_SUB
+    while sub < _MAX_TILE_SUB and sub < need:
+        sub *= 2
+    return sub
 
 # Triangle SoA rows in the SMEM block (see _pack_tris):
 # v0(3) e1(3) e2(3) valid(1) uv0(2) duv1(2) duv2(2) n0(3) dn1(3) dn2(3) mat(1)
@@ -198,6 +214,7 @@ def _render_kernel(
     dma_tris: bool = False,
     num_cams: int = 1,
     ordered: bool = False,
+    tile_sub: int = _TILE_SUB,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With shaded=True (untextured scenes), shading happens in-kernel and the
@@ -246,9 +263,9 @@ def _render_kernel(
         near = cam_ref[0, 0, 20]  # t-space (rt) or z-space (raster) near
         far = cam_ref[0, 0, 21]  # t-space search window upper bound
 
-        sub = jax.lax.broadcasted_iota(jnp.int32, (_TILE_SUB, _TILE_LANE), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_TILE_SUB, _TILE_LANE), 1)
-        p = r * _TILE_PIX + sub * _TILE_LANE + lane
+        sub = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 1)
+        p = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
         px = (p % width).astype(jnp.float32)
         py = (p // width).astype(jnp.float32)
         a = ((px + 0.5) * (2.0 / width) - 1.0) * tan_x
@@ -269,10 +286,10 @@ def _render_kernel(
         else:
             t_lo = near
 
-        zero = jnp.zeros((_TILE_SUB, _TILE_LANE), jnp.float32)
+        zero = jnp.zeros((tile_sub, _TILE_LANE), jnp.float32)
         init = (
-            jnp.full((_TILE_SUB, _TILE_LANE), jnp.inf, jnp.float32),  # best_t
-            jnp.full((_TILE_SUB, _TILE_LANE), -1, jnp.int32),  # best_idx
+            jnp.full((tile_sub, _TILE_LANE), jnp.inf, jnp.float32),  # best_t
+            jnp.full((tile_sub, _TILE_LANE), -1, jnp.int32),  # best_idx
             zero,  # mat (as f32)
             zero,  # uvx
             zero,  # uvy
@@ -519,6 +536,7 @@ def _batched_kernel(
     num_cams: int = 1,
     k_chunk: int = 512,
     prepass_once: bool = True,
+    tile_sub: int = _TILE_SUB,
 ):
     """Batched (MXU) kernel factory — the round-2 intersection engine.
 
@@ -615,9 +633,9 @@ def _batched_kernel(
             pre_ref[9:10, :] = e2x * bx + e2y * by + e2z * bz
 
         # ---- In-kernel ray generation (same as the scalar kernel) ------- #
-        sub = jax.lax.broadcasted_iota(jnp.int32, (_TILE_SUB, _TILE_LANE), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_TILE_SUB, _TILE_LANE), 1)
-        p = r * _TILE_PIX + sub * _TILE_LANE + lane
+        sub = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 1)
+        p = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
         px = (p % width).astype(jnp.float32)
         py = (p // width).astype(jnp.float32)
         a = ((px + 0.5) * (2.0 / width) - 1.0) * tan_x
@@ -652,7 +670,7 @@ def _batched_kernel(
             lcg = cam_ref[0, 0, 18]
             lcb = cam_ref[0, 0, 19]
 
-        for i in range(_TILE_SUB):
+        for i in range(tile_sub):
             dxr = dx[i : i + 1, :]  # [1, 128]
             dyr = dy[i : i + 1, :]
             dzr = dz[i : i + 1, :]
@@ -660,15 +678,16 @@ def _batched_kernel(
             ones = jnp.ones((1, _TILE_LANE), jnp.float32)
             d4 = jnp.concatenate([dxr, dyr, dzr, ones], axis=0)  # [4, 128]
             # rhs [10, 512] block-diagonal: row j of band c carries the
-            # direction component j − 3c (zero outside its band).
-            rhs = jnp.zeros((10, 4 * _TILE_LANE), jnp.float32)
+            # direction component j − 3c (zero outside its band). Built by
+            # row-concat — .at[].set() on a value lowers to `scatter`,
+            # which Mosaic does not implement.
             dcat = jnp.concatenate([d4] * 4, axis=1)  # [4, 512] periodic d
-            for row in range(9):
-                comp, band_idx = row % 3, row // 3
-                rhs = rhs.at[row : row + 1, :].set(
-                    jnp.where(blk == band_idx, dcat[comp : comp + 1, :], 0.0)
-                )
-            rhs = rhs.at[9:10, :].set(jnp.where(blk == 3, 1.0, 0.0))
+            rows = [
+                jnp.where(blk == row // 3, dcat[row % 3 : row % 3 + 1, :], 0.0)
+                for row in range(9)
+            ]
+            rows.append(jnp.where(blk == 3, 1.0, 0.0))
+            rhs = jnp.concatenate(rows, axis=0)  # [10, 512]
 
             def chunk_body(k, carry):
                 best_t, best_gi = carry
@@ -836,8 +855,10 @@ def render_core(
         accel == "auto" and S >= 16 and n_clusters_total >= 2
     )
 
-    n_tiles = -(-P // _TILE_PIX)
-    p_pad = n_tiles * _TILE_PIX
+    tile_sub = _pick_tile_sub(P)
+    tile_pix = tile_sub * _TILE_LANE
+    n_tiles = -(-P // tile_pix)
+    p_pad = n_tiles * tile_pix
 
     # Untextured scenes shade in-kernel: 4 outputs instead of 9 and no
     # XLA shading epilogue (static check on the texel-pool shape).
@@ -856,10 +877,10 @@ def render_core(
         (1, 1, _N_CAM_COLS), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
     )
     out_spec = pl.BlockSpec(
-        (1, _TILE_SUB, _TILE_LANE), lambda wc, r: (wc, r, 0), memory_space=pltpu.VMEM
+        (1, tile_sub, _TILE_LANE), lambda wc, r: (wc, r, 0), memory_space=pltpu.VMEM
     )
-    f32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((WC, n_tiles * _TILE_SUB, _TILE_LANE), jnp.int32)
+    f32 = jax.ShapeDtypeStruct((WC, n_tiles * tile_sub, _TILE_LANE), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((WC, n_tiles * tile_sub, _TILE_LANE), jnp.int32)
     if shaded:
         out_shape = [f32, f32, i32, i32]
         out_specs = [out_spec] * 4
@@ -883,7 +904,7 @@ def render_core(
         kernel = _batched_kernel(
             s_pad, width, height, n_tiles,
             shaded=shaded, raster_clip=raster_clip, num_cams=C,
-            k_chunk=k_chunk, prepass_once=not interpret,
+            k_chunk=k_chunk, prepass_once=not interpret, tile_sub=tile_sub,
         )
         tri_spec_vmem = pl.BlockSpec(
             (1, _N_TRI_ROWS, s_pad),
@@ -916,7 +937,7 @@ def render_core(
             S, width, height, n_tiles,
             cluster_size=cluster_size, n_clusters=cc,
             shaded=shaded, raster_clip=raster_clip, dma_tris=dma_tris,
-            num_cams=C, ordered=ordered,
+            num_cams=C, ordered=ordered, tile_sub=tile_sub,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -961,7 +982,8 @@ def render_core(
                 "budget; use accel='clusters' (streams triangles via DMA)"
             )
         kernel = _render_kernel(
-            S, width, height, n_tiles, shaded=shaded, raster_clip=raster_clip
+            S, width, height, n_tiles, shaded=shaded, raster_clip=raster_clip,
+            tile_sub=tile_sub,
         )
         outs = pl.pallas_call(
             kernel,
@@ -1026,6 +1048,7 @@ def _frames_from_core(core, T, scene, state, height, width, texture_filter,
         "texture_filter", "accel",
     ),
 )
+@f32_precise
 def raytrace(
     state: SimState,
     scene: SceneData,
@@ -1059,6 +1082,7 @@ def raytrace(
         "texture_filter", "accel",
     ),
 )
+@f32_precise
 def rasterize(
     state: SimState,
     scene: SceneData,

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..core.frames import Frames
 from ..core.scene import SceneData
 from ..core.state import SimState
+from ..utils.precision import f32_precise
 from .quat import quat_rotate
 from .shade import shade_lambert
 
@@ -347,6 +348,7 @@ def _gather_soup(soup_field: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=("height", "width", "fov_y_degrees", "chunk", "texture_filter"),
 )
+@f32_precise
 def raytrace(
     state: SimState,
     scene: SceneData,

@@ -1,0 +1,140 @@
+"""On-chip pixel parity: compiled Pallas kernel (real TPU mosaic) vs the
+jnp reference renderer, on the demo scene at several resolutions.
+
+CPU interpret-mode parity is covered by tests/test_pallas_parity.py (strict
+±1 LSB); this covers the actual hardware lowering (tile shapes, SMEM reads,
+prepass scratch persistence). Run after any kernel change, before recording
+bench numbers.
+
+On hardware the criterion is edge-aware: two different TPU programs (XLA
+vs Mosaic codegen) round f32 differently (e.g. divides via refined
+reciprocals), so a knife-edge silhouette pixel can flip between the two
+surfaces competing at a depth discontinuity. Verified root cause (demo
+scene, pixel w0(31,27)): ref and kernel ray directions are BITWISE equal,
+f64 ground truth puts the hit at u+v = 0.99944 (inside by 5e-4), the
+kernel agrees with f64 and the jnp-on-TPU path does not. Criterion here:
+  - every mismatching pixel must be an edge race — the value each side
+    produced appears in the other side's 3×3 neighborhood, and
+  - mismatches total < 0.1% of pixels.
+
+Usage: python -u tools/tpu_parity_check.py [--worlds 8] [--res 64 128 96]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int, default=8)
+    ap.add_argument("--res", type=int, nargs="*", default=[64, 128, 96])
+    ap.add_argument("--modes", nargs="*", default=["rt", "rast"])
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    log(f"devices: {jax.devices()}")
+
+    def neighborhood_match(a, b):
+        """True per pixel where some 3×3-neighbor of b equals a exactly
+        (leading dims batch; trailing 2 or 3 dims are H, W[, channels])."""
+        if a.ndim == b.ndim == 4:  # W, C, H, Wd
+            a = a[..., None]
+            b = b[..., None]
+        out = np.zeros(a.shape[:-1], bool)
+        H = a.shape[-3]
+        Wd = a.shape[-2]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                sb = np.roll(np.roll(b, dy, axis=-3), dx, axis=-2)
+                eq = (a == sb).all(axis=-1)
+                # roll wraps; mask the wrapped border
+                ys = np.arange(H)
+                xs = np.arange(Wd)
+                oky = (ys - dy >= 0) & (ys - dy < H)
+                okx = (xs - dx >= 0) & (xs - dx < Wd)
+                eq &= oky[:, None] & okx[None, :]
+                out |= eq
+        return out
+
+    def edge_aware_ok(got, want, name, res):
+        g = np.asarray(got)
+        w = np.asarray(want)
+        if g.ndim == 5:  # rgb [W,C,H,Wd,4]
+            exact = (g == w).all(axis=-1)
+        elif np.issubdtype(g.dtype, np.floating):
+            # ulp-scale relative tolerance: far hits (t ~ 1e3) legitimately
+            # differ by ~1e-3 absolute between the two codegens.
+            exact = np.abs(g - w) <= np.maximum(1e-3, 1e-5 * np.abs(w))
+        else:
+            exact = g == w
+        bad = ~exact
+        n_bad = int(bad.sum())
+        frac = n_bad / exact.size
+        if n_bad == 0:
+            log(f"  {name}: exact")
+            return True
+        # Edge race: got's value must exist in want's 3x3 neighborhood
+        # and vice versa.
+        if g.ndim == 4:
+            race = neighborhood_match(g, w) & neighborhood_match(w, g)
+        else:
+            race = neighborhood_match(g, w) & neighborhood_match(w, g)
+        non_edge = int((bad & ~race).sum())
+        ok = frac < 1e-3 and non_edge == 0
+        log(
+            f"  {name}: {n_bad} mismatched px ({100*frac:.4f}%), "
+            f"{non_edge} not explainable as edge races -> "
+            f"{'OK' if ok else 'FAIL'}"
+        )
+        return ok
+
+    from bench import build
+    from madrona_renderer_tpu.ops import raster_pallas, raster_ref
+    from madrona_renderer_tpu.ops import raytrace_pallas, raytrace_ref
+
+    failures = 0
+    for res in args.res:
+        for mode in args.modes:
+            state, scene, cfg = build(args.worlds, mode, res, res, "pallas")
+            if mode == "rt":
+                near = cfg.near_plane
+                got = raytrace_pallas.raytrace(
+                    state, scene, height=res, width=res, near=near,
+                    far=cfg.far_plane)
+                want = raytrace_ref.raytrace(
+                    state, scene, height=res, width=res, near=near,
+                    far=cfg.far_plane)
+            else:
+                near = cfg.raster_near_plane
+                got = raster_pallas.rasterize(
+                    state, scene, height=res, width=res, near=near,
+                    far=cfg.far_plane)
+                want = raster_ref.rasterize(
+                    state, scene, height=res, width=res, near=near,
+                    far=cfg.far_plane)
+            log(f"res={res} mode={mode}:")
+            ok = edge_aware_ok(got.rgb, want.rgb, "rgb", res)
+            ok &= edge_aware_ok(got.depth, want.depth, "depth", res)
+            ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", res)
+            failures += not ok
+    if failures:
+        log(f"{failures} FAILURES")
+        return 1
+    log("all parity checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
