@@ -64,6 +64,11 @@ _TILE_LANE = 128
 _TILE_PIX = _TILE_SUB * _TILE_LANE
 _MAX_TILE_SUB = 32
 
+# In-kernel texture sampling budget: the texel-pool row-select sweep costs
+# ~10 VPU ops per row per tile, so cap the pool at 128 rows (16,384 texels)
+# — beyond that the XLA gather epilogue wins back.
+_TEX_INKERNEL_MAX_ROWS = 128
+
 
 def _pick_tile_sub(n_pixels: int) -> int:
     """Largest power-of-two sublane count ≤ 32 that the image actually
@@ -215,16 +220,23 @@ def _render_kernel(
     num_cams: int = 1,
     ordered: bool = False,
     tile_sub: int = _TILE_SUB,
+    textured: bool = False,
+    tex_rows: int = 0,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With shaded=True (untextured scenes), shading happens in-kernel and the
     outputs shrink to (t, z, idx, packed rgb) — no XLA shading epilogue and
-    5 fewer pixel-sized output arrays. With dma_tris=True (large meshes:
-    the triangle SoA exceeds SMEM), triangles stay in HBM and each program
-    DMAs only the clusters that pass its tile's AABB test into an SMEM
-    scratch slab."""
+    5 fewer pixel-sized output arrays. With textured=True the same 4-output
+    contraction applies to textured scenes: nearest-filter texture sampling
+    happens in-kernel via ``tpu.dynamic_gather`` lane-gathers (per-material
+    params by mat id, then a row-select sweep over the VMEM texel pool —
+    ``tex_rows`` rows of 128 texels per channel plane). With dma_tris=True
+    (large meshes: the triangle SoA exceeds SMEM), triangles stay in HBM
+    and each program DMAs only the clusters that pass its tile's AABB test
+    into an SMEM scratch slab."""
     culled = cluster_size > 0
     assert not dma_tris or culled, "DMA triangle streaming requires clusters"
+    assert not (shaded and textured)
 
     def kernel(*refs):
         scratch = sem = None
@@ -237,7 +249,10 @@ def _render_kernel(
             tri_ref, cl_ref, cam_ref, *rest = refs
         else:
             tri_ref, cam_ref, *rest = refs
-        if shaded:
+        mp_ref = pool_ref = None
+        if textured:
+            mp_ref, pool_ref, *rest = rest
+        if shaded or textured:
             t_ref, z_ref, idx_ref, rgb_ref = rest
         else:
             t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = rest
@@ -514,6 +529,98 @@ def _render_kernel(
 
             alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
             packed = chan(bmat, lcr) | (chan(buvx, lcg) << 8) | (chan(buvy, lcb) << 16) | alpha
+            rgb_ref[0] = packed
+        elif textured:
+            # ---- In-kernel nearest-filter texture sampling + shading.
+            # Per-pixel material params come from [8, 128] lane-gathers by
+            # mat id (lanes = materials); the texel itself from a
+            # row-select sweep over the [3*tex_rows, 128] channel-planar
+            # pool — exact f32 texels, so results match the XLA epilogue
+            # (shade_lambert_planar) to the bit.
+            from .shade import AMBIENT
+
+            lx = cam_ref[0, 0, 14]
+            ly = cam_ref[0, 0, 15]
+            lz = cam_ref[0, 0, 16]
+            lcr = cam_ref[0, 0, 17]
+            lcg = cam_ref[0, 0, 18]
+            lcb = cam_ref[0, 0, 19]
+
+            matv = bmat.astype(jnp.int32)
+
+            def mparam(row):
+                return jnp.take_along_axis(
+                    jnp.broadcast_to(mp_ref[row : row + 1, :], matv.shape),
+                    matv,
+                    axis=1,
+                )
+
+            base_r = mparam(0)
+            base_g = mparam(1)
+            base_b = mparam(2)
+            off_f = mparam(3)
+            wf = mparam(4)
+            hf = mparam(5)
+            w_i = wf.astype(jnp.int32)
+            h_i = hf.astype(jnp.int32)
+            uu = buvx - jnp.floor(buvx)  # repeat wrap
+            vv = buvy - jnp.floor(buvy)
+            # OBJ/GL convention: v grows upward; texel row 0 = image top
+            # (matches shade.sample_texture_nearest exactly).
+            tx = jnp.clip((uu * wf).astype(jnp.int32), 0, w_i - 1)
+            ty = jnp.clip(((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1)
+            flat = off_f.astype(jnp.int32) + ty * w_i + tx
+            sub_row = flat // _TILE_LANE
+            lane_i = flat % _TILE_LANE
+
+            # Row-select sweep over the u32-packed pool: one gather/row.
+            texel = jnp.zeros_like(lane_i)
+            for rr in range(tex_rows):
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(pool_ref[rr : rr + 1, :], lane_i.shape),
+                    lane_i,
+                    axis=1,
+                )
+                texel = jnp.where(sub_row == rr, g, texel)
+
+            # Exact u8 → f32 dequant via the k/255 LUT in mp rows 6-7
+            # (Mosaic f32 divide misrounds; the LUT is host-exact; the
+            # exact-split trick k/255 = (k&127)/255 + 128/255 misrounds for
+            # 32 of 256 k — verified — so two rows it is). k & 127 indexes
+            # both rows: the hi gather's result is dead when k < 128.
+            lut_lo = jnp.broadcast_to(mp_ref[6:7, :], lane_i.shape)
+            lut_hi = jnp.broadcast_to(mp_ref[7:8, :], lane_i.shape)
+
+            def dequant(k):
+                k7 = k & (_TILE_LANE - 1)
+                lo = jnp.take_along_axis(lut_lo, k7, axis=1)
+                hi = jnp.take_along_axis(lut_hi, k7, axis=1)
+                return jnp.where(k < _TILE_LANE, lo, hi)
+
+            base_r = base_r * dequant(texel & 255)
+            base_g = base_g * dequant((texel >> 8) & 255)
+            base_b = base_b * dequant((texel >> 16) & 255)
+
+            n_inv = jax.lax.rsqrt(
+                jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
+            )
+            ndotl = jnp.maximum(0.0, -(bnx * lx + bny * ly + bnz * lz) * n_inv)
+            hit = best_idx >= 0
+            if raster_clip:
+                hit = hit & (z < cam_ref[0, 0, 22])
+
+            def chan_t(base, lc):
+                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * ndotl * lc), 0.0, 1.0)
+                c = jnp.where(hit, c, 0.0)
+                return (c * 255.0 + 0.5).astype(jnp.int32)
+
+            alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
+            packed = (
+                chan_t(base_r, lcr)
+                | (chan_t(base_g, lcg) << 8)
+                | (chan_t(base_b, lcb) << 16)
+                | alpha
+            )
             rgb_ref[0] = packed
         else:
             mat_ref[0] = bmat.astype(jnp.int32)
@@ -824,9 +931,11 @@ def render_core(
     interpret: bool = False,
     accel: str = "auto",
     raster_clip: bool = False,
+    texture_filter: str = "nearest",
 ):
     """Run the kernel over all views. Returns dict of [W, C, P] arrays:
-    (t, z, idx, rgb) when the scene is untextured (in-kernel shading), else
+    (t, z, idx, rgb) when the scene is untextured (in-kernel shading) or
+    textured with in-kernel nearest sampling, else
     (t, z, idx, mat, uvx, uvy, nx, ny, nz)."""
     soup = build_world_soup(state, scene)
     W, C = state.camera_pos.shape[:2]
@@ -864,6 +973,65 @@ def render_core(
     # XLA shading epilogue (static check on the texel-pool shape).
     shaded = int(scene.tex_data.shape[0]) == 1
 
+    # Textured scenes also shade in-kernel when the texel pool fits the
+    # row-select gather budget (nearest filter only; the mxu path keeps
+    # the planar epilogue). Beyond the budget the per-sample select sweep
+    # would rival the intersection sweep itself — fall back to XLA.
+    n_texels = int(scene.tex_data.shape[0])
+    n_mats = int(scene.mat_color.shape[0])
+    tex_rows = -(-n_texels // _TILE_LANE)
+    tex_inkernel = (
+        not shaded
+        and accel != "mxu"
+        and texture_filter == "nearest"
+        and tex_rows <= _TEX_INKERNEL_MAX_ROWS
+        and n_mats <= _TILE_LANE
+    )
+    if tex_inkernel:
+        # Per-material param table [8, 128] (lanes = materials):
+        # rows 0-2 base color rgb, 3 texel-pool offset, 4 width, 5 height
+        # (all exact in f32: offsets < 2^24); rows 6-7 the 256-entry
+        # k → k/255 dequant LUT (see pool packing below).
+        tex_off = scene.tex_offset[scene.mat_tex].astype(jnp.float32)
+        tex_w = scene.tex_width[scene.mat_tex].astype(jnp.float32)
+        tex_h = scene.tex_height[scene.mat_tex].astype(jnp.float32)
+        mp_rows = jnp.stack(
+            [scene.mat_color[:, 0], scene.mat_color[:, 1],
+             scene.mat_color[:, 2], tex_off, tex_w, tex_h]
+        )  # [6, n_mats]
+        mp = jnp.pad(mp_rows, ((0, 0), (0, _TILE_LANE - n_mats)))
+        lut = (
+            jnp.arange(256, dtype=jnp.float32) / 255.0
+        ).reshape(2, _TILE_LANE)
+        mp = jnp.concatenate([mp, lut], axis=0)  # [8, 128]
+        # Texel pool packed u8 rgb → one i32 per texel, [tex_rows, 128].
+        # Texels are k/255 by construction (all loaders decode to RGBA8 —
+        # core/scene.py bakes tex_data = u8/255), so the u8 round-trip is
+        # exact; the kernel dequantizes through the LUT (NOT a divide —
+        # Mosaic f32 division is ~1 ulp off, measured: every k/255 for
+        # k in 1..255 misrounds) so in-kernel texels match the XLA
+        # epilogue's f32 texels bit-for-bit.
+        q = (scene.tex_data * 255.0 + 0.5).astype(jnp.int32)  # [T, 4]
+        packed = q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+        flat_pad = tex_rows * _TILE_LANE - n_texels
+        pool = jnp.pad(packed, (0, flat_pad)).reshape(tex_rows, _TILE_LANE)
+        pool_rows_pad = -(-tex_rows // 8) * 8
+        if pool_rows_pad != tex_rows:
+            pool = jnp.pad(pool, ((0, pool_rows_pad - tex_rows), (0, 0)))
+        mp_spec = pl.BlockSpec(
+            (8, _TILE_LANE), lambda wc, r: (0, 0), memory_space=pltpu.VMEM
+        )
+        pool_spec = pl.BlockSpec(
+            (pool_rows_pad, _TILE_LANE),
+            lambda wc, r: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        tex_in_specs = [mp_spec, pool_spec]
+        tex_inputs = (mp, pool)
+    else:
+        tex_in_specs = []
+        tex_inputs = ()
+
     tris = _pack_tris(soup, scene)  # [W, 29, S]
     cams = _pack_cams(
         state, scene, width, height, eff_fov, eff_near, far_t, far_z
@@ -881,7 +1049,7 @@ def render_core(
     )
     f32 = jax.ShapeDtypeStruct((WC, n_tiles * tile_sub, _TILE_LANE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((WC, n_tiles * tile_sub, _TILE_LANE), jnp.int32)
-    if shaded:
+    if shaded or tex_inkernel:
         out_shape = [f32, f32, i32, i32]
         out_specs = [out_spec] * 4
     else:
@@ -938,6 +1106,7 @@ def render_core(
             cluster_size=cluster_size, n_clusters=cc,
             shaded=shaded, raster_clip=raster_clip, dma_tris=dma_tris,
             num_cams=C, ordered=ordered, tile_sub=tile_sub,
+            textured=tex_inkernel, tex_rows=tex_rows,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -947,11 +1116,11 @@ def render_core(
         )
         if ordered:
             perm = camera_cluster_order(cl_lo, cl_hi, cl_valid, state.camera_pos)
-            extra_in_specs = [cl_spec, perm_spec, cam_spec]
-            extra_inputs = (cl, perm, cams)
+            extra_in_specs = [cl_spec, perm_spec, cam_spec] + tex_in_specs
+            extra_inputs = (cl, perm, cams) + tex_inputs
         else:
-            extra_in_specs = [cl_spec, cam_spec]
-            extra_inputs = (cl, cams)
+            extra_in_specs = [cl_spec, cam_spec] + tex_in_specs
+            extra_inputs = (cl, cams) + tex_inputs
         if dma_tris:
             # Pad the lane dim so the 128-aligned DMA window of the last
             # cluster never overruns the array.
@@ -983,21 +1152,21 @@ def render_core(
             )
         kernel = _render_kernel(
             S, width, height, n_tiles, shaded=shaded, raster_clip=raster_clip,
-            tile_sub=tile_sub,
+            tile_sub=tile_sub, textured=tex_inkernel, tex_rows=tex_rows,
         )
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec, cam_spec],
+            in_specs=[tri_spec, cam_spec] + tex_in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(tris, cams)
+        )(tris, cams, *tex_inputs)
 
     def unpack(x):
         return x.reshape(WC, p_pad)[:, :P].reshape(W, C, P)
 
-    if shaded:
+    if shaded or tex_inkernel:
         names = ["t", "z", "idx", "rgb"]
         outs = list(outs)
         outs[3] = jax.lax.bitcast_convert_type(outs[3], jnp.uint32)
@@ -1069,6 +1238,7 @@ def raytrace(
     core, T = render_core(
         state, scene, height=height, width=width, near=near, far=far,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
+        texture_filter=texture_filter,
     )
     return _frames_from_core(
         core, T, scene, state, height, width, texture_filter, depth_key="t"
@@ -1103,7 +1273,7 @@ def rasterize(
     core, T = render_core(
         state, scene, height=height, width=width, near=near, far=far,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
-        raster_clip=True,
+        raster_clip=True, texture_filter=texture_filter,
     )
     return _frames_from_core(
         core, T, scene, state, height, width, texture_filter,

@@ -12,6 +12,7 @@ files needed. The viewer's hardcoded demo (triangle + textured cube,
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List
 
 import numpy as np
@@ -76,24 +77,53 @@ def _geo_from(meshes: List[np.ndarray], uv_list: List[np.ndarray], mats: List[in
     )
 
 
+def demo_texture_png(size: int = 64) -> str:
+    """Generate (once) and return the path of the demo checkerboard
+    texture — the textured-scene analog of the reference's cube.png."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"mrt_demo_checker_{size}.png")
+    if not os.path.exists(path):
+        from ..assets.png import write_png
+
+        yy, xx = np.mgrid[0:size, 0:size]
+        checker = ((yy // 8 + xx // 8) % 2).astype(np.float32)
+        img = np.empty((size, size, 4), np.uint8)
+        img[..., 0] = (255 * (0.35 + 0.6 * checker)).astype(np.uint8)
+        img[..., 1] = (255 * (0.55 - 0.25 * checker)).astype(np.uint8)
+        img[..., 2] = (255 * (0.25 + 0.5 * (1 - checker))).astype(np.uint8)
+        img[..., 3] = 255
+        write_png(path, img)
+    return path
+
+
 def demo_config(
     num_worlds: int,
     render_mode: RenderMode,
     width: int,
     height: int,
     dynamic: bool = False,
+    textured: bool = False,
+    tex_size: int = 64,
     **extra,
 ) -> ManagerConfig:
     """Cube-on-a-plane scene, one camera per world, all worlds identical
     (they diverge only if the caller mutates transforms — ``dynamic``
-    pre-seeds per-world cube yaw so every world differs from step one)."""
+    pre-seeds per-world cube yaw so every world differs from step one).
+    ``textured`` maps a generated checkerboard onto the cube (the textured
+    perf configs; the reference's analog is cube.png via map_Kd)."""
     cube_v, cube_uv = cube_mesh()
     plane_v, plane_uv = plane_mesh()
     geo = _geo_from([cube_v, plane_v], [cube_uv, plane_uv], [0, 1])
     mats = [
-        AdditionalMaterial(color=(0.9, 0.3, 0.2, 1.0), texture_id=-1, roughness=0.6),
+        AdditionalMaterial(
+            color=(0.9, 0.3, 0.2, 1.0),
+            texture_id=0 if textured else -1,
+            roughness=0.6,
+        ),
         AdditionalMaterial(color=(0.25, 0.3, 0.35, 1.0), texture_id=-1, roughness=0.9),
     ]
+    textures = [demo_texture_png(tex_size)] if textured else []
     instances = []
     cameras = []
     worlds = []
@@ -146,6 +176,7 @@ def demo_config(
         rcfg=RenderConfig(
             geo_cfg=geo,
             additional_mats=mats,
+            additional_textures=textures,
             instances=instances,
             cameras=cameras,
             worlds=worlds,

@@ -396,3 +396,73 @@ def test_parity_mxu_textured():
         a = rt_ref(state, scene, height=32, width=32)
         b = rt_pal(state, scene, height=32, width=32, interpret=True, accel="mxu")
         _assert_frames_equal(a, b)
+
+
+def test_parity_textured_inkernel_mixed_materials(tmp_path):
+    """The in-kernel nearest-texture path (round 2: mp/pool lane-gathers +
+    u32 texel pool + k/255 dequant LUT) on a scene mixing textured and
+    untextured materials — must match the jnp reference exactly, including
+    the white-texel no-op for the untextured material."""
+    from madrona_renderer_tpu.assets.png import write_png
+    from madrona_renderer_tpu.config import AdditionalMaterial
+
+    from tests.fixtures import make_checker_png
+    from tests.helpers import quad_uvs
+
+    path = str(tmp_path / "checker.png")
+    write_png(path, make_checker_png(32, 8))
+    # Two quads side by side: one textured, one plain-colored.
+    state, scene = build(
+        [quad_xz(half=6.0, y=0.0), quad_xz(half=6.0, y=0.0)],
+        [
+            ImportedInstance(position=[-7, 14, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=0),
+            ImportedInstance(position=[7, 14, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=1),
+        ],
+        [cam_at_origin_looking_plus_y()],
+        uvs=[quad_uvs(), quad_uvs()],
+        mesh_materials=[0, 1],
+        additional_mats=[
+            AdditionalMaterial(color=(1, 1, 1, 1), texture_id=0),
+            AdditionalMaterial(color=(0.2, 0.9, 0.4, 1), texture_id=-1),
+        ],
+        additional_textures=[path],
+    )
+    a = rt_ref(state, scene, height=48, width=48)
+    b = rt_pal(state, scene, height=48, width=48, interpret=True)
+    _assert_frames_equal(a, b)
+    # Sanity: the in-kernel gate is actually on for this pool size.
+    from madrona_renderer_tpu.ops import raytrace_pallas as rp
+
+    assert scene.tex_data.shape[0] <= rp._TEX_INKERNEL_MAX_ROWS * rp._TILE_LANE
+
+
+def test_parity_textured_big_pool_fallback(tmp_path):
+    """Texel pools beyond the in-kernel budget fall back to the planar XLA
+    epilogue — same results, just a different execution path."""
+    from madrona_renderer_tpu.assets.png import write_png
+    from madrona_renderer_tpu.config import AdditionalMaterial
+
+    from tests.fixtures import make_checker_png
+    from tests.helpers import quad_uvs
+
+    from madrona_renderer_tpu.ops import raytrace_pallas as rp
+
+    # 144x144 = 20,736 texels > the 16,384-texel in-kernel cap.
+    path = str(tmp_path / "big.png")
+    write_png(path, make_checker_png(144, 16))
+    state, scene = build(
+        [quad_xz(half=100.0, y=0.0)],
+        [ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=0)],
+        [cam_at_origin_looking_plus_y()],
+        uvs=[quad_uvs()],
+        mesh_materials=[0],
+        additional_mats=[AdditionalMaterial(color=(1, 1, 1, 1), texture_id=0)],
+        additional_textures=[path],
+    )
+    assert scene.tex_data.shape[0] > rp._TEX_INKERNEL_MAX_ROWS * rp._TILE_LANE
+    a = rt_ref(state, scene, height=32, width=32)
+    b = rt_pal(state, scene, height=32, width=32, interpret=True)
+    _assert_frames_equal(a, b)

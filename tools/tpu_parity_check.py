@@ -104,31 +104,53 @@ def main():
     from madrona_renderer_tpu.ops import raster_pallas, raster_ref
     from madrona_renderer_tpu.ops import raytrace_pallas, raytrace_ref
 
+    def build_tex(worlds, mode_str, res):
+        from madrona_renderer_tpu.config import RenderMode
+        from madrona_renderer_tpu.assets.importer import load_render_assets
+        from madrona_renderer_tpu.core.scene import bake_scene
+        from madrona_renderer_tpu.core.state import init_state
+        from madrona_renderer_tpu.runners.scenes import demo_config
+
+        mode = (RenderMode.Raytracer if mode_str == "rt"
+                else RenderMode.Rasterizer)
+        cfg = demo_config(worlds, mode, res, res, dynamic=True, textured=True)
+        assets = load_render_assets(
+            cfg.rcfg.geo_cfg, cfg.rcfg.asset_paths, cfg.rcfg.additional_mats,
+            cfg.rcfg.additional_textures)
+        scene = bake_scene(assets)
+        state = init_state(cfg.rcfg.instances, cfg.rcfg.cameras, cfg.rcfg.worlds)
+        return state, scene, cfg
+
     failures = 0
-    for res in args.res:
-        for mode in args.modes:
-            state, scene, cfg = build(args.worlds, mode, res, res, "pallas")
-            if mode == "rt":
-                near = cfg.near_plane
-                got = raytrace_pallas.raytrace(
-                    state, scene, height=res, width=res, near=near,
-                    far=cfg.far_plane)
-                want = raytrace_ref.raytrace(
-                    state, scene, height=res, width=res, near=near,
-                    far=cfg.far_plane)
-            else:
-                near = cfg.raster_near_plane
-                got = raster_pallas.rasterize(
-                    state, scene, height=res, width=res, near=near,
-                    far=cfg.far_plane)
-                want = raster_ref.rasterize(
-                    state, scene, height=res, width=res, near=near,
-                    far=cfg.far_plane)
-            log(f"res={res} mode={mode}:")
-            ok = edge_aware_ok(got.rgb, want.rgb, "rgb", res)
-            ok &= edge_aware_ok(got.depth, want.depth, "depth", res)
-            ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", res)
-            failures += not ok
+    for textured in (False, True):
+        for res in args.res:
+            for mode in args.modes:
+                if textured:
+                    state, scene, cfg = build_tex(args.worlds, mode, res)
+                else:
+                    state, scene, cfg = build(args.worlds, mode, res, res,
+                                              "pallas")
+                if mode == "rt":
+                    near = cfg.near_plane
+                    got = raytrace_pallas.raytrace(
+                        state, scene, height=res, width=res, near=near,
+                        far=cfg.far_plane)
+                    want = raytrace_ref.raytrace(
+                        state, scene, height=res, width=res, near=near,
+                        far=cfg.far_plane)
+                else:
+                    near = cfg.raster_near_plane
+                    got = raster_pallas.rasterize(
+                        state, scene, height=res, width=res, near=near,
+                        far=cfg.far_plane)
+                    want = raster_ref.rasterize(
+                        state, scene, height=res, width=res, near=near,
+                        far=cfg.far_plane)
+                log(f"res={res} mode={mode} textured={textured}:")
+                ok = edge_aware_ok(got.rgb, want.rgb, "rgb", res)
+                ok &= edge_aware_ok(got.depth, want.depth, "depth", res)
+                ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", res)
+                failures += not ok
     if failures:
         log(f"{failures} FAILURES")
         return 1
