@@ -196,6 +196,94 @@ def camera_cluster_order(cl_lo, cl_hi, cl_valid, cam_pos):
     return order.reshape(W * C, 1, CC)
 
 
+def band_cluster_bins(
+    cl_lo, cl_hi, cl_valid, state: SimState, eff_fov,
+    height: int, width: int, n_tiles: int, tile_pix: int,
+):
+    """Per-step screen-space cluster binning — the tile-binned pass.
+
+    Our pixel tiles are horizontal *bands* of the image (blocks of the
+    flattened pixel index), so binning is 1D: project each cluster's world
+    AABB through each camera to a conservative pixel-row interval, then
+    build per-band cluster lists sorted front-to-back. The kernel sweeps
+    only its band's bin — no per-tile AABB pass over all clusters (that
+    pass is O(clusters) per tile and dominates at high triangle counts).
+
+    Conservativeness: the row interval is padded by 2 px (covers the
+    intersector's _EPS_BARY edge slack); clusters with any corner at or
+    behind the camera plane bin into every band (projection undefined).
+    Off-screen or invalid clusters get empty intervals. Returns
+    [WC, n_tiles, 1 + CC] i32: entry 0 the bin count, entries 1.. cluster
+    ids in ascending camera-distance order (the front-to-back visit order
+    that lets the in-kernel slab test's best_t bound cull occluded
+    clusters).
+
+    Reference anchor: the Vulkan batch rasterizer's binned pass,
+    ``src/mgr.cpp:543-545`` (batchRender) — re-designed for TPU: binning
+    is dense XLA math over [W, C, CC], not an atomics-based bin scatter.
+    """
+    W, CC = cl_valid.shape
+    C = state.camera_pos.shape[1]
+    picks = jnp.asarray(
+        np.array(
+            [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+            np.float32,
+        )
+    )  # [8, 3]
+    corners = (
+        cl_lo[:, :, None, :] * (1 - picks) + cl_hi[:, :, None, :] * picks
+    )  # [W, CC, 8, 3]
+
+    rot = state.camera_rot  # [W, C, 4]
+    fwd = quat_rotate(rot, jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    up = quat_rotate(rot, jnp.array([0.0, 0.0, 1.0], jnp.float32))
+    rel = corners[:, None] - state.camera_pos[:, :, None, None, :]  # [W,C,CC,8,3]
+    y_f = jnp.einsum("wcnkj,wcj->wcnk", rel, fwd)
+    z_u = jnp.einsum("wcnkj,wcj->wcnk", rel, up)
+    tan_y = jnp.tan(jnp.deg2rad(eff_fov) * 0.5)[:, :, None, None]
+
+    # A cluster with every corner at/behind the camera plane can never be
+    # hit (rays march forward): bin it nowhere. One that *straddles* the
+    # plane has an unbounded projection: bin it into every band.
+    behind_any = jnp.any(y_f <= 1e-6, axis=-1)  # [W, C, CC]
+    behind_all = jnp.all(y_f <= 1e-6, axis=-1)
+    straddle = behind_any & ~behind_all
+    # Pixel row of each corner: py = (1 - z_u/(y_f·tan_y)) · H/2 − 0.5.
+    safe_yf = jnp.maximum(y_f, 1e-6)
+    py = (1.0 - z_u / (safe_yf * tan_y)) * (height * 0.5) - 0.5
+    ymin = jnp.min(py, axis=-1) - 2.0  # [W, C, CC], ε-padded
+    ymax = jnp.max(py, axis=-1) + 2.0
+    ymin = jnp.where(straddle, 0.0, ymin)
+    ymax = jnp.where(straddle, float(height), ymax)
+
+    # Band interval via exact i32 math (bands are blocks of the flattened
+    # pixel index and need not align to whole image rows).
+    row0 = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, height - 1)
+    row1 = jnp.clip(jnp.floor(ymax).astype(jnp.int32) + 1, 0, height - 1)
+    b0 = (row0 * width) // tile_pix
+    b1 = (row1 * width + (width - 1)) // tile_pix
+    b0 = jnp.clip(b0, 0, n_tiles - 1)
+    b1 = jnp.clip(b1, 0, n_tiles - 1)
+    onscreen = (ymax >= 0.0) & (ymin < float(height))
+    ok = onscreen & ~behind_all & (cl_valid[:, None, :] > 0)  # [W, C, CC]
+
+    bands = jnp.arange(n_tiles, dtype=jnp.int32)[None, None, :, None]
+    member = (
+        ok[:, :, None, :]
+        & (b0[:, :, None, :] <= bands)
+        & (bands <= b1[:, :, None, :])
+    )  # [W, C, T, CC]
+
+    center = (cl_lo + cl_hi) * 0.5
+    d = center[:, None, :, :] - state.camera_pos[:, :, None, :]
+    dist = jnp.sum(d * d, axis=-1)  # [W, C, CC]
+    key = jnp.where(member, dist[:, :, None, :], jnp.inf)
+    order = jnp.argsort(key, axis=-1).astype(jnp.int32)  # [W, C, T, CC]
+    count = member.sum(axis=-1, dtype=jnp.int32)  # [W, C, T]
+    bins = jnp.concatenate([count[..., None], order], axis=-1)
+    return bins.reshape(W * C, n_tiles, 1 + CC)
+
+
 def _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count) -> jnp.ndarray:
     """→ SMEM-layout [W, 8, CC]: rows lo.xyz, hi.xyz, valid, count."""
     rows = [
@@ -222,8 +310,12 @@ def _render_kernel(
     tile_sub: int = _TILE_SUB,
     textured: bool = False,
     tex_rows: int = 0,
+    binned: bool = False,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
+    With binned=True (requires clusters), the per-tile loop runs over the
+    precomputed screen-space bin (band_cluster_bins) instead of all
+    clusters — the tile-binned rasterization pass.
     With shaded=True (untextured scenes), shading happens in-kernel and the
     outputs shrink to (t, z, idx, packed rgb) — no XLA shading epilogue and
     5 fewer pixel-sized output arrays. With textured=True the same 4-output
@@ -236,14 +328,17 @@ def _render_kernel(
     into an SMEM scratch slab."""
     culled = cluster_size > 0
     assert not dma_tris or culled, "DMA triangle streaming requires clusters"
+    assert not binned or culled, "binning requires clusters"
     assert not (shaded and textured)
 
     def kernel(*refs):
         scratch = sem = None
         if dma_tris:
             *refs, scratch, sem = refs
-        perm_ref = None
-        if culled and ordered:
+        perm_ref = bin_ref = None
+        if culled and binned:
+            tri_ref, cl_ref, bin_ref, cam_ref, *rest = refs
+        elif culled and ordered:
             tri_ref, cl_ref, perm_ref, cam_ref, *rest = refs
         elif culled:
             tri_ref, cl_ref, cam_ref, *rest = refs
@@ -416,13 +511,8 @@ def _render_kernel(
             ivy = 1.0 / safe(dy)
             ivz = 1.0 / safe(dz)
 
-            def cluster_body(ci, carry):
+            def visit_cluster(c, carry):
                 best_t = carry[0]
-                if ordered:
-                    # Front-to-back visit order (per camera).
-                    c = perm_ref[0, 0, ci].astype(jnp.int32)
-                else:
-                    c = ci
                 lox = cl_ref[0, 0, c]
                 loy = cl_ref[0, 1, c]
                 loz = cl_ref[0, 2, c]
@@ -480,7 +570,28 @@ def _render_kernel(
 
                 return jax.lax.cond(any_hit, process, lambda cr: cr, carry)
 
-            out = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
+            if binned:
+                # Tile-binned pass: sweep only this band's bin (already
+                # front-to-back — see band_cluster_bins). The O(clusters)
+                # per-tile AABB scan disappears; the slab test still runs
+                # per binned cluster for the best_t occlusion bound.
+                nb = bin_ref[0, 0, 0]
+
+                def bin_body(b, carry):
+                    return visit_cluster(bin_ref[0, 0, 1 + b], carry)
+
+                out = jax.lax.fori_loop(0, nb, bin_body, init)
+            else:
+
+                def cluster_body(ci, carry):
+                    if ordered:
+                        # Front-to-back visit order (per camera).
+                        c = perm_ref[0, 0, ci].astype(jnp.int32)
+                    else:
+                        c = ci
+                    return visit_cluster(c, carry)
+
+                out = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
         else:
             tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
             out = jax.lax.fori_loop(0, s_pad, tri_resident, init)
@@ -960,7 +1071,7 @@ def render_core(
     # Cluster culling wins from ~2 clusters upward (measured: +13% even on
     # a 32-triangle scene); only skip it for single-cluster soups.
     n_clusters_total = state.instance_obj.shape[1] * scene.cl_valid.shape[1]
-    use_clusters = accel == "clusters" or (
+    use_clusters = accel in ("clusters", "binned") or (
         accel == "auto" and S >= 16 and n_clusters_total >= 2
     )
 
@@ -1098,15 +1209,27 @@ def render_core(
             # alignment math below relies on it.
             assert cluster_size & (cluster_size - 1) == 0, cluster_size
         cl = _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count)
+        # Tile-binned pass: per-band screen-space cluster bins beat the
+        # in-kernel O(clusters)-per-tile AABB scan once there are many
+        # clusters and multiple bands to split them over. The bins array
+        # is [WC, T, 1+CC] i32 — gate on its footprint for huge fleets.
+        # Measured (100k-tri terrain, 32 worlds, v5e): tie at 4 bands,
+        # +16% at 16 bands, +20% at 64 bands over the in-kernel scan.
+        binned = accel == "binned" or (
+            accel == "auto"
+            and cc >= 64
+            and n_tiles >= 4
+            and WC * n_tiles * (cc + 1) <= (1 << 25)
+        )
         # Front-to-back ordering pays for itself only with many clusters
         # (the argsort + indirection cost a few % on tiny scenes).
-        ordered = cc >= 16
+        ordered = (not binned) and cc >= 16
         kernel = _render_kernel(
             S, width, height, n_tiles,
             cluster_size=cluster_size, n_clusters=cc,
             shaded=shaded, raster_clip=raster_clip, dma_tris=dma_tris,
             num_cams=C, ordered=ordered, tile_sub=tile_sub,
-            textured=tex_inkernel, tex_rows=tex_rows,
+            textured=tex_inkernel, tex_rows=tex_rows, binned=binned,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -1114,7 +1237,22 @@ def render_core(
         perm_spec = pl.BlockSpec(
             (1, 1, cc), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
         )
-        if ordered:
+        # Bins flattened to [WC*T, 1, CC+1]: SMEM block shapes require the
+        # sublane dim to equal the array dim, so the (wc, tile) pair is
+        # folded into the leading dim and picked by the index map.
+        bin_spec = pl.BlockSpec(
+            (1, 1, cc + 1),
+            lambda wc, r: (wc * n_tiles + r, 0, 0),
+            memory_space=pltpu.SMEM,
+        )
+        if binned:
+            bins = band_cluster_bins(
+                cl_lo, cl_hi, cl_valid, state, eff_fov,
+                height, width, n_tiles, tile_pix=tile_pix,
+            ).reshape(WC * n_tiles, 1, cc + 1)
+            extra_in_specs = [cl_spec, bin_spec, cam_spec] + tex_in_specs
+            extra_inputs = (cl, bins, cams) + tex_inputs
+        elif ordered:
             perm = camera_cluster_order(cl_lo, cl_hi, cl_valid, state.camera_pos)
             extra_in_specs = [cl_spec, perm_spec, cam_spec] + tex_in_specs
             extra_inputs = (cl, perm, cams) + tex_inputs
@@ -1230,7 +1368,7 @@ def raytrace(
     chunk: int = 16,  # unused; signature parity with raytrace_ref
     interpret: bool = False,
     texture_filter: str = "nearest",
-    accel: str = "auto",  # "auto" | "none" | "clusters"
+    accel: str = "auto",  # "auto" | "none" | "clusters" | "binned" | "mxu"
 ) -> Frames:
     """Drop-in replacement for ``raytrace_ref.raytrace``; see module
     docstring for the kernel design."""

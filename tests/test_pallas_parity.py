@@ -466,3 +466,71 @@ def test_parity_textured_big_pool_fallback(tmp_path):
     a = rt_ref(state, scene, height=32, width=32)
     b = rt_pal(state, scene, height=32, width=32, interpret=True)
     _assert_frames_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_parity_binned_random_scenes(seed):
+    """The tile-binned pass (accel='binned': screen-space band bins built
+    per step by band_cluster_bins) must match the jnp reference on random
+    scenes — same per-pixel math, the bins only restrict which clusters a
+    band sweeps. Uses a multi-band image (height > one band) so binning is
+    real."""
+    rng = np.random.default_rng(seed)
+    meshes = [
+        (rng.normal(size=(int(rng.integers(4, 9)) * 3, 3)) * 5).astype(np.float32)
+        for _ in range(2)
+    ]
+    instances = [
+        ImportedInstance(
+            position=rng.normal(size=3).tolist(),
+            rotation=(lambda q: (q / np.linalg.norm(q)).tolist())(rng.normal(size=4)),
+            scale=rng.uniform(0.5, 2.0, size=3).tolist(),
+            object_id=int(rng.integers(0, 2)),
+        )
+        for _ in range(4)
+    ]
+    cameras = [
+        ImportedCamera(
+            position=(rng.normal(size=3) * 3 + [0, -12, 0]).tolist(),
+            rotation=(lambda q: (q / np.linalg.norm(q)).tolist())(
+                rng.normal(size=4) * 0.2 + [1, 0, 0, 0]
+            ),
+        )
+    ]
+    state, scene = build(meshes, instances, cameras)
+    # 64x48: P = 3072 -> tile_sub 16, 2 bands.
+    a = rt_ref(state, scene, height=48, width=64)
+    b = rt_pal(state, scene, height=48, width=64, interpret=True, accel="binned")
+    _assert_frames_equal(a, b)
+    # Raster conventions over the binned pass too.
+    from madrona_renderer_tpu.ops.raster_ref import rasterize as rast_ref
+    from madrona_renderer_tpu.ops.raytrace_pallas import rasterize as rast_pal
+
+    ar = rast_ref(state, scene, height=48, width=64)
+    br = rast_pal(state, scene, height=48, width=64, interpret=True, accel="binned")
+    _assert_frames_equal(ar, br)
+
+
+def test_parity_binned_dma_large_mesh():
+    """binned + DMA-streamed triangles together (the big-mesh raster
+    configuration): parity on a mesh past the SMEM budget, multi-band."""
+    rng = np.random.default_rng(23)
+    n_tris = 3600
+    centers = rng.uniform(-10, 10, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 40, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    state, scene = build(
+        [tris],
+        [ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0], scale=[1, 1, 1], object_id=0)],
+        [cam_at_origin_looking_plus_y()],
+    )
+    from madrona_renderer_tpu.ops import raytrace_pallas as rp
+
+    S = state.instance_obj.shape[1] * scene.tris_per_object
+    assert rp._N_TRI_ROWS * S * 4 > 384 * 1024, "test no longer triggers DMA"
+    ref = rt_ref(state, scene, height=32, width=64)  # P=2048: 2 bands
+    binned = rt_pal(state, scene, height=32, width=64, interpret=True, accel="binned")
+    _assert_frames_equal(ref, binned)
+    assert (np.asarray(ref.segmask) >= 0).any()
