@@ -7,10 +7,11 @@ target is raw RGBA8 texels instead (documented divergence; same role in the
 pipeline: ``.ktx2`` files are accepted wherever texture paths are).
 
 Supported: uncompressed R8/RG8/RGB8/RGBA8 (UNORM/SRGB) payloads with no
-supercompression, or ZLIB supercompression, or Zstandard when the Python
-runtime ships a zstd module. BasisLZ/UASTC supercompressed payloads raise a
-clear error — transcoding them requires the Basis Universal codec, which is
-out of scope for a TPU sampler that wants raw texels anyway.
+supercompression, ZLIB supercompression, Zstandard when the Python runtime
+ships a zstd module, and BasisLZ (ETC1S) via the native C++ decoder
+(native/etc1s.cpp — see its header for format provenance; streams using
+features outside its documented subset fail loudly). UASTC payloads raise
+a clear NotImplementedError.
 """
 
 from __future__ import annotations
@@ -57,6 +58,8 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     """Decode KTX2 bytes → RGBA8 [H, W, 4] (base mip level only)."""
     if data[:12] != _KTX2_MAGIC:
         raise ValueError("not a KTX2 file")
+    if len(data) < 12 + 36 + 32 + 24:
+        raise ValueError("truncated KTX2 file")
     (
         vk_format,
         _type_size,
@@ -77,10 +80,25 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     del levels
 
     if supercompression == 1:
-        raise NotImplementedError(
-            "KTX2: BasisLZ supercompression is not supported — re-export the "
-            "texture as uncompressed/zstd/zlib KTX2 or PNG (TPU samples raw "
-            "RGBA8 texels; there is no BC7 hardware to transcode for)"
+        # BasisLZ (ETC1S): decode via the native C++ transcoder straight
+        # to RGBA8 (the reference transcodes to BC7 via libktx,
+        # src/mgr.cpp:199-212; TPUs sample raw texels instead).
+        sgd_offset, sgd_length = struct.unpack_from("<2Q", data, 12 + 36 + 16)
+        if sgd_length == 0:
+            raise ValueError("KTX2: BasisLZ without supercompressionGlobalData")
+        from ..native import available, decode_basislz_native
+
+        if not available():
+            raise NotImplementedError(
+                "KTX2: BasisLZ decoding needs the native library "
+                "(native/etc1s.cpp) — build toolchain unavailable and no "
+                "pure-Python fallback is provided"
+            )
+        return decode_basislz_native(
+            bytes(data[sgd_offset : sgd_offset + sgd_length]),
+            bytes(data[byte_offset : byte_offset + byte_length]),
+            width,
+            height or 1,
         )
 
     payload = data[byte_offset : byte_offset + byte_length]
@@ -91,6 +109,12 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     elif supercompression != 0:
         raise NotImplementedError(f"KTX2: supercompression scheme {supercompression}")
 
+    if vk_format == 0:
+        # vkFormat UNDEFINED without BasisLZ = UASTC (DFD colorModel 166).
+        raise NotImplementedError(
+            "KTX2: UASTC payloads are not supported — re-export as ETC1S "
+            "(BasisLZ), uncompressed, zlib, or zstd KTX2"
+        )
     if vk_format not in _VK_FORMATS:
         raise NotImplementedError(
             f"KTX2: VkFormat {vk_format} not supported (need 8-bit UNORM/SRGB)"

@@ -18,6 +18,7 @@ import numpy as np
 
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_THIS_DIR, "importer.cpp")
+_SRC_ETC1S = os.path.join(_THIS_DIR, "etc1s.cpp")
 _LIB = os.path.join(_THIS_DIR, f"_mrt_native_{sys.implementation.cache_tag}.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -27,7 +28,7 @@ _tried = False
 def _build() -> bool:
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB, "-lz",
+        _SRC, _SRC_ETC1S, "-o", _LIB, "-lz",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -47,7 +48,8 @@ def load() -> Optional[ctypes.CDLL]:
     if os.environ.get("MRT_NATIVE", "1") == "0":
         return None
     try:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_ETC1S))
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
             if not _build():
                 return None
         lib = ctypes.CDLL(_LIB)
@@ -86,6 +88,13 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_int,
     ]
+    lib.mrt_basislz_decode.restype = ctypes.c_int
+    lib.mrt_basislz_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.mrt_basislz_error.restype = ctypes.c_char_p
+    lib.mrt_basislz_error.argtypes = []
     _lib = lib
     return lib
 
@@ -168,4 +177,26 @@ def decode_png_native(data: bytes) -> np.ndarray:
         raise ValueError("PNG decode failed: dimensions differ from header probe")
     if rc != 0:
         raise ValueError("PNG decode failed (unsupported variant?)")
+    return out
+
+
+def decode_basislz_native(
+    sgd: bytes, level: bytes, width: int, height: int
+) -> np.ndarray:
+    """Decode a KTX2 BasisLZ (ETC1S) image → RGBA8 [H, W, 4] via the
+    native decoder (etc1s.cpp). Raises NotImplementedError for features
+    outside the decoder's documented subset, ValueError for corrupt data."""
+    lib = load()
+    assert lib is not None
+    out = np.zeros((height, width, 4), np.uint8)
+    rc = lib.mrt_basislz_decode(
+        sgd, len(sgd), level, len(level), width, height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        err = lib.mrt_basislz_error()
+        msg = err.decode() if err else "BasisLZ decode failed"
+        if "not supported" in msg:
+            raise NotImplementedError(f"KTX2 BasisLZ: {msg}")
+        raise ValueError(f"KTX2 BasisLZ: {msg}")
     return out

@@ -99,13 +99,27 @@ def test_ktx2_zlib_supercompression(rng):
     np.testing.assert_array_equal(decode_ktx2(data), img)
 
 
-def test_ktx2_basislz_rejected(rng):
+def test_ktx2_basislz_without_sgd_rejected(rng):
+    # A scheme-1 file with no supercompressionGlobalData is malformed
+    # (real BasisLZ now decodes — tests/test_etc1s.py); it must fail
+    # loudly, not misdecode.
     import struct
 
     img = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
     plain = bytearray(encode_ktx2_rgba8(img))
     struct.pack_into("<I", plain, 12 + 32, 1)  # BasisLZ
-    with pytest.raises(NotImplementedError, match="BasisLZ"):
+    with pytest.raises(ValueError, match="supercompressionGlobalData"):
+        decode_ktx2(bytes(plain))
+
+
+def test_ktx2_uastc_rejected(rng):
+    # vkFormat UNDEFINED without BasisLZ = UASTC: clear gate.
+    import struct
+
+    img = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    plain = bytearray(encode_ktx2_rgba8(img))
+    struct.pack_into("<I", plain, 12, 0)  # vkFormat = UNDEFINED
+    with pytest.raises(NotImplementedError, match="UASTC"):
         decode_ktx2(bytes(plain))
 
 
