@@ -1,9 +1,17 @@
-"""Native importer library: build-on-demand + ctypes bindings.
+"""Native importer library: build-on-demand, three binding tiers.
 
-The shared library is compiled from ``importer.cpp`` on first use (g++,
-links system zlib) into the package directory and cached. Everything here
-degrades gracefully: if the toolchain or zlib is missing, callers fall back
-to the pure-Python importers (set ``MRT_NATIVE=0`` to force the fallback).
+The same C++ core (``importer.cpp`` + ``etc1s.cpp``) is exposed two ways,
+preferred in this order, with pure-Python importers as the final tier:
+
+1. **CPython extension module** (``pymodule.cpp`` → ``_mrt_ext``): the
+   compiled-module analog of the reference's nanobind bindings
+   (reference ``src/bindings.cpp``) — no per-call ctypes marshalling.
+2. **ctypes** over a plain shared library — works without Python headers.
+3. Pure Python (``assets/obj.py`` etc.) when no toolchain exists.
+
+Both native tiers build on first use (g++, links system zlib) into the
+package directory and are cached. Set ``MRT_NATIVE=0`` to force the pure
+Python tier, ``MRT_NATIVE_EXT=0`` to skip the extension tier.
 """
 
 from __future__ import annotations
@@ -19,10 +27,66 @@ import numpy as np
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_THIS_DIR, "importer.cpp")
 _SRC_ETC1S = os.path.join(_THIS_DIR, "etc1s.cpp")
+_SRC_PYMOD = os.path.join(_THIS_DIR, "pymodule.cpp")
 _LIB = os.path.join(_THIS_DIR, f"_mrt_native_{sys.implementation.cache_tag}.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_ext = None
+_ext_tried = False
+
+
+def _ext_lib_path() -> str:
+    import sysconfig
+
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    return os.path.join(_THIS_DIR, f"_mrt_ext{suffix}")
+
+
+def _build_ext() -> bool:
+    import sysconfig
+
+    out = _ext_lib_path()
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        f"-I{sysconfig.get_paths()['include']}",
+        _SRC_PYMOD, _SRC, _SRC_ETC1S, "-o", out, "-lz",
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, timeout=180)
+        return res.returncode == 0 and os.path.exists(out)
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load_ext():
+    """Import (building if needed) the _mrt_ext extension module, or None."""
+    global _ext, _ext_tried
+    if _ext is not None:
+        return _ext
+    if _ext_tried:
+        return None
+    _ext_tried = True
+    if os.environ.get("MRT_NATIVE", "1") == "0":
+        return None
+    if os.environ.get("MRT_NATIVE_EXT", "1") == "0":
+        return None
+    path = _ext_lib_path()
+    try:
+        srcs = (_SRC, _SRC_ETC1S, _SRC_PYMOD)
+        src_mtime = max(os.path.getmtime(s) for s in srcs)
+        if not os.path.exists(path) or os.path.getmtime(path) < src_mtime:
+            if not _build_ext():
+                return None
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("_mrt_ext", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    except (OSError, ImportError):
+        return None
+    _ext = mod
+    return mod
 
 
 def _build() -> bool:
@@ -100,13 +164,48 @@ def load() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
-    return load() is not None
+    return load_ext() is not None or load() is not None
+
+
+def _ext_parse_obj(path: str):
+    from ..assets.obj import SourceMaterial, SourceMesh, SourceObject
+
+    mats, meshes = _ext.obj_parse(path)
+    obj = SourceObject()
+    for m in mats:
+        obj.materials.append(
+            SourceMaterial(
+                color=tuple(m["color"]), texture_path=m["texture_path"],
+                roughness=m["roughness"], metalness=m["metalness"],
+            )
+        )
+    for m in meshes:
+        nv = m["num_vertices"]
+        obj.meshes.append(
+            SourceMesh(
+                positions=np.frombuffer(m["positions"], np.float32).reshape(nv, 3),
+                uvs=(
+                    np.frombuffer(m["uvs"], np.float32).reshape(nv, 2)
+                    if m["uvs"] is not None else None
+                ),
+                normals=(
+                    np.frombuffer(m["normals"], np.float32).reshape(nv, 3)
+                    if m["normals"] is not None else None
+                ),
+                indices=np.frombuffer(m["indices"], np.uint32),
+                material_idx=m["material_idx"],
+            )
+        )
+    return obj
 
 
 def parse_obj_native(path: str):
-    """Native OBJ parse → SourceObject (same semantics as assets/obj.py)."""
+    """Native OBJ parse → SourceObject (same semantics as assets/obj.py).
+    Prefers the compiled extension module; falls back to ctypes."""
     from ..assets.obj import SourceMaterial, SourceMesh, SourceObject
 
+    if load_ext() is not None:
+        return _ext_parse_obj(path)
     lib = load()
     assert lib is not None
     h = lib.mrt_obj_parse(path.encode())
@@ -161,6 +260,9 @@ def parse_obj_native(path: str):
 
 
 def decode_png_native(data: bytes) -> np.ndarray:
+    if load_ext() is not None:
+        w, h, rgba = _ext.png_decode(data)
+        return np.frombuffer(rgba, np.uint8).reshape(h, w, 4).copy()
     lib = load()
     assert lib is not None
     w = ctypes.c_int()
@@ -186,6 +288,9 @@ def decode_basislz_native(
     """Decode a KTX2 BasisLZ (ETC1S) image → RGBA8 [H, W, 4] via the
     native decoder (etc1s.cpp). Raises NotImplementedError for features
     outside the decoder's documented subset, ValueError for corrupt data."""
+    if load_ext() is not None:
+        rgba = _ext.basislz_decode(sgd, level, width, height)
+        return np.frombuffer(rgba, np.uint8).reshape(height, width, 4).copy()
     lib = load()
     assert lib is not None
     out = np.zeros((height, width, 4), np.uint8)

@@ -122,3 +122,44 @@ def test_native_obj_malformed_face_parity(tmp_path):
         native.parse_obj_native(str(p))
     with pytest.raises(ValueError):
         parse_obj(str(p))
+
+
+# --- CPython extension tier (pymodule.cpp) -------------------------------
+
+ext_only = pytest.mark.skipif(
+    native.load_ext() is None, reason="extension module unavailable"
+)
+
+
+@ext_only
+def test_ext_obj_matches_ctypes_and_python(data_dir, monkeypatch):
+    path = os.path.join(data_dir, "cube.obj")
+    via_ext = native._ext_parse_obj(path)
+    _assert_obj_equal(via_ext, parse_obj(path))
+    # And against the ctypes tier explicitly (force it).
+    monkeypatch.setattr(native, "_ext", None)
+    monkeypatch.setattr(native, "_ext_tried", True)
+    _assert_obj_equal(via_ext, native.parse_obj_native(path))
+
+
+@ext_only
+def test_ext_error_types(tmp_path):
+    ext = native.load_ext()
+    with pytest.raises(FileNotFoundError):
+        ext.obj_parse(str(tmp_path / "nope.obj"))
+    bad = tmp_path / "bad.obj"
+    bad.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 x\n")
+    with pytest.raises(ValueError):
+        ext.obj_parse(str(bad))
+    with pytest.raises(ValueError):
+        ext.png_decode(b"not a png")
+    with pytest.raises(ValueError):
+        ext.basislz_decode(b"", b"", 4, 4)
+
+
+@ext_only
+def test_ext_png_roundtrip(rng):
+    img = rng.integers(0, 256, size=(9, 13, 4), dtype=np.uint8)
+    w, h, rgba = native.load_ext().png_decode(encode_png(img))
+    got = np.frombuffer(rgba, np.uint8).reshape(h, w, 4)
+    np.testing.assert_array_equal(got, img)
