@@ -26,7 +26,8 @@ import json
 import time
 
 
-def build(num_worlds: int, mode_str: str, width: int, height: int, impl: str):
+def build(num_worlds: int, mode_str: str, width: int, height: int, impl: str,
+          textured: bool = False):
     from madrona_renderer_tpu.config import RenderMode
     from madrona_renderer_tpu.assets.importer import load_render_assets
     from madrona_renderer_tpu.core.scene import bake_scene
@@ -34,7 +35,8 @@ def build(num_worlds: int, mode_str: str, width: int, height: int, impl: str):
     from madrona_renderer_tpu.runners.scenes import demo_config
 
     mode = RenderMode.Raytracer if mode_str == "rt" else RenderMode.Rasterizer
-    cfg = demo_config(num_worlds, mode, width, height, dynamic=True, impl=impl)
+    cfg = demo_config(num_worlds, mode, width, height, dynamic=True, impl=impl,
+                      textured=textured, tex_size=32)
     assets = load_render_assets(
         cfg.rcfg.geo_cfg,
         cfg.rcfg.asset_paths,
@@ -62,6 +64,7 @@ def run_config(
     height: int,
     impl: str,
     warmup: int = 3,
+    textured: bool = False,
 ) -> float:
     """Returns frames/sec (steps × worlds / elapsed) for the steady-state
     loop, timed like the reference headless bench (src/headless.cpp:57-78)
@@ -72,7 +75,8 @@ def run_config(
     import jax
 
     impl = resolve_impl(impl)
-    state, scene, cfg = build(num_worlds, mode_str, width, height, impl)
+    state, scene, cfg = build(num_worlds, mode_str, width, height, impl,
+                              textured=textured)
 
     if mode_str == "rt":
         try:
@@ -173,11 +177,14 @@ def _scaled(worlds: int) -> int:
 
 
 BASELINE_CONFIGS = [
-    # (name, worlds, steps, mode, width, height)
-    ("cpu_sanity_1w", 1, 8, "rt", 64, 64),
-    ("raster_256w", 256, 20, "rast", 64, 64),
-    ("raytrace_4096w_128px", 4096, 5, "rt", 128, 128),
-    ("dynamic_8192w", 8192, 10, "rt", 64, 64),
+    # (name, worlds, steps, mode, width, height, textured)
+    ("cpu_sanity_1w", 1, 8, "rt", 64, 64, False),
+    ("raster_256w", 256, 20, "rast", 64, 64, False),
+    ("raytrace_4096w_128px", 4096, 5, "rt", 128, 128, False),
+    ("dynamic_8192w", 8192, 10, "rt", 64, 64, False),
+    # Textured north-star (VERDICT r1 #5): in-kernel nearest sampling of a
+    # 32x32 checkerboard on the cube.
+    ("textured_4096w", 4096, 20, "rt", 64, 64, True),
 ]
 
 
@@ -227,9 +234,10 @@ def run_baseline_suite(impl: str) -> dict:
     import traceback
 
     out = {}
-    for name, worlds, steps, mode, w, h in BASELINE_CONFIGS:
+    for name, worlds, steps, mode, w, h, textured in BASELINE_CONFIGS:
         try:
-            fps = run_config(_scaled(worlds), steps, mode, w, h, impl)
+            fps = run_config(_scaled(worlds), steps, mode, w, h, impl,
+                             textured=textured)
             out[name] = {
                 "value": round(fps, 1),
                 "vs_baseline": round(fps / 1e5, 4),
