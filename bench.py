@@ -27,16 +27,27 @@ import time
 
 
 def build(num_worlds: int, mode_str: str, width: int, height: int, impl: str,
-          textured: bool = False):
+          scene: str = "demo"):
+    """scene: 'demo' (raw-geometry cube+plane), 'demo_disk' (same via
+    cube.obj/plane.obj files), 'textured' (checker on the cube),
+    'textured_ktx' (checker delivered as BasisLZ .ktx2), 'wall'
+    (wall_render.obj scene — BASELINE config 3)."""
     from madrona_renderer_tpu.config import RenderMode
     from madrona_renderer_tpu.assets.importer import load_render_assets
     from madrona_renderer_tpu.core.scene import bake_scene
     from madrona_renderer_tpu.core.state import init_state
-    from madrona_renderer_tpu.runners.scenes import demo_config
+    from madrona_renderer_tpu.runners.scenes import demo_config, wall_scene_config
 
     mode = RenderMode.Raytracer if mode_str == "rt" else RenderMode.Rasterizer
-    cfg = demo_config(num_worlds, mode, width, height, dynamic=True, impl=impl,
-                      textured=textured, tex_size=32)
+    if scene == "wall":
+        cfg = wall_scene_config(num_worlds, mode, width, height, impl=impl)
+    else:
+        cfg = demo_config(
+            num_worlds, mode, width, height, dynamic=True, impl=impl,
+            textured=scene.startswith("textured"), tex_size=32,
+            tex_format="ktx2" if scene == "textured_ktx" else "png",
+            from_disk=scene == "demo_disk",
+        )
     assets = load_render_assets(
         cfg.rcfg.geo_cfg,
         cfg.rcfg.asset_paths,
@@ -64,7 +75,8 @@ def run_config(
     height: int,
     impl: str,
     warmup: int = 3,
-    textured: bool = False,
+    scene: str = "demo",
+    move_cams: bool = False,
 ) -> float:
     """Returns frames/sec (steps × worlds / elapsed) for the steady-state
     loop, timed like the reference headless bench (src/headless.cpp:57-78)
@@ -76,7 +88,7 @@ def run_config(
 
     impl = resolve_impl(impl)
     state, scene, cfg = build(num_worlds, mode_str, width, height, impl,
-                              textured=textured)
+                              scene=scene)
 
     if mode_str == "rt":
         try:
@@ -107,11 +119,17 @@ def run_config(
         dq = jnp.array(
             [jnp.cos(half), 0.0, 0.0, jnp.sin(half)], jnp.float32
         )
-        state = dataclasses.replace(
-            state,
+        updates = dict(
             time=state.time + 0.05,
             instance_rot=quat_normalize(quat_multiply(dq, state.instance_rot)),
         )
+        if move_cams:
+            # BASELINE config 4: cameras move too (bob vertically).
+            bob = jnp.asarray(0.12 * jnp.sin(state.time * 2.0))
+            while bob.ndim < state.camera_pos.ndim - 1:
+                bob = bob[..., None]
+            updates["camera_pos"] = state.camera_pos.at[..., 2].add(bob)
+        state = dataclasses.replace(state, **updates)
         frames = render(
             state, scene, height=height, width=width, near=near, far=cfg.far_plane
         )
@@ -177,14 +195,19 @@ def _scaled(worlds: int) -> int:
 
 
 BASELINE_CONFIGS = [
-    # (name, worlds, steps, mode, width, height, textured)
-    ("cpu_sanity_1w", 1, 8, "rt", 64, 64, False),
-    ("raster_256w", 256, 20, "rast", 64, 64, False),
-    ("raytrace_4096w_128px", 4096, 5, "rt", 128, 128, False),
-    ("dynamic_8192w", 8192, 10, "rt", 64, 64, False),
+    # (name, worlds, steps, mode, width, height, scene, move_cams) —
+    # matching BASELINE.json's declared configs:
+    # 1: cube.obj + plane.obj (disk assets), 1 world
+    ("cpu_sanity_1w", 1, 8, "rt", 64, 64, "demo_disk", False),
+    # 2: 256 worlds, textured cube (checker → BasisLZ KTX2), rasterized
+    ("raster_256w", 256, 20, "rast", 64, 64, "textured_ktx", False),
+    # 3: 4096 worlds, wall_render.obj scene, 128×128 RGB-D raytrace
+    ("raytrace_4096w_128px", 4096, 5, "rt", 128, 128, "wall", False),
+    # 4: 8192 worlds, dynamic instance transforms + moving cameras
+    ("dynamic_8192w", 8192, 10, "rt", 64, 64, "demo", True),
     # Textured north-star (VERDICT r1 #5): in-kernel nearest sampling of a
     # 32x32 checkerboard on the cube.
-    ("textured_4096w", 4096, 20, "rt", 64, 64, True),
+    ("textured_4096w", 4096, 20, "rt", 64, 64, "textured", False),
 ]
 
 
@@ -234,10 +257,19 @@ def run_baseline_suite(impl: str) -> dict:
     import traceback
 
     out = {}
-    for name, worlds, steps, mode, w, h, textured in BASELINE_CONFIGS:
+    for name, worlds, steps, mode, w, h, scene, move_cams in BASELINE_CONFIGS:
         try:
-            fps = run_config(_scaled(worlds), steps, mode, w, h, impl,
-                             textured=textured)
+            if name == "cpu_sanity_1w":
+                # Declared as a CPU-backend sanity config: run the jnp
+                # reference on the host CPU even when a TPU is attached.
+                import jax
+
+                with jax.default_device(jax.devices("cpu")[0]):
+                    fps = run_config(_scaled(worlds), steps, mode, w, h,
+                                     "jnp", scene=scene, move_cams=move_cams)
+            else:
+                fps = run_config(_scaled(worlds), steps, mode, w, h, impl,
+                                 scene=scene, move_cams=move_cams)
             out[name] = {
                 "value": round(fps, 1),
                 "vs_baseline": round(fps / 1e5, 4),
@@ -260,6 +292,16 @@ def run_baseline_suite(impl: str) -> dict:
 
 
 def main() -> None:
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # explicitly so `JAX_PLATFORMS=cpu python bench.py` (CI smoke) really
+    # runs on CPU instead of grabbing the single-client TPU tunnel.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--worlds", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=20)

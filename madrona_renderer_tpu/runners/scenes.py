@@ -20,6 +20,7 @@ import numpy as np
 from ..config import (
     AdditionalMaterial,
     GeometryConfig,
+    ImportedAsset,
     ImportedCamera,
     ImportedInstance,
     ManagerConfig,
@@ -97,6 +98,137 @@ def demo_texture_png(size: int = 64) -> str:
     return path
 
 
+def demo_texture_ktx2(size: int = 32) -> str:
+    """The checkerboard as a BasisLZ/ETC1S .ktx2 — the "cube.png → KTX"
+    conversion of BASELINE config 2 (ETC1S is lossy; fine for a texture)."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"mrt_demo_checker_{size}.ktx2")
+    if not os.path.exists(path):
+        from ..assets.etc1s_encode import encode_ktx2_etc1s
+        from ..assets.png import read_png
+
+        with open(path, "wb") as f:
+            f.write(encode_ktx2_etc1s(read_png(demo_texture_png(size))))
+    return path
+
+
+def demo_obj_assets() -> list:
+    """Write the demo cube/plane meshes as OBJ files (once) and return
+    their paths — the disk-import variant of the demo scene (BASELINE
+    config 1: "cube.obj + plane.obj"), exercising the asset importer."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "mrt_demo_objs")
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for name, (verts, uvs) in (
+        ("cube.obj", cube_mesh()),
+        ("plane.obj", plane_mesh()),
+    ):
+        path = os.path.join(d, name)
+        if not os.path.exists(path):
+            lines = [f"o {name[:-4]}"]
+            for v in verts:
+                lines.append(f"v {v[0]} {v[1]} {v[2]}")
+            for t in uvs:
+                lines.append(f"vt {t[0]} {t[1]}")
+            for i in range(0, len(verts), 3):
+                lines.append(
+                    f"f {i+1}/{i+1} {i+2}/{i+2} {i+3}/{i+3}"
+                )
+            with open(path, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        paths.append(path)
+    return paths
+
+
+def wall_obj_asset() -> str:
+    """wall_render.obj equivalent: a 2×2×2.5 wall block (the reference's
+    data/wall_render.obj is an 8-vertex block; ours is generated, not
+    copied). Written once to a temp dir."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "mrt_demo_objs")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "wall_render.obj")
+    if not os.path.exists(path):
+        corners = [
+            (x, y, z)
+            for x in (1.0, -1.0)
+            for y in (1.0, -1.0)
+            for z in (2.5, 0.0)
+        ]
+        # 12 triangles over the box faces (indices into corners, 1-based).
+        faces = [
+            (1, 5, 7), (1, 7, 3), (4, 3, 7), (4, 7, 8), (8, 7, 5), (8, 5, 6),
+            (6, 2, 4), (6, 4, 8), (2, 1, 3), (2, 3, 4), (6, 5, 1), (6, 1, 2),
+        ]
+        lines = ["o Wall"]
+        for c in corners:
+            lines.append(f"v {c[0]} {c[1]} {c[2]}")
+        for f in faces:
+            lines.append(f"f {f[0]} {f[1]} {f[2]}")
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    return path
+
+
+def wall_scene_config(
+    num_worlds: int,
+    render_mode: RenderMode,
+    width: int,
+    height: int,
+    **extra,
+) -> ManagerConfig:
+    """BASELINE config 3's scene: wall_render.obj instances on a ground
+    plane, one camera per world (per-world yaw so worlds differ)."""
+    plane_v, plane_uv = plane_mesh()
+    geo = _geo_from([plane_v], [plane_uv], [1])  # plane → additional mat 1
+    mats = [
+        AdditionalMaterial(color=(0.6, 0.55, 0.5, 1.0), roughness=0.8),
+        AdditionalMaterial(color=(0.3, 0.35, 0.4, 1.0), roughness=0.9),
+    ]
+    instances, cameras, worlds = [], [], []
+    for w in range(num_worlds):
+        yaw = (w * 0.61) % (2 * math.pi)
+        qw, qz = math.cos(yaw / 2), math.sin(yaw / 2)
+        # Two walls + the ground plane per world. Object ids: disk assets
+        # first (wall = 0), then raw meshes (plane = 1).
+        instances.append(ImportedInstance(
+            position=[-2.5, 0.0, 0.0], rotation=[qw, 0.0, 0.0, qz],
+            scale=[1.0, 1.0, 1.0], object_id=0))
+        instances.append(ImportedInstance(
+            position=[2.5, 0.0, 0.0], rotation=[qw, 0.0, 0.0, -qz],
+            scale=[1.0, 1.0, 1.0], object_id=0))
+        instances.append(ImportedInstance(
+            position=[0.0, 0.0, 0.0], rotation=[1.0, 0.0, 0.0, 0.0],
+            scale=[1.0, 1.0, 1.0], object_id=1))
+        pitch = -0.12
+        ps, pc = math.sin(pitch / 2), math.cos(pitch / 2)
+        cameras.append(ImportedCamera(position=[0.0, 9.0, 2.5],
+                                      rotation=[0.0, 0.0, ps, pc]))
+        worlds.append(WorldInit(num_instances=3, instance_offset=3 * w,
+                                num_cameras=1, camera_offset=w))
+    return ManagerConfig(
+        gpu_id=0,
+        num_worlds=num_worlds,
+        render_mode=render_mode,
+        batch_render_view_width=width,
+        batch_render_view_height=height,
+        headless_mode=True,
+        rcfg=RenderConfig(
+            geo_cfg=geo,
+            asset_paths=[ImportedAsset(path=wall_obj_asset(), mat_id=0)],
+            additional_mats=mats,
+            instances=instances,
+            cameras=cameras,
+            worlds=worlds,
+        ),
+        **extra,
+    )
+
+
 def demo_config(
     num_worlds: int,
     render_mode: RenderMode,
@@ -105,16 +237,32 @@ def demo_config(
     dynamic: bool = False,
     textured: bool = False,
     tex_size: int = 64,
+    tex_format: str = "png",
+    from_disk: bool = False,
     **extra,
 ) -> ManagerConfig:
     """Cube-on-a-plane scene, one camera per world, all worlds identical
     (they diverge only if the caller mutates transforms — ``dynamic``
     pre-seeds per-world cube yaw so every world differs from step one).
     ``textured`` maps a generated checkerboard onto the cube (the textured
-    perf configs; the reference's analog is cube.png via map_Kd)."""
-    cube_v, cube_uv = cube_mesh()
-    plane_v, plane_uv = plane_mesh()
-    geo = _geo_from([cube_v, plane_v], [cube_uv, plane_uv], [0, 1])
+    perf configs; the reference's analog is cube.png via map_Kd);
+    ``tex_format='ktx2'`` delivers it as BasisLZ KTX2. ``from_disk`` loads
+    the meshes via cube.obj/plane.obj files (asset-importer path) instead
+    of raw geometry."""
+    asset_paths = []
+    if from_disk:
+        # Disk-asset variant: object ids keep the disk-assets-first rule
+        # (cube=0, plane=1, scripts/test.py:7-9); mat_id binds each asset
+        # to the matching additional material.
+        asset_paths = [
+            ImportedAsset(path=p, mat_id=i)
+            for i, p in enumerate(demo_obj_assets())
+        ]
+        geo = GeometryConfig.empty()
+    else:
+        cube_v, cube_uv = cube_mesh()
+        plane_v, plane_uv = plane_mesh()
+        geo = _geo_from([cube_v, plane_v], [cube_uv, plane_uv], [0, 1])
     mats = [
         AdditionalMaterial(
             color=(0.9, 0.3, 0.2, 1.0),
@@ -123,7 +271,12 @@ def demo_config(
         ),
         AdditionalMaterial(color=(0.25, 0.3, 0.35, 1.0), texture_id=-1, roughness=0.9),
     ]
-    textures = [demo_texture_png(tex_size)] if textured else []
+    if not textured:
+        textures = []
+    elif tex_format == "ktx2":
+        textures = [demo_texture_ktx2(tex_size)]
+    else:
+        textures = [demo_texture_png(tex_size)]
     instances = []
     cameras = []
     worlds = []
@@ -175,6 +328,7 @@ def demo_config(
         headless_mode=True,
         rcfg=RenderConfig(
             geo_cfg=geo,
+            asset_paths=asset_paths,
             additional_mats=mats,
             additional_textures=textures,
             instances=instances,
