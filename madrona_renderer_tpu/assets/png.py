@@ -7,7 +7,7 @@ and PNG writing for the tiled frame dump (reference uses ``stbi_write_png``,
 ``src/dump.cpp:113-115``).
 
 Decoder support: 8-bit and 16-bit gray / gray+alpha / RGB / RGBA / palette,
-all 5 scanline filters, non-interlaced. Interlaced (Adam7) images raise.
+all 5 scanline filters, plus Adam7 interlacing (7-pass deinterlace).
 Output is always RGBA8 [H, W, 4] — the bake target (TPUs sample raw texels;
 there is no BC7 sampler, so unlike the reference we normalize everything to
 RGBA8 at import time).
@@ -67,6 +67,34 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(raw: np.ndarray, width: int, height: int, bpp: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images, merged on the pass
+    grid. Returns flat bytes [height * width * bpp] like _unfilter."""
+    full = np.zeros((height, width, bpp), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        size = ph * (pw * bpp + 1)
+        if pos + size > raw.size:
+            raise ValueError("PNG: interlaced IDAT stream truncated")
+        sub = _unfilter(raw[pos : pos + size], ph, pw * bpp, bpp)
+        pos += size
+        full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if pos != raw.size:
+        raise ValueError("PNG: interlaced IDAT stream has trailing data")
+    return full.reshape(-1)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes → RGBA8 numpy array [H, W, 4]."""
     if data[:8] != _PNG_SIG:
@@ -96,8 +124,6 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.extend(body)
         elif ctype == b"IEND":
             break
-    if interlace:
-        raise NotImplementedError("PNG: Adam7 interlacing not supported")
     if bit_depth not in (8, 16):
         raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported")
     channels = _CHANNELS[color_type]
@@ -105,12 +131,15 @@ def decode_png(data: bytes) -> np.ndarray:
     bpp = channels * bytes_per_sample
     stride = width * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if raw.size != height * (stride + 1):
-        raise ValueError(
-            f"PNG: IDAT stream inflates to {raw.size} bytes, header implies "
-            f"{height * (stride + 1)}"
-        )
-    img = _unfilter(raw, height, stride, bpp)
+    if interlace:
+        img = _deinterlace_adam7(raw, width, height, bpp)
+    else:
+        if raw.size != height * (stride + 1):
+            raise ValueError(
+                f"PNG: IDAT stream inflates to {raw.size} bytes, header "
+                f"implies {height * (stride + 1)}"
+            )
+        img = _unfilter(raw, height, stride, bpp)
     if bit_depth == 16:
         # Keep the high byte (same as stb's 16→8 reduction).
         img = img.reshape(height, width, channels, 2)[..., 0]
@@ -148,8 +177,9 @@ def read_png(path: str) -> np.ndarray:
         return decode_png(f.read())
 
 
-def encode_png(image: np.ndarray) -> bytes:
-    """Encode an RGBA8 / RGB8 / gray8 numpy image [H, W, C] or [H, W] to PNG."""
+def encode_png(image: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an RGBA8 / RGB8 / gray8 numpy image [H, W, C] or [H, W] to
+    PNG (filter 0 scanlines; optionally Adam7-interlaced)."""
     img = np.asarray(image)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -157,10 +187,22 @@ def encode_png(image: np.ndarray) -> bytes:
         raise ValueError("encode_png expects uint8")
     h, w, c = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    # Filter type 0 on every scanline.
-    raw = np.zeros((h, 1 + w * c), np.uint8)
-    raw[:, 1:] = img.reshape(h, w * c)
-    compressed = zlib.compress(raw.tobytes(), 6)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            raw = np.zeros((ph, 1 + pw * c), np.uint8)
+            raw[:, 1:] = sub.reshape(ph, pw * c)
+            parts.append(raw.tobytes())
+        compressed = zlib.compress(b"".join(parts), 6)
+    else:
+        # Filter type 0 on every scanline.
+        raw = np.zeros((h, 1 + w * c), np.uint8)
+        raw[:, 1:] = img.reshape(h, w * c)
+        compressed = zlib.compress(raw.tobytes(), 6)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -170,7 +212,7 @@ def encode_png(image: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

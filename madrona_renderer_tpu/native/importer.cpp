@@ -346,7 +346,6 @@ bool png_decode_impl(const uint8_t *data, size_t n, PngImage &img) {
         }
         pos += 12 + len;
     }
-    if (interlace) { img.error = "Adam7 interlacing not supported"; return false; }
     if (bit_depth != 8 && bit_depth != 16) {
         img.error = "unsupported bit depth";
         return false;
@@ -354,8 +353,27 @@ bool png_decode_impl(const uint8_t *data, size_t n, PngImage &img) {
     int ch = channels_for(color_type);
     if (!ch || width <= 0 || height <= 0) { img.error = "bad header"; return false; }
     int bps = bit_depth / 8;
-    size_t stride = (size_t)width * ch * bps;
-    size_t raw_size = (size_t)height * (stride + 1);
+    int bpp = ch * bps;
+    size_t stride = (size_t)width * bpp;
+
+    // Adam7 pass grid: {x0, y0, dx, dy}; non-interlaced = one full pass.
+    static const int kAdam7[7][4] = {
+        {0, 0, 8, 8}, {4, 0, 8, 8}, {0, 4, 4, 8}, {2, 0, 4, 4},
+        {0, 2, 2, 4}, {1, 0, 2, 2}, {0, 1, 1, 2},
+    };
+    struct Pass { int x0, y0, dx, dy, pw, ph; };
+    std::vector<Pass> passes;
+    if (interlace) {
+        for (auto &p : kAdam7) {
+            int pw = (width - p[0] + p[2] - 1) / p[2];
+            int ph = (height - p[1] + p[3] - 1) / p[3];
+            if (pw > 0 && ph > 0) passes.push_back({p[0], p[1], p[2], p[3], pw, ph});
+        }
+    } else {
+        passes.push_back({0, 0, 1, 1, width, height});
+    }
+    size_t raw_size = 0;
+    for (auto &p : passes) raw_size += (size_t)p.ph * ((size_t)p.pw * bpp + 1);
     std::vector<uint8_t> raw(raw_size);
     uLongf out_len = (uLongf)raw_size;
     if (uncompress(raw.data(), &out_len, idat.data(), (uLong)idat.size()) != Z_OK ||
@@ -363,34 +381,48 @@ bool png_decode_impl(const uint8_t *data, size_t n, PngImage &img) {
         img.error = "zlib inflate failed";
         return false;
     }
-    // Unfilter in place into `rows`.
+    // Unfilter each pass' sub-image, scattering onto the pass grid.
     std::vector<uint8_t> rows((size_t)height * stride);
-    int bpp = ch * bps;
-    for (int y = 0; y < height; ++y) {
-        uint8_t ftype = raw[(size_t)y * (stride + 1)];
-        const uint8_t *src = &raw[(size_t)y * (stride + 1) + 1];
-        uint8_t *dst = &rows[(size_t)y * stride];
-        const uint8_t *prev = y ? &rows[(size_t)(y - 1) * stride] : nullptr;
-        for (size_t x = 0; x < stride; ++x) {
-            int a = x >= (size_t)bpp ? dst[x - bpp] : 0;
-            int b = prev ? prev[x] : 0;
-            int c = (prev && x >= (size_t)bpp) ? prev[x - bpp] : 0;
-            int val = src[x];
-            switch (ftype) {
-                case 0: break;
-                case 1: val += a; break;
-                case 2: val += b; break;
-                case 3: val += (a + b) >> 1; break;
-                case 4: {
-                    int pa = abs(b - c), pb = abs(a - c), pc = abs(a + b - 2 * c);
-                    val += (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
-                    break;
+    std::vector<uint8_t> sub;
+    size_t rpos = 0;
+    for (auto &p : passes) {
+        size_t pstride = (size_t)p.pw * bpp;
+        sub.assign((size_t)p.ph * pstride, 0);
+        for (int y = 0; y < p.ph; ++y) {
+            uint8_t ftype = raw[rpos];
+            const uint8_t *src = &raw[rpos + 1];
+            rpos += pstride + 1;
+            uint8_t *dst = &sub[(size_t)y * pstride];
+            const uint8_t *prev = y ? &sub[(size_t)(y - 1) * pstride] : nullptr;
+            for (size_t x = 0; x < pstride; ++x) {
+                int a = x >= (size_t)bpp ? dst[x - bpp] : 0;
+                int b = prev ? prev[x] : 0;
+                int c = (prev && x >= (size_t)bpp) ? prev[x - bpp] : 0;
+                int val = src[x];
+                switch (ftype) {
+                    case 0: break;
+                    case 1: val += a; break;
+                    case 2: val += b; break;
+                    case 3: val += (a + b) >> 1; break;
+                    case 4: {
+                        int pa = abs(b - c), pb = abs(a - c), pc = abs(a + b - 2 * c);
+                        val += (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                        break;
+                    }
+                    default:
+                        img.error = "bad filter type";
+                        return false;
                 }
-                default:
-                    img.error = "bad filter type";
-                    return false;
+                dst[x] = (uint8_t)val;
             }
-            dst[x] = (uint8_t)val;
+        }
+        for (int y = 0; y < p.ph; ++y) {
+            int iy = p.y0 + y * p.dy;
+            for (int x = 0; x < p.pw; ++x) {
+                int ix = p.x0 + x * p.dx;
+                memcpy(&rows[(size_t)iy * stride + (size_t)ix * bpp],
+                       &sub[((size_t)y * p.pw + x) * bpp], bpp);
+            }
         }
     }
     // Expand to RGBA8 (16-bit keeps the high byte, like stb).

@@ -163,3 +163,14 @@ def test_ext_png_roundtrip(rng):
     w, h, rgba = native.load_ext().png_decode(encode_png(img))
     got = np.frombuffer(rgba, np.uint8).reshape(h, w, 4)
     np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 4), (7, 5, 3), (9, 31, 1), (33, 2, 2), (1, 1, 4)])
+def test_adam7_interlaced_parity(shape, rng):
+    """Adam7-interlaced PNGs decode identically through the pure-Python
+    and native decoders (and match the non-interlaced encoding)."""
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    data = encode_png(img, interlace=True)
+    expect = decode_png(encode_png(img))
+    np.testing.assert_array_equal(decode_png(data), expect)
+    np.testing.assert_array_equal(native.decode_png_native(data), expect)
