@@ -176,11 +176,16 @@ def parse_gltf(path: str) -> SourceObject:
                     raw = f.read()
         if raw is None:
             return None
-        if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        if raw[:8] == b"\x89PNG\r\n\x1a\n":
+            image_cache[img_idx] = decode_png(raw)
+        elif raw[:12] == b"\xabKTX 20\xbb\r\n\x1a\n":
+            from .ktx2 import decode_ktx2
+
+            image_cache[img_idx] = decode_ktx2(raw)
+        else:
             raise NotImplementedError(
-                "glTF embedded images: only PNG payloads supported"
+                "glTF embedded images: only PNG and KTX2 payloads supported"
             )
-        image_cache[img_idx] = decode_png(raw)
         return image_cache[img_idx]
 
     for mi, mat in enumerate(gltf.get("materials", [])):
@@ -189,7 +194,12 @@ def parse_gltf(path: str) -> SourceObject:
         tex_image = None
         if "baseColorTexture" in pbr:
             tex = gltf["textures"][pbr["baseColorTexture"]["index"]]
-            if "source" in tex:
+            # KHR_texture_basisu: the KTX2 image rides the extension's
+            # `source`; plain `source` is the (optional) PNG fallback.
+            basisu = tex.get("extensions", {}).get("KHR_texture_basisu")
+            if basisu is not None and "source" in basisu:
+                tex_image = load_image(basisu["source"])
+            elif "source" in tex:
                 tex_image = load_image(tex["source"])
         obj.materials.append(
             SourceMaterial(

@@ -220,3 +220,35 @@ def test_normalized_uint16_uvs(tmp_path):
         np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32),
         atol=1e-4,
     )
+
+
+def test_embedded_ktx2_texture_khr_basisu(tmp_path, rng):
+    """KHR_texture_basisu: a BasisLZ/ETC1S KTX2 image embedded in the GLB
+    decodes through the native transcoder (lossy, so compare against the
+    standalone KTX2 decode of the same bytes)."""
+    from madrona_renderer_tpu.assets.etc1s_encode import encode_ktx2_etc1s
+    from madrona_renderer_tpu.assets.ktx2 import decode_ktx2
+
+    blob, views, accessors, _, _ = _accessor_blob()
+    tex = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    k2 = encode_ktx2_etc1s(tex)
+    img_off = len(blob) + (-len(blob) % 4)
+    blob = blob + b"\0" * (-len(blob) % 4) + k2
+    gltf = _base_gltf(views, accessors)
+    gltf["bufferViews"].append(
+        {"buffer": 0, "byteOffset": img_off, "byteLength": len(k2)}
+    )
+    gltf["buffers"] = [{"byteLength": len(blob)}]
+    gltf["images"] = [{"bufferView": 4, "mimeType": "image/ktx2"}]
+    gltf["textures"] = [
+        {"extensions": {"KHR_texture_basisu": {"source": 0}}}
+    ]
+    gltf["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {"index": 0}
+    gltf["extensionsUsed"] = ["KHR_texture_basisu"]
+    path = str(tmp_path / "tex_basisu.glb")
+    with open(path, "wb") as f:
+        f.write(_make_glb(gltf, blob))
+    obj = parse_gltf(path)
+    np.testing.assert_array_equal(
+        obj.materials[0].texture_image, decode_ktx2(k2)
+    )
