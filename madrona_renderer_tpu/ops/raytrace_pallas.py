@@ -310,6 +310,7 @@ def _render_kernel(
     tile_sub: int = _TILE_SUB,
     textured: bool = False,
     tex_rows: int = 0,
+    tex_filter: str = "nearest",
     binned: bool = False,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
@@ -676,31 +677,30 @@ def _render_kernel(
             h_i = hf.astype(jnp.int32)
             uu = buvx - jnp.floor(buvx)  # repeat wrap
             vv = buvy - jnp.floor(buvy)
-            # OBJ/GL convention: v grows upward; texel row 0 = image top
-            # (matches shade.sample_texture_nearest exactly).
-            tx = jnp.clip((uu * wf).astype(jnp.int32), 0, w_i - 1)
-            ty = jnp.clip(((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1)
-            flat = off_f.astype(jnp.int32) + ty * w_i + tx
-            sub_row = flat // _TILE_LANE
-            lane_i = flat % _TILE_LANE
+            off_i = off_f.astype(jnp.int32)
+            shape2 = uu.shape
 
-            # Row-select sweep over the u32-packed pool: one gather/row.
-            texel = jnp.zeros_like(lane_i)
-            for rr in range(tex_rows):
-                g = jnp.take_along_axis(
-                    jnp.broadcast_to(pool_ref[rr : rr + 1, :], lane_i.shape),
-                    lane_i,
-                    axis=1,
-                )
-                texel = jnp.where(sub_row == rr, g, texel)
+            def fetch(flat):
+                # Row-select sweep over the u32-packed pool: one gather/row.
+                texel = jnp.zeros_like(flat)
+                sub_row = flat // _TILE_LANE
+                lane_i = flat % _TILE_LANE
+                for rr in range(tex_rows):
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(pool_ref[rr : rr + 1, :], shape2),
+                        lane_i,
+                        axis=1,
+                    )
+                    texel = jnp.where(sub_row == rr, g, texel)
+                return texel
 
             # Exact u8 → f32 dequant via the k/255 LUT in mp rows 6-7
             # (Mosaic f32 divide misrounds; the LUT is host-exact; the
             # exact-split trick k/255 = (k&127)/255 + 128/255 misrounds for
             # 32 of 256 k — verified — so two rows it is). k & 127 indexes
             # both rows: the hi gather's result is dead when k < 128.
-            lut_lo = jnp.broadcast_to(mp_ref[6:7, :], lane_i.shape)
-            lut_hi = jnp.broadcast_to(mp_ref[7:8, :], lane_i.shape)
+            lut_lo = jnp.broadcast_to(mp_ref[6:7, :], shape2)
+            lut_hi = jnp.broadcast_to(mp_ref[7:8, :], shape2)
 
             def dequant(k):
                 k7 = k & (_TILE_LANE - 1)
@@ -708,9 +708,55 @@ def _render_kernel(
                 hi = jnp.take_along_axis(lut_hi, k7, axis=1)
                 return jnp.where(k < _TILE_LANE, lo, hi)
 
-            base_r = base_r * dequant(texel & 255)
-            base_g = base_g * dequant((texel >> 8) & 255)
-            base_b = base_b * dequant((texel >> 16) & 255)
+            if tex_filter == "nearest":
+                # OBJ/GL convention: v grows upward; texel row 0 = image
+                # top (matches shade.sample_texture_nearest exactly).
+                tx = jnp.clip((uu * wf).astype(jnp.int32), 0, w_i - 1)
+                ty = jnp.clip(((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1)
+                texel = fetch(off_i + ty * w_i + tx)
+                base_r = base_r * dequant(texel & 255)
+                base_g = base_g * dequant((texel >> 8) & 255)
+                base_b = base_b * dequant((texel >> 16) & 255)
+            else:
+                # Bilinear (texel centers at half-integers, repeat wrap) —
+                # matches shade_lambert_planar's bilinear branch exactly.
+                fx = uu * wf - 0.5
+                fy = (1.0 - vv) * hf - 0.5
+                x0f = jnp.floor(fx)
+                y0f = jnp.floor(fy)
+                ax = fx - x0f
+                ay = fy - y0f
+                x0 = x0f.astype(jnp.int32)
+                y0 = y0f.astype(jnp.int32)
+
+                def wrap(i, n):
+                    # i ∈ [-1, n] by construction — a floored modulo needs
+                    # only the two boundary fixes (Mosaic irem truncates).
+                    i = jnp.where(i < 0, i + n, i)
+                    return jnp.where(i >= n, i - n, i)
+
+                def texel_at(xi, yi):
+                    return fetch(
+                        off_i + wrap(yi, h_i) * w_i + wrap(xi, w_i)
+                    )
+
+                t00 = texel_at(x0, y0)
+                t10 = texel_at(x0 + 1, y0)
+                t01 = texel_at(x0, y0 + 1)
+                t11 = texel_at(x0 + 1, y0 + 1)
+
+                def lerp_ch(shift):
+                    c00 = dequant((t00 >> shift) & 255)
+                    c10 = dequant((t10 >> shift) & 255)
+                    c01 = dequant((t01 >> shift) & 255)
+                    c11 = dequant((t11 >> shift) & 255)
+                    top = c00 * (1 - ax) + c10 * ax
+                    bot = c01 * (1 - ax) + c11 * ax
+                    return top * (1 - ay) + bot * ay
+
+                base_r = base_r * lerp_ch(0)
+                base_g = base_g * lerp_ch(8)
+                base_b = base_b * lerp_ch(16)
 
             n_inv = jax.lax.rsqrt(
                 jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
@@ -1094,7 +1140,7 @@ def render_core(
     tex_inkernel = (
         not shaded
         and accel != "mxu"
-        and texture_filter == "nearest"
+        and texture_filter in ("nearest", "bilinear")
         and tex_rows <= _TEX_INKERNEL_MAX_ROWS
         and n_mats <= _TILE_LANE
     )
@@ -1229,7 +1275,8 @@ def render_core(
             cluster_size=cluster_size, n_clusters=cc,
             shaded=shaded, raster_clip=raster_clip, dma_tris=dma_tris,
             num_cams=C, ordered=ordered, tile_sub=tile_sub,
-            textured=tex_inkernel, tex_rows=tex_rows, binned=binned,
+            textured=tex_inkernel, tex_rows=tex_rows,
+            tex_filter=texture_filter, binned=binned,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -1291,6 +1338,7 @@ def render_core(
         kernel = _render_kernel(
             S, width, height, n_tiles, shaded=shaded, raster_clip=raster_clip,
             tile_sub=tile_sub, textured=tex_inkernel, tex_rows=tex_rows,
+            tex_filter=texture_filter,
         )
         outs = pl.pallas_call(
             kernel,
