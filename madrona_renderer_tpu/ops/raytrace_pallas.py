@@ -448,13 +448,15 @@ def _render_kernel(
                 # No validity / det test needed: invalid or degenerate
                 # triangles produce inv = 0 → t = 0, which fails t > t_lo
                 # (t_lo > 0 always: effective near planes are positive).
+                # Fused hit test — exact-equivalent rewrites:
+                # min(u,v) ≥ -ε  ≡  u ≥ -ε ∧ v ≥ -ε, and
+                # t < min(far, best_t)  ≡  t < far ∧ t < best_t
+                # (no NaNs reach here: degenerate triangles give inv = 0).
                 ok = (
-                    (u >= -_EPS_BARY)
-                    & (v >= -_EPS_BARY)
+                    (jnp.minimum(u, v) >= -_EPS_BARY)
                     & (u + v <= 1.0 + _EPS_BARY)
                     & (t > t_lo)
-                    & (t < far)
-                    & (t < best_t)
+                    & (t < jnp.minimum(far, best_t))
                 )
 
                 # Attribute interpolation at hit time (clipped barycentrics,
