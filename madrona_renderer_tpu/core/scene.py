@@ -73,10 +73,13 @@ class SceneData:
     tex_offset: jax.Array  # i32 [K]
     tex_width: jax.Array  # i32 [K]
     tex_height: jax.Array  # i32 [K]
-    # Lighting: one directional light, matching configureLighting usage
-    # (reference src/mgr.cpp:356-359).
-    light_dir: jax.Array  # f32 [3] (direction the light travels)
-    light_color: jax.Array  # f32 [3]
+    # Lighting: L directional lights. The reference engine's
+    # configureLighting takes a light *list* (the app passes one,
+    # src/mgr.cpp:356-359); ours generalizes — contributions are summed,
+    # and with L = 1 the math reduces bit-exactly to the single-light
+    # formula. L is static (recompile on change, like every shape).
+    light_dir: jax.Array  # f32 [L, 3] (direction each light travels)
+    light_color: jax.Array  # f32 [L, 3]
     # Cluster acceleration (geometry/bvh.py): triangles are Morton-ordered
     # and grouped into fixed-size clusters with object-space AABBs. NC
     # clusters of CLUSTER_SIZE triangles each; all-padding clusters have
@@ -274,20 +277,27 @@ def bake_scene(
         mat_rough=mat_rough, mat_metal=mat_metal,
         tex_data=tex_data,
         tex_offset=tex_offset, tex_width=tex_width, tex_height=tex_height,
-        light_dir=np.asarray(DEFAULT_LIGHT_DIR, np.float32),
-        light_color=np.asarray(DEFAULT_LIGHT_COLOR, np.float32),
+        light_dir=np.asarray([DEFAULT_LIGHT_DIR], np.float32),
+        light_color=np.asarray([DEFAULT_LIGHT_COLOR], np.float32),
     )
     put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
     return jax.tree.map(lambda x: put(jnp.asarray(x)), arrays)
 
 
-def configure_lighting(scene: SceneData, direction, color) -> SceneData:
-    """Replace the directional light (reference ``configureLighting``,
-    ``src/mgr.cpp:356-359``). Pure update; no recompilation."""
+def configure_lighting(scene: SceneData, direction=None, color=None, *, lights=None) -> SceneData:
+    """Replace the directional light(s) — the analog of the engine's
+    ``configureLighting`` (reference ``src/mgr.cpp:356-359``), which takes
+    a list of ``{active, direction, color}`` descriptors.
+
+    Either ``configure_lighting(scene, direction, color)`` (one light,
+    the reference app's usage) or
+    ``configure_lighting(scene, lights=[(dir, color), ...])`` (the engine
+    API's list form; inactive lights are simply omitted). Pure update; a
+    changed light *count* is a shape change and recompiles."""
     import dataclasses
 
-    return dataclasses.replace(
-        scene,
-        light_dir=jnp.asarray(direction, jnp.float32),
-        light_color=jnp.asarray(color, jnp.float32),
-    )
+    if lights is None:
+        lights = [(direction, color)]
+    dirs = jnp.asarray([d for d, _ in lights], jnp.float32).reshape(-1, 3)
+    cols = jnp.asarray([c for _, c in lights], jnp.float32).reshape(-1, 3)
+    return dataclasses.replace(scene, light_dir=dirs, light_color=cols)

@@ -86,10 +86,18 @@ def _pick_tile_sub(n_pixels: int) -> int:
 #   in the sublane dimension)
 _N_TRI_ROWS = 32
 # Camera SoA row: origin(3) right(3) fwd(3) up(3) tan_x tan_y
-# light_dir(3, normalized) light_color(3) near far_t far_z (pad to 24).
-# near/far are per-camera row entries (not kernel constants) so
-# heterogeneous per-view fov/znear costs nothing (VERDICT r1 #10).
-_N_CAM_COLS = 24
+# near far_t far_z (cols 14-16, fixed regardless of light count), then L
+# light blocks of [dir(3, normalized), color(3)] from col 17, padded to a
+# multiple of 8. near/far are per-camera row entries (not kernel
+# constants) so heterogeneous per-view fov/znear costs nothing.
+_CAM_LIGHT0 = 17
+
+
+def _n_cam_cols(n_lights: int) -> int:
+    return -(-(_CAM_LIGHT0 + 6 * n_lights) // 8) * 8
+
+
+_N_CAM_COLS = _n_cam_cols(1)  # 24 — the single-light layout
 
 
 def _pack_tris(soup, scene: SceneData) -> jnp.ndarray:
@@ -131,25 +139,30 @@ def _pack_cams(
     far_t: jnp.ndarray,  # f32 [W, C] t-space search window upper bound
     far_z: jnp.ndarray,  # f32 [W, C] z-space far clip (raster)
 ):
-    """Camera basis + light + clip scalars [WC, 1, 24]."""
+    """Camera basis + clip + light scalars [WC, 1, _n_cam_cols(L)]."""
     W, C = state.camera_pos.shape[:2]
+    L = int(scene.light_dir.shape[0])
     rot = state.camera_rot
     right = quat_rotate(rot, jnp.array([1.0, 0.0, 0.0], jnp.float32))
     fwd = quat_rotate(rot, jnp.array([0.0, 1.0, 0.0], jnp.float32))
     up = quat_rotate(rot, jnp.array([0.0, 0.0, 1.0], jnp.float32))
     tan_y = jnp.tan(jnp.deg2rad(eff_fov) * 0.5)[..., None]  # [W, C, 1]
     tan_x = tan_y * (width / height)
-    ldir = scene.light_dir / jnp.maximum(jnp.linalg.norm(scene.light_dir), 1e-20)
-    light = jnp.broadcast_to(
-        jnp.concatenate([ldir, scene.light_color]), (W, C, 6)
-    )
     clip = jnp.stack([eff_near, far_t, far_z], axis=-1)  # [W, C, 3]
-    pad = jnp.zeros((W, C, 1), jnp.float32)
+    norms = jnp.maximum(
+        jnp.linalg.norm(scene.light_dir, axis=-1, keepdims=True), 1e-20
+    )
+    lights_flat = jnp.concatenate(
+        [scene.light_dir / norms, scene.light_color], axis=-1
+    ).reshape(-1)  # [L*6]: per light dir(3) + color(3)
+    light = jnp.broadcast_to(lights_flat, (W, C, 6 * L))
+    n_cols = _n_cam_cols(L)
+    pad = jnp.zeros((W, C, n_cols - _CAM_LIGHT0 - 6 * L), jnp.float32)
     cams = jnp.concatenate(
-        [state.camera_pos, right, fwd, up, tan_x, tan_y, light, clip, pad],
+        [state.camera_pos, right, fwd, up, tan_x, tan_y, clip, light, pad],
         axis=-1,
     )
-    return cams.reshape(W * C, 1, _N_CAM_COLS)
+    return cams.reshape(W * C, 1, n_cols)
 
 
 def world_clusters(state: SimState, scene: SceneData):
@@ -312,6 +325,7 @@ def _render_kernel(
     tex_rows: int = 0,
     tex_filter: str = "nearest",
     binned: bool = False,
+    n_lights: int = 1,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -371,8 +385,8 @@ def _render_kernel(
         uz = cam_ref[0, 0, 11]
         tan_x = cam_ref[0, 0, 12]
         tan_y = cam_ref[0, 0, 13]
-        near = cam_ref[0, 0, 20]  # t-space (rt) or z-space (raster) near
-        far = cam_ref[0, 0, 21]  # t-space search window upper bound
+        near = cam_ref[0, 0, 14]  # t-space (rt) or z-space (raster) near
+        far = cam_ref[0, 0, 15]  # t-space search window upper bound
 
         sub = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 1)
@@ -619,30 +633,37 @@ def _render_kernel(
         if shaded:
             from .shade import AMBIENT
 
-            lx = cam_ref[0, 0, 14]
-            ly = cam_ref[0, 0, 15]
-            lz = cam_ref[0, 0, 16]
-            lcr = cam_ref[0, 0, 17]
-            lcg = cam_ref[0, 0, 18]
-            lcb = cam_ref[0, 0, 19]
             n_inv = jax.lax.rsqrt(
                 jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
             )
-            ndotl = jnp.maximum(0.0, -(bnx * lx + bny * ly + bnz * lz) * n_inv)
+            # Sum the clamped lambert terms over the L directional lights
+            # (cam cols _CAM_LIGHT0 + 6·li: dir(3) + color(3) per light).
+            sr = sg = sb = jnp.float32(0.0)
+            for li in range(n_lights):
+                c0 = _CAM_LIGHT0 + 6 * li
+                nd = jnp.maximum(
+                    0.0,
+                    -(bnx * cam_ref[0, 0, c0]
+                      + bny * cam_ref[0, 0, c0 + 1]
+                      + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
+                )
+                sr = sr + nd * cam_ref[0, 0, c0 + 3]
+                sg = sg + nd * cam_ref[0, 0, c0 + 4]
+                sb = sb + nd * cam_ref[0, 0, c0 + 5]
             hit = best_idx >= 0
             if raster_clip:
                 # Far clip in z (near is exact via t_lo in the sweep).
-                hit = hit & (z < cam_ref[0, 0, 22])
+                hit = hit & (z < cam_ref[0, 0, 16])
 
-            def chan(base, lc):
-                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * ndotl * lc), 0.0, 1.0)
+            def chan(base, s):
+                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0)
                 c = jnp.where(hit, c, 0.0)
                 # Mosaic supports f32→i32 but not f32→u32; pack signed and
                 # bitcast to u32 outside the kernel.
                 return (c * 255.0 + 0.5).astype(jnp.int32)
 
             alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
-            packed = chan(bmat, lcr) | (chan(buvx, lcg) << 8) | (chan(buvy, lcb) << 16) | alpha
+            packed = chan(bmat, sr) | (chan(buvx, sg) << 8) | (chan(buvy, sb) << 16) | alpha
             rgb_ref[0] = packed
         elif textured:
             # ---- In-kernel nearest-filter texture sampling + shading.
@@ -652,13 +673,6 @@ def _render_kernel(
             # pool — exact f32 texels, so results match the XLA epilogue
             # (shade_lambert_planar) to the bit.
             from .shade import AMBIENT
-
-            lx = cam_ref[0, 0, 14]
-            ly = cam_ref[0, 0, 15]
-            lz = cam_ref[0, 0, 16]
-            lcr = cam_ref[0, 0, 17]
-            lcg = cam_ref[0, 0, 18]
-            lcb = cam_ref[0, 0, 19]
 
             matv = bmat.astype(jnp.int32)
 
@@ -763,21 +777,32 @@ def _render_kernel(
             n_inv = jax.lax.rsqrt(
                 jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
             )
-            ndotl = jnp.maximum(0.0, -(bnx * lx + bny * ly + bnz * lz) * n_inv)
+            sr = sg = sb = jnp.float32(0.0)
+            for li in range(n_lights):
+                c0 = _CAM_LIGHT0 + 6 * li
+                nd = jnp.maximum(
+                    0.0,
+                    -(bnx * cam_ref[0, 0, c0]
+                      + bny * cam_ref[0, 0, c0 + 1]
+                      + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
+                )
+                sr = sr + nd * cam_ref[0, 0, c0 + 3]
+                sg = sg + nd * cam_ref[0, 0, c0 + 4]
+                sb = sb + nd * cam_ref[0, 0, c0 + 5]
             hit = best_idx >= 0
             if raster_clip:
-                hit = hit & (z < cam_ref[0, 0, 22])
+                hit = hit & (z < cam_ref[0, 0, 16])
 
-            def chan_t(base, lc):
-                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * ndotl * lc), 0.0, 1.0)
+            def chan_t(base, s):
+                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0)
                 c = jnp.where(hit, c, 0.0)
                 return (c * 255.0 + 0.5).astype(jnp.int32)
 
             alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
             packed = (
-                chan_t(base_r, lcr)
-                | (chan_t(base_g, lcg) << 8)
-                | (chan_t(base_b, lcb) << 16)
+                chan_t(base_r, sr)
+                | (chan_t(base_g, sg) << 8)
+                | (chan_t(base_b, sb) << 16)
                 | alpha
             )
             rgb_ref[0] = packed
@@ -803,6 +828,7 @@ def _batched_kernel(
     k_chunk: int = 512,
     prepass_once: bool = True,
     tile_sub: int = _TILE_SUB,
+    n_lights: int = 1,
 ):
     """Batched (MXU) kernel factory — the round-2 intersection engine.
 
@@ -861,8 +887,8 @@ def _batched_kernel(
         uz = cam_ref[0, 0, 11]
         tan_x = cam_ref[0, 0, 12]
         tan_y = cam_ref[0, 0, 13]
-        near = cam_ref[0, 0, 20]
-        far = cam_ref[0, 0, 21]
+        near = cam_ref[0, 0, 14]
+        far = cam_ref[0, 0, 15]
 
         # ---- Per-camera triangle prepass (amortized over pixel tiles:
         # scratch persists across the sequential TPU grid, so recompute only
@@ -928,13 +954,6 @@ def _batched_kernel(
 
         if shaded:
             from .shade import AMBIENT
-
-            lx = cam_ref[0, 0, 14]
-            ly = cam_ref[0, 0, 15]
-            lz = cam_ref[0, 0, 16]
-            lcr = cam_ref[0, 0, 17]
-            lcg = cam_ref[0, 0, 18]
-            lcb = cam_ref[0, 0, 19]
 
         for i in range(tile_sub):
             dxr = dx[i : i + 1, :]  # [1, 128]
@@ -1043,25 +1062,34 @@ def _batched_kernel(
                 n_inv = jax.lax.rsqrt(
                     jnp.maximum(nxw * nxw + nyw * nyw + nzw * nzw, 1e-20)
                 )
-                ndotl = jnp.maximum(
-                    0.0, -(nxw * lx + nyw * ly + nzw * lz) * n_inv
-                )
+                sr = sg = sb = jnp.float32(0.0)
+                for li in range(n_lights):
+                    c0 = _CAM_LIGHT0 + 6 * li
+                    nd = jnp.maximum(
+                        0.0,
+                        -(nxw * cam_ref[0, 0, c0]
+                          + nyw * cam_ref[0, 0, c0 + 1]
+                          + nzw * cam_ref[0, 0, c0 + 2]) * n_inv,
+                    )
+                    sr = sr + nd * cam_ref[0, 0, c0 + 3]
+                    sg = sg + nd * cam_ref[0, 0, c0 + 4]
+                    sb = sb + nd * cam_ref[0, 0, c0 + 5]
                 hit = best_gi >= 0
                 if raster_clip:
-                    hit = hit & (zrow < cam_ref[0, 0, 22])
+                    hit = hit & (zrow < cam_ref[0, 0, 16])
 
-                def chan(base, lc):
+                def chan(base, s):
                     c = jnp.clip(
-                        base * (AMBIENT + (1.0 - AMBIENT) * ndotl * lc), 0.0, 1.0
+                        base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0
                     )
                     c = jnp.where(hit, c, 0.0)
                     return (c * 255.0 + 0.5).astype(jnp.int32)
 
                 alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
                 packed = (
-                    chan(attrs[26:27], lcr)
-                    | (chan(attrs[27:28], lcg) << 8)
-                    | (chan(attrs[28:29], lcb) << 16)
+                    chan(attrs[26:27], sr)
+                    | (chan(attrs[27:28], sg) << 8)
+                    | (chan(attrs[28:29], sb) << 16)
                     | alpha
                 )
                 rgb_ref[0, i : i + 1, :] = packed
@@ -1201,7 +1229,9 @@ def render_core(
         (1, _N_TRI_ROWS, S), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
     )
     cam_spec = pl.BlockSpec(
-        (1, 1, _N_CAM_COLS), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
+        (1, 1, _n_cam_cols(int(scene.light_dir.shape[0]))),
+        lambda wc, r: (wc, 0, 0),
+        memory_space=pltpu.SMEM,
     )
     out_spec = pl.BlockSpec(
         (1, tile_sub, _TILE_LANE), lambda wc, r: (wc, r, 0), memory_space=pltpu.VMEM
@@ -1232,6 +1262,7 @@ def render_core(
             s_pad, width, height, n_tiles,
             shaded=shaded, raster_clip=raster_clip, num_cams=C,
             k_chunk=k_chunk, prepass_once=not interpret, tile_sub=tile_sub,
+            n_lights=int(scene.light_dir.shape[0]),
         )
         tri_spec_vmem = pl.BlockSpec(
             (1, _N_TRI_ROWS, s_pad),
@@ -1279,6 +1310,7 @@ def render_core(
             num_cams=C, ordered=ordered, tile_sub=tile_sub,
             textured=tex_inkernel, tex_rows=tex_rows,
             tex_filter=texture_filter, binned=binned,
+            n_lights=int(scene.light_dir.shape[0]),
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -1340,7 +1372,7 @@ def render_core(
         kernel = _render_kernel(
             S, width, height, n_tiles, shaded=shaded, raster_clip=raster_clip,
             tile_sub=tile_sub, textured=tex_inkernel, tex_rows=tex_rows,
-            tex_filter=texture_filter,
+            tex_filter=texture_filter, n_lights=int(scene.light_dir.shape[0]),
         )
         outs = pl.pallas_call(
             kernel,

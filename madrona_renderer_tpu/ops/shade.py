@@ -93,12 +93,17 @@ def shade_lambert_planar(
     bitcasts to the final ``u8 [..., 4]`` image at the very end.
     """
     inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
-    lx, ly, lz = (
-        scene.light_dir[0], scene.light_dir[1], scene.light_dir[2],
-    )
-    l_inv = jax.lax.rsqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-20))
-    ndotl = -(nx * lx + ny * ly + nz * lz) * (inv_len * l_inv)
-    ndotl = jnp.maximum(0.0, ndotl)
+    # Per-light clamped lambert terms, summed per channel below (L = 1
+    # reduces bit-exactly to the single-light formula: 0 + x == x).
+    n_lights = int(scene.light_dir.shape[0])
+    ndotls = []
+    for li in range(n_lights):
+        lx, ly, lz = (
+            scene.light_dir[li, 0], scene.light_dir[li, 1], scene.light_dir[li, 2],
+        )
+        l_inv = jax.lax.rsqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-20))
+        nd = -(nx * lx + ny * ly + nz * lz) * (inv_len * l_inv)
+        ndotls.append(jnp.maximum(0.0, nd))
 
     m = scene.mat_color.shape[0]
     onehot = jax.nn.one_hot(mat_id, m, dtype=jnp.float32)  # [..., M]
@@ -148,15 +153,18 @@ def shade_lambert_planar(
             base_g = base_g * scene.tex_data[:, 1][flat]
             base_b = base_b * scene.tex_data[:, 2][flat]
 
-    def channel(base, light_c):
-        intensity = AMBIENT + (1.0 - AMBIENT) * ndotl * light_c
+    def channel(base, ch):
+        s = jnp.float32(0.0)
+        for li in range(n_lights):
+            s = s + ndotls[li] * scene.light_color[li, ch]
+        intensity = AMBIENT + (1.0 - AMBIENT) * s
         c = jnp.clip(base * intensity, 0.0, 1.0)
         c = jnp.where(hit_mask, c, 0.0)
         return (c * 255.0 + 0.5).astype(jnp.uint32)
 
-    r8 = channel(base_r, scene.light_color[0])
-    g8 = channel(base_g, scene.light_color[1])
-    b8 = channel(base_b, scene.light_color[2])
+    r8 = channel(base_r, 0)
+    g8 = channel(base_g, 1)
+    b8 = channel(base_b, 2)
     return r8 | (g8 << 8) | (b8 << 16) | jnp.uint32(255 << 24)
 
 
@@ -183,9 +191,14 @@ def shade_lambert(
     facing = jnp.where(facing == 0, 1.0, facing)
     n = n * facing
 
-    light_dir = scene.light_dir / jnp.maximum(jnp.linalg.norm(scene.light_dir), 1e-20)
-    ndotl = jnp.maximum(0.0, -jnp.sum(n * light_dir, axis=-1, keepdims=True))
-    intensity = AMBIENT + (1.0 - AMBIENT) * ndotl * scene.light_color
+    s = jnp.float32(0.0)
+    for li in range(int(scene.light_dir.shape[0])):
+        light_dir = scene.light_dir[li] / jnp.maximum(
+            jnp.linalg.norm(scene.light_dir[li]), 1e-20
+        )
+        ndotl = jnp.maximum(0.0, -jnp.sum(n * light_dir, axis=-1, keepdims=True))
+        s = s + ndotl * scene.light_color[li]
+    intensity = AMBIENT + (1.0 - AMBIENT) * s
 
     base = scene.mat_color[mat_id]  # [..., 4]
     sampler = (

@@ -240,3 +240,44 @@ def test_lighting_lambert_direction():
     dark = np.asarray(_render(state, scene_dark, 4, 4).rgb)[0, 0, 2, 2, 0].astype(int)
     assert bright > dark > 0
     assert dark == pytest.approx(255 * 0.2, abs=2)  # AMBIENT
+
+
+def test_multi_light_sum_and_parity():
+    """N directional lights (the engine's configureLighting list form):
+    contributions sum; the Pallas kernel matches the jnp reference."""
+    from madrona_renderer_tpu.core.scene import configure_lighting
+    from madrona_renderer_tpu.ops.raytrace_pallas import raytrace as rt_pal
+
+    state, scene = build(
+        [quad_xz(half=100.0, y=0.0)],
+        [inst(pos=(0, 10, 0))],
+        [cam_at_origin_looking_plus_y()],
+    )
+    # Two dim lights from the same side: brighter than either alone, and
+    # (pre-clip regime) close to the sum of the individual lambert terms.
+    one = configure_lighting(scene, (0, 1, 0), (0.3, 0.3, 0.3))
+    two = configure_lighting(
+        scene,
+        lights=[((0, 1, 0), (0.3, 0.3, 0.3)), ((0.3, 1, 0.2), (0.2, 0.2, 0.2))],
+    )
+    px = (0, 0, 2, 2, 0)
+    b_one = int(np.asarray(_render(state, one, 4, 4).rgb)[px])
+    b_two = int(np.asarray(_render(state, two, 4, 4).rgb)[px])
+    assert b_two > b_one
+
+    # Kernel parity with 2 lights (interpret mode).
+    a = _render(state, two, 16, 16)
+    b = rt_pal(state, two, height=16, width=16, interpret=True)
+    diff = np.abs(
+        np.asarray(a.rgb).astype(np.int16) - np.asarray(b.rgb).astype(np.int16)
+    )
+    assert diff.max() <= 1
+    np.testing.assert_array_equal(np.asarray(a.segmask), np.asarray(b.segmask))
+
+    # A light with the 'active=false' analog: simply omitted from the list
+    # — single-light list equals the scalar form bitwise.
+    listed = configure_lighting(scene, lights=[((0, 1, 0), (0.3, 0.3, 0.3))])
+    np.testing.assert_array_equal(
+        np.asarray(_render(state, one, 8, 8).rgb),
+        np.asarray(_render(state, listed, 8, 8).rgb),
+    )
