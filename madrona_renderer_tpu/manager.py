@@ -395,8 +395,13 @@ class Manager:
     depth_cuda_ptr = depth_device_ptr
     segmask_cuda_ptr = segmask_device_ptr
 
-    def configure_lighting(self, direction, color) -> None:
-        self.scene = configure_lighting(self.scene, direction, color)
+    def configure_lighting(self, direction=None, color=None, *, lights=None) -> None:
+        """Replace the directional light(s) — the engine API's list form
+        (``lights=[(dir, color), ...]``) or the single-light shorthand.
+        Changing the light *count* retraces the step (shape change)."""
+        self.scene = configure_lighting(
+            self.scene, direction, color, lights=lights
+        )
 
     @property
     def frames(self) -> Optional[Frames]:
