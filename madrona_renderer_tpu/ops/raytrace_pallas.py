@@ -326,6 +326,7 @@ def _render_kernel(
     tex_filter: str = "nearest",
     binned: bool = False,
     n_lights: int = 1,
+    shadows: bool = False,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -630,6 +631,62 @@ def _render_kernel(
         z_ref[0] = z
         idx_ref[0] = best_idx
 
+        # ---- Shadow rays (beyond-reference; opt-in) -------------------- #
+        # One any-hit sweep per light from the primary hit points. The
+        # shadow *direction* is shared (directional light), so pvec, det,
+        # and 1/det stay per-triangle scalars — only tvec/qvec go vector.
+        # Miss pixels sweep from the camera origin (best_t = 0); their
+        # occlusion result is dead (shading masks on hit).
+        occs = []
+        if shadows:
+            from .raytrace_ref import SHADOW_EPS
+
+            px_w = ox + best_t * dx
+            py_w = oy + best_t * dy
+            pz_w = oz + best_t * dz
+            eps_sh = SHADOW_EPS * (1.0 + best_t)
+            for li in range(n_lights):
+                c0 = _CAM_LIGHT0 + 6 * li
+                sdx = -cam_ref[0, 0, c0]
+                sdy = -cam_ref[0, 0, c0 + 1]
+                sdz = -cam_ref[0, 0, c0 + 2]
+
+                def sh_body(i, occ, sdx=sdx, sdy=sdy, sdz=sdz):
+                    v0x = tri_ref[0, 0, i]
+                    v0y = tri_ref[0, 1, i]
+                    v0z = tri_ref[0, 2, i]
+                    e1x = tri_ref[0, 3, i]
+                    e1y = tri_ref[0, 4, i]
+                    e1z = tri_ref[0, 5, i]
+                    e2x = tri_ref[0, 6, i]
+                    e2y = tri_ref[0, 7, i]
+                    e2z = tri_ref[0, 8, i]
+                    pvx = sdy * e2z - sdz * e2y
+                    pvy = sdz * e2x - sdx * e2z
+                    pvz = sdx * e2y - sdy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                    tvx = px_w - v0x
+                    tvy = py_w - v0y
+                    tvz = pz_w - v0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    v = (sdx * qx + sdy * qy + sdz * qz) * inv
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    ok = (
+                        (jnp.minimum(u, v) >= -_EPS_BARY)
+                        & (u + v <= 1.0 + _EPS_BARY)
+                        & (t > eps_sh)
+                    )
+                    # i32 carry: Mosaic miscompiles vmask (i1) fori_loop
+                    # carries (layout desync in arith.ori).
+                    return occ | ok.astype(jnp.int32)
+
+                occ0 = jnp.zeros(best_t.shape, jnp.int32)
+                occs.append(jax.lax.fori_loop(0, s_pad, sh_body, occ0))
+
         if shaded:
             from .shade import AMBIENT
 
@@ -647,6 +704,9 @@ def _render_kernel(
                       + bny * cam_ref[0, 0, c0 + 1]
                       + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
                 )
+                if shadows:
+                    # nd·lit with lit ∈ {0, 1} == select (bit-exact).
+                    nd = jnp.where(occs[li] != 0, 0.0, nd)
                 sr = sr + nd * cam_ref[0, 0, c0 + 3]
                 sg = sg + nd * cam_ref[0, 0, c0 + 4]
                 sb = sb + nd * cam_ref[0, 0, c0 + 5]
@@ -786,6 +846,8 @@ def _render_kernel(
                       + bny * cam_ref[0, 0, c0 + 1]
                       + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
                 )
+                if shadows:
+                    nd = jnp.where(occs[li] != 0, 0.0, nd)
                 sr = sr + nd * cam_ref[0, 0, c0 + 3]
                 sg = sg + nd * cam_ref[0, 0, c0 + 4]
                 sb = sb + nd * cam_ref[0, 0, c0 + 5]
@@ -1119,6 +1181,7 @@ def render_core(
     accel: str = "auto",
     raster_clip: bool = False,
     texture_filter: str = "nearest",
+    shadows: bool = False,
 ):
     """Run the kernel over all views. Returns dict of [W, C, P] arrays:
     (t, z, idx, rgb) when the scene is untextured (in-kernel shading) or
@@ -1253,6 +1316,13 @@ def render_core(
     tri_block_bytes = _N_TRI_ROWS * S * 4
     dma_tris = use_clusters and tri_block_bytes > SMEM_TRI_BUDGET
 
+    if shadows and (dma_tris or accel == "mxu"):
+        raise NotImplementedError(
+            "shadows=True needs the resident-SMEM triangle kernels "
+            "(mesh exceeds the SMEM budget, or accel='mxu'); use the jnp "
+            "reference path (ops.raytrace_ref) for shadowed big-mesh scenes"
+        )
+
     if accel == "mxu":
         s_pad = -(-S // 128) * 128
         if s_pad != S:
@@ -1310,7 +1380,7 @@ def render_core(
             num_cams=C, ordered=ordered, tile_sub=tile_sub,
             textured=tex_inkernel, tex_rows=tex_rows,
             tex_filter=texture_filter, binned=binned,
-            n_lights=int(scene.light_dir.shape[0]),
+            n_lights=int(scene.light_dir.shape[0]), shadows=shadows,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -1373,6 +1443,7 @@ def render_core(
             S, width, height, n_tiles, shaded=shaded, raster_clip=raster_clip,
             tile_sub=tile_sub, textured=tex_inkernel, tex_rows=tex_rows,
             tex_filter=texture_filter, n_lights=int(scene.light_dir.shape[0]),
+            shadows=shadows,
         )
         outs = pl.pallas_call(
             kernel,
@@ -1396,7 +1467,8 @@ def render_core(
 
 
 def _frames_from_core(core, T, scene, state, height, width, texture_filter,
-                      depth_key: str, far_clip=None, with_segmask=True) -> Frames:
+                      depth_key: str, far_clip=None, with_segmask=True,
+                      shadows=False, fov_y_degrees=90.0) -> Frames:
     W, C = state.camera_pos.shape[:2]
     idx = core["idx"]
     hit = idx >= 0
@@ -1411,11 +1483,32 @@ def _frames_from_core(core, T, scene, state, height, width, texture_filter,
         cam_ok = state.camera_valid[:, :, None] > 0.0
         packed = jnp.where(cam_ok, core["rgb"], jnp.uint32(255 << 24))
     else:
+        lit = None
+        if shadows:
+            # 9-output path (big texel pools): occlusion via the reference
+            # machinery, applied in the XLA shading epilogue.
+            from .raytrace_ref import camera_ray_dirs, shadow_occlusion
+
+            soup = build_world_soup(state, scene)
+            eff_fov = jnp.where(
+                state.camera_fov > 0, state.camera_fov, fov_y_degrees
+            )
+            dirs = camera_ray_dirs(state.camera_rot, height, width, eff_fov)
+            points = state.camera_pos[:, :, None, :] + core["t"][..., None] * dirs
+            cols = []
+            for li in range(int(scene.light_dir.shape[0])):
+                sdir = -(
+                    scene.light_dir[li]
+                    / jnp.maximum(jnp.linalg.norm(scene.light_dir[li]), 1e-20)
+                )
+                occ = shadow_occlusion(soup, points, sdir, core["t"])
+                cols.append(jnp.where(occ, 0.0, 1.0))
+            lit = jnp.stack(cols, axis=-1)
         # Planar shading (no [..., k<128] intermediates — they tile-pad
         # 32-42x on TPU); pixels unpack to RGBA u8 only at the very end.
         packed = shade_lambert_planar(
             scene, core["mat"], core["uvx"], core["uvy"],
-            core["nx"], core["ny"], core["nz"], hit, texture_filter,
+            core["nx"], core["ny"], core["nz"], hit, texture_filter, lit=lit,
         )
     rgb = packed_to_rgba8(packed)
     depth = jnp.where(hit, core[depth_key], 0.0)
@@ -1434,7 +1527,7 @@ def _frames_from_core(core, T, scene, state, height, width, texture_filter,
     jax.jit,
     static_argnames=(
         "height", "width", "near", "far", "fov_y_degrees", "chunk", "interpret",
-        "texture_filter", "accel",
+        "texture_filter", "accel", "shadows",
     ),
 )
 @f32_precise
@@ -1451,6 +1544,7 @@ def raytrace(
     interpret: bool = False,
     texture_filter: str = "nearest",
     accel: str = "auto",  # "auto" | "none" | "clusters" | "binned" | "mxu"
+    shadows: bool = False,
 ) -> Frames:
     """Drop-in replacement for ``raytrace_ref.raytrace``; see module
     docstring for the kernel design."""
@@ -1458,10 +1552,11 @@ def raytrace(
     core, T = render_core(
         state, scene, height=height, width=width, near=near, far=far,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
-        texture_filter=texture_filter,
+        texture_filter=texture_filter, shadows=shadows,
     )
     return _frames_from_core(
-        core, T, scene, state, height, width, texture_filter, depth_key="t"
+        core, T, scene, state, height, width, texture_filter, depth_key="t",
+        shadows=shadows, fov_y_degrees=fov_y_degrees,
     )
 
 
@@ -1469,7 +1564,7 @@ def raytrace(
     jax.jit,
     static_argnames=(
         "height", "width", "near", "far", "fov_y_degrees", "chunk", "interpret",
-        "texture_filter", "accel",
+        "texture_filter", "accel", "shadows",
     ),
 )
 @f32_precise
@@ -1486,6 +1581,7 @@ def rasterize(
     interpret: bool = False,
     texture_filter: str = "nearest",
     accel: str = "auto",
+    shadows: bool = False,
 ) -> Frames:
     """Raster-convention rendering on the same kernel (camera-plane depth,
     view znear clip, no segmask) — see raster_ref.py for the rationale."""
@@ -1493,9 +1589,10 @@ def rasterize(
     core, T = render_core(
         state, scene, height=height, width=width, near=near, far=far,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
-        raster_clip=True, texture_filter=texture_filter,
+        raster_clip=True, texture_filter=texture_filter, shadows=shadows,
     )
     return _frames_from_core(
         core, T, scene, state, height, width, texture_filter,
         depth_key="z", far_clip=far, with_segmask=False,
+        shadows=shadows, fov_y_degrees=fov_y_degrees,
     )

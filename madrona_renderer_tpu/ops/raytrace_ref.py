@@ -275,6 +275,69 @@ def intersect_bruteforce(
     return jnp.where(hit, best_t, 0.0), jnp.where(hit, best_idx, 0), hit
 
 
+# Self-shadow bias: a shadow ray from a hit point must travel at least
+# SHADOW_EPS * (1 + primary_t) before an occluder counts — the hit point
+# carries O(t·ulp) reconstruction error. (Beyond-reference feature: the
+# reference's lighting is unshadowed direct lambert.)
+SHADOW_EPS = 1e-3
+
+
+def shadow_occlusion(
+    soup: TriangleSoup,
+    points: jnp.ndarray,  # f32 [W, C, P, 3] primary hit points
+    sdir: jnp.ndarray,  # f32 [3] unit direction toward the light
+    t_hit: jnp.ndarray,  # f32 [W, C, P] primary hit distances
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Any-hit test along a shared direction from per-pixel origins →
+    bool [W, C, P] (True = occluded).
+
+    Directional lights keep the TPU-friendly structure even with
+    per-pixel origins: the ray *direction* is shared, so ``pvec =
+    sdir × e2``, the determinant, and its reciprocal are per-triangle
+    scalars; only ``tvec`` and ``qvec`` are per-(pixel, triangle)."""
+    W, S, _ = soup.v0.shape
+    _, C, P, _ = points.shape
+    chunk = max(1, min(chunk, P))
+    n_chunks = -(-P // chunk)
+    p_pad = n_chunks * chunk
+
+    sdir = jnp.asarray(sdir, jnp.float32)
+    pvec = jnp.cross(jnp.broadcast_to(sdir, soup.e2.shape), soup.e2)  # [W,S,3]
+    det = jnp.sum(soup.e1 * pvec, axis=-1)  # [W, S]
+    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+    tri_ok = soup.valid > 0.0  # [W, S]
+
+    pts = points
+    th = t_hit
+    if p_pad != P:
+        pts = jnp.pad(points, ((0, 0), (0, 0), (0, p_pad - P), (0, 0)))
+        th = jnp.pad(t_hit, ((0, 0), (0, 0), (0, p_pad - P)))
+    xs_p = pts.reshape(W, C, n_chunks, chunk, 3).transpose(2, 0, 1, 3, 4)
+    xs_t = th.reshape(W, C, n_chunks, chunk).transpose(2, 0, 1, 3)
+
+    def scan_body(_, chunk_xs):
+        p_chunk, t_chunk = chunk_xs  # [W, C, ch, 3], [W, C, ch]
+        tv = p_chunk[:, :, :, None, :] - soup.v0[:, None, None, :, :]
+        u = jnp.sum(tv * pvec[:, None, None, :, :], axis=-1) * inv[:, None, None, :]
+        q = jnp.cross(tv, soup.e1[:, None, None, :, :])
+        v = jnp.sum(sdir * q, axis=-1) * inv[:, None, None, :]
+        t = jnp.sum(soup.e2[:, None, None, :, :] * q, axis=-1) * inv[:, None, None, :]
+        eps = (SHADOW_EPS * (1.0 + t_chunk))[..., None]
+        ok = (
+            (u >= -_EPS_BARY)
+            & (v >= -_EPS_BARY)
+            & (u + v <= 1.0 + _EPS_BARY)
+            & (t > eps)
+            & tri_ok[:, None, None, :]
+        )
+        return None, jnp.any(ok, axis=-1)  # [W, C, ch]
+
+    _, occ = jax.lax.scan(scan_body, None, (xs_p, xs_t))
+    occ = occ.transpose(1, 2, 0, 3).reshape(W, C, p_pad)
+    return occ[:, :, :P]
+
+
 def finish_frames(
     soup: TriangleSoup,
     state: SimState,
@@ -288,6 +351,7 @@ def finish_frames(
     width: int,
     texture_filter: str = "nearest",
     with_segmask: bool = True,
+    lit=None,  # f32 [W, C, P, L] per-light visibility (shadows), or None
 ) -> Frames:
     """Shared shading epilogue: gather the best triangle per pixel,
     recompute barycentrics, interpolate attributes, shade, pack Frames.
@@ -316,7 +380,7 @@ def finish_frames(
     cam_ok = state.camera_valid[:, :, None] > 0.0
     hit = hit & cam_ok
 
-    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter)
+    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter, lit=lit)
     depth = jnp.where(hit, depth_values, 0.0)
     if with_segmask:
         seg = _gather_soup(soup.seg, idx)
@@ -346,7 +410,9 @@ def _gather_soup(soup_field: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "fov_y_degrees", "chunk", "texture_filter"),
+    static_argnames=(
+        "height", "width", "fov_y_degrees", "chunk", "texture_filter", "shadows",
+    ),
 )
 @f32_precise
 def raytrace(
@@ -360,9 +426,12 @@ def raytrace(
     fov_y_degrees: float = 90.0,
     chunk: int = 16,
     texture_filter: str = "nearest",
+    shadows: bool = False,
 ) -> Frames:
     """Render every (world, camera) view. Returns padded Frames
-    [W, C, H, Wd, ...]; invalid camera slots render black/0/-1."""
+    [W, C, H, Wd, ...]; invalid camera slots render black/0/-1.
+    ``shadows=True`` traces one any-hit shadow ray per (pixel, light) —
+    a beyond-reference feature (the reference's lambert is unshadowed)."""
     soup = build_world_soup(state, scene)
     eff_fov = jnp.where(state.camera_fov > 0, state.camera_fov, fov_y_degrees)
     eff_near = jnp.where(state.camera_znear > 0, state.camera_znear, near)
@@ -371,7 +440,20 @@ def raytrace(
         soup, state.camera_pos, dirs, eff_near, jnp.full_like(eff_near, far),
         chunk=chunk,
     )
+    lit = None
+    if shadows:
+        points = state.camera_pos[:, :, None, :] + t[..., None] * dirs
+        cols = []
+        for li in range(int(scene.light_dir.shape[0])):
+            # Same normalization expression as the kernel's camera rows.
+            sdir = -(
+                scene.light_dir[li]
+                / jnp.maximum(jnp.linalg.norm(scene.light_dir[li]), 1e-20)
+            )
+            occ = shadow_occlusion(soup, points, sdir, t)
+            cols.append(jnp.where(occ, 0.0, 1.0))
+        lit = jnp.stack(cols, axis=-1)
     return finish_frames(
         soup, state, scene, dirs, idx, hit, t,
-        height=height, width=width, texture_filter=texture_filter,
+        height=height, width=width, texture_filter=texture_filter, lit=lit,
     )

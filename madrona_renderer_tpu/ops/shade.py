@@ -84,6 +84,7 @@ def shade_lambert_planar(
     nz: jnp.ndarray,
     hit_mask: jnp.ndarray,  # bool [...]
     texture_filter: str = "nearest",
+    lit=None,  # f32 [..., L] per-light visibility (shadows), or None
 ) -> jnp.ndarray:
     """Planar shading → packed RGBA as u32 [...].
 
@@ -103,7 +104,10 @@ def shade_lambert_planar(
         )
         l_inv = jax.lax.rsqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-20))
         nd = -(nx * lx + ny * ly + nz * lz) * (inv_len * l_inv)
-        ndotls.append(jnp.maximum(0.0, nd))
+        nd = jnp.maximum(0.0, nd)
+        if lit is not None:
+            nd = nd * lit[..., li]
+        ndotls.append(nd)
 
     m = scene.mat_color.shape[0]
     onehot = jax.nn.one_hot(mat_id, m, dtype=jnp.float32)  # [..., M]
@@ -181,6 +185,7 @@ def shade_lambert(
     view_dir: jnp.ndarray,  # f32 [..., 3] ray direction (unit, towards surface)
     hit_mask: jnp.ndarray,  # bool [...]
     texture_filter: str = "nearest",
+    lit=None,  # f32 [..., L] per-light visibility (1 = lit, 0 = shadowed)
 ) -> jnp.ndarray:
     """Returns u8 RGBA [..., 4]."""
     n = normal / jnp.maximum(
@@ -197,6 +202,8 @@ def shade_lambert(
             jnp.linalg.norm(scene.light_dir[li]), 1e-20
         )
         ndotl = jnp.maximum(0.0, -jnp.sum(n * light_dir, axis=-1, keepdims=True))
+        if lit is not None:
+            ndotl = ndotl * lit[..., li : li + 1]
         s = s + ndotl * scene.light_color[li]
     intensity = AMBIENT + (1.0 - AMBIENT) * s
 

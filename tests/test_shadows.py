@@ -1,0 +1,125 @@
+"""Shadow rays (beyond-reference: the reference's lambert is unshadowed).
+
+One any-hit ray per (pixel, light) from the primary hit point toward each
+directional light; occluded lights contribute only ambient. Covered:
+analytic geometry (closed-form shadow extent), jnp↔Pallas parity, and
+off-by-default bitwise stability.
+"""
+
+import numpy as np
+import pytest
+
+from madrona_renderer_tpu.config import ImportedCamera, ImportedInstance
+from madrona_renderer_tpu.core.scene import configure_lighting
+from madrona_renderer_tpu.ops.raytrace_pallas import raytrace as rt_pal
+from madrona_renderer_tpu.ops.raytrace_ref import raytrace as rt_ref
+from madrona_renderer_tpu.ops.shade import AMBIENT
+
+from tests.helpers import build, quad_xz
+
+
+def _scene(two_lights=False):
+    # Ground quad at y=10 (camera at origin looking +Y), small occluder
+    # quad at y=5 centered on the view axis.
+    state, scene = build(
+        [quad_xz(half=50.0, y=0.0), quad_xz(half=2.0, y=0.0)],
+        [
+            ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=0),
+            ImportedInstance(position=[0, 5, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=1),
+        ],
+        [ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0])],
+    )
+    lights = [((1.0, 1.0, 0.0), (1.0, 1.0, 1.0))]
+    if two_lights:
+        lights.append(((-0.3, 1.0, 0.4), (0.4, 0.4, 0.6)))
+    return state, configure_lighting(scene, lights=lights)
+
+
+def test_shadow_analytic_extent():
+    """Light travelling (1, 1, 0): the occluder at y=5 (x ∈ [-2, 2])
+    projects onto the ground at y=10 shifted by 1·(10−5) = 5 → shadow
+    x ∈ [3, 7], z ∈ [-2, 2]. Ground is visible (not hidden by the
+    occluder) for |x| > 4, so the visible shadow is x ∈ (4, 7]. Shadowed
+    ground pixels read exactly the ambient level; lit ground pixels read
+    ambient + diffuse."""
+    state, scene = _scene()
+    f = rt_ref(state, scene, height=64, width=64, shadows=True)
+    rgb = np.asarray(f.rgb)[0, 0]
+    seg = np.asarray(f.segmask)[0, 0]
+
+    # fov 90° at y=10: world x = (2·(px+0.5)/64 − 1)·10, z likewise (rows
+    # top→bottom are +z→−z).
+    def pix(wx, wz):
+        x = int((wx / 10.0 + 1.0) * 32 - 0.5)
+        y = int((1.0 - wz / 10.0) * 32 - 0.5)
+        return y, x
+
+    in_shadow = pix(5.5, 0.0)      # visible shadow span x ∈ (4, 7]
+    lit = pix(-6.0, 0.0)           # ground, well outside the shadow
+    assert seg[in_shadow] == 0 and seg[lit] == 0  # both on the ground
+    base_color = 1.0  # helpers' default material (white)
+    ambient_only = int(base_color * AMBIENT * 255 + 0.5)
+    assert abs(int(rgb[in_shadow][0]) - ambient_only) <= 1, rgb[in_shadow]
+    assert int(rgb[lit][0]) > ambient_only + 40
+
+    # The occluder itself (top face toward the light) stays lit.
+    occ_px = pix(0.0, 0.0)
+    assert seg[occ_px] == 1
+    assert int(rgb[occ_px][0]) > ambient_only + 40
+
+
+@pytest.mark.parametrize("two_lights", [False, True])
+def test_shadow_parity_pallas_vs_ref(two_lights):
+    state, scene = _scene(two_lights)
+    a = rt_ref(state, scene, height=32, width=32, shadows=True)
+    b = rt_pal(state, scene, height=32, width=32, interpret=True, shadows=True)
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 1, d.max()
+    np.testing.assert_array_equal(np.asarray(a.segmask), np.asarray(b.segmask))
+    np.testing.assert_allclose(
+        np.asarray(a.depth), np.asarray(b.depth), rtol=1e-5, atol=1e-5
+    )
+    # Shadows actually darken some ground pixels vs the unshadowed render.
+    off = rt_pal(state, scene, height=32, width=32, interpret=True)
+    delta = np.asarray(off.rgb, np.int16) - np.asarray(b.rgb, np.int16)
+    assert (delta[..., 0] > 10).sum() > 0
+
+
+def test_shadows_default_off_bitwise_stable():
+    state, scene = _scene()
+    a = rt_pal(state, scene, height=16, width=16, interpret=True)
+    b = rt_pal(state, scene, height=16, width=16, interpret=True, shadows=False)
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+
+
+def test_shadows_textured_inkernel(tmp_path):
+    """Shadows compose with the in-kernel texture path."""
+    from madrona_renderer_tpu.assets.png import write_png
+    from madrona_renderer_tpu.config import AdditionalMaterial
+
+    from tests.fixtures import make_checker_png
+    from tests.helpers import quad_uvs
+
+    path = str(tmp_path / "checker.png")
+    write_png(path, make_checker_png(16, 4))
+    state, scene = build(
+        [quad_xz(half=50.0, y=0.0), quad_xz(half=2.0, y=0.0)],
+        [
+            ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=0),
+            ImportedInstance(position=[0, 5, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=1),
+        ],
+        [ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0])],
+        uvs=[quad_uvs(), quad_uvs()],
+        mesh_materials=[0, 0],
+        additional_mats=[AdditionalMaterial(color=(1, 1, 1, 1), texture_id=0)],
+        additional_textures=[path],
+    )
+    scene = configure_lighting(scene, (0.5, 1, 0), (1, 1, 1))
+    a = rt_ref(state, scene, height=32, width=32, shadows=True)
+    b = rt_pal(state, scene, height=32, width=32, interpret=True, shadows=True)
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 1, d.max()
