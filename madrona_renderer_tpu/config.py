@@ -198,6 +198,9 @@ class ManagerConfig:
     # Texture filtering: "nearest" or "bilinear" (GPU samplers filter
     # linearly; nearest is the default to keep golden images stable).
     texture_filter: str = "nearest"
+    # Shadow rays: one any-hit ray per (pixel, light) per step — a
+    # beyond-reference feature (the reference's lambert is unshadowed).
+    shadows: bool = False
     # Optional multi-chip mesh: number of devices to shard the world axis
     # over (1 = single device). See madrona_renderer_tpu.parallel.
     num_devices: int = 1

@@ -209,6 +209,7 @@ class Manager:
                 far=cfg.far_plane,
                 fov_y_degrees=cfg.fov_y_degrees,
                 texture_filter=cfg.texture_filter,
+                shadows=cfg.shadows,
             )
         else:
             try:
@@ -228,6 +229,7 @@ class Manager:
                 far=cfg.far_plane,
                 fov_y_degrees=cfg.fov_y_degrees,
                 texture_filter=cfg.texture_filter,
+                shadows=cfg.shadows,
             )
 
         cam_w, cam_slot = self._j_cam_w, self._j_cam_slot

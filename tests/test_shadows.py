@@ -123,3 +123,22 @@ def test_shadows_textured_inkernel(tmp_path):
     b = rt_pal(state, scene, height=32, width=32, interpret=True, shadows=True)
     d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
     assert d.max() <= 1, d.max()
+
+
+def test_manager_shadows_config():
+    """shadows=True through the Manager config (drop-in surface)."""
+    import dataclasses
+
+    from madrona_renderer_tpu.manager import Manager
+    from madrona_renderer_tpu.runners.scenes import demo_config
+    from madrona_renderer_tpu.config import RenderMode
+
+    cfg = demo_config(2, RenderMode.Raytracer, 32, 32)
+    off = Manager(cfg)
+    on = Manager(dataclasses.replace(cfg, shadows=True))
+    off.step()
+    on.step()
+    a = off.rgb_tensor().numpy()
+    b = on.rgb_tensor().numpy()
+    assert a.shape == b.shape
+    assert (a != b).any()  # the cube shadows part of the plane
