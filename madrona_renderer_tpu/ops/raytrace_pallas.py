@@ -685,7 +685,58 @@ def _render_kernel(
                     return occ | ok.astype(jnp.int32)
 
                 occ0 = jnp.zeros(best_t.shape, jnp.int32)
-                occs.append(jax.lax.fori_loop(0, s_pad, sh_body, occ0))
+                if culled:
+                    # Cluster-culled shadow sweep: slab-test each cluster
+                    # AABB against the tile's shadow rays (shared scalar
+                    # direction → scalar reciprocals) and sweep only the
+                    # valid prefix of passing clusters. Pixels already
+                    # occluded drop out of the any() so fully-shadowed
+                    # tiles stop visiting clusters.
+                    eps_s = 1e-20
+                    ivsx = 1.0 / jnp.where(
+                        jnp.abs(sdx) > eps_s, sdx,
+                        jnp.where(sdx < 0, -eps_s, eps_s))
+                    ivsy = 1.0 / jnp.where(
+                        jnp.abs(sdy) > eps_s, sdy,
+                        jnp.where(sdy < 0, -eps_s, eps_s))
+                    ivsz = 1.0 / jnp.where(
+                        jnp.abs(sdz) > eps_s, sdz,
+                        jnp.where(sdz < 0, -eps_s, eps_s))
+
+                    def sh_cluster(c, occ):
+                        t1x = (cl_ref[0, 0, c] - px_w) * ivsx
+                        t2x = (cl_ref[0, 3, c] - px_w) * ivsx
+                        t1y = (cl_ref[0, 1, c] - py_w) * ivsy
+                        t2y = (cl_ref[0, 4, c] - py_w) * ivsy
+                        t1z = (cl_ref[0, 2, c] - pz_w) * ivsz
+                        t2z = (cl_ref[0, 5, c] - pz_w) * ivsz
+                        tmin = jnp.maximum(
+                            jnp.maximum(jnp.minimum(t1x, t2x),
+                                        jnp.minimum(t1y, t2y)),
+                            jnp.minimum(t1z, t2z),
+                        )
+                        tmax = jnp.minimum(
+                            jnp.minimum(jnp.maximum(t1x, t2x),
+                                        jnp.maximum(t1y, t2y)),
+                            jnp.maximum(t1z, t2z),
+                        )
+                        possible = (tmax >= tmin) & (tmax > 0.0) & (occ == 0)
+                        go = jnp.any(possible) & (cl_ref[0, 6, c] > 0.0)
+
+                        def sweep(o):
+                            base = c * cluster_size
+                            cnt = cl_ref[0, 7, c].astype(jnp.int32)
+                            return jax.lax.fori_loop(
+                                base, base + cnt, sh_body, o
+                            )
+
+                        return jax.lax.cond(go, sweep, lambda o: o, occ)
+
+                    occs.append(
+                        jax.lax.fori_loop(0, n_clusters, sh_cluster, occ0)
+                    )
+                else:
+                    occs.append(jax.lax.fori_loop(0, s_pad, sh_body, occ0))
 
         if shaded:
             from .shade import AMBIENT
