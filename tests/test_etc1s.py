@@ -155,3 +155,29 @@ def test_basis_ktx2_fixture_renders(tmp_path):
     )
     frames2 = rt_ref(state2, scene2, height=32, width=32)
     np.testing.assert_array_equal(rgb, np.asarray(frames2.rgb))
+
+
+def test_fuzz_mutations_never_crash():
+    """Mutated BasisLZ streams must produce clean Python errors or valid
+    decodes — never native crashes or unexpected exception types (the
+    decoder parses untrusted files in C++)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 4)).astype(np.uint8)
+    base = bytearray(encode_ktx2_etc1s(img))
+    for _ in range(300):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            data[int(rng.integers(64, len(data)))] = int(rng.integers(0, 256))
+        try:
+            decode_ktx2(bytes(data))
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(50):
+        n = int(rng.integers(100, 1500))
+        data = bytes(base[:80]) + bytes(
+            rng.integers(0, 256, n, dtype=np.uint8)
+        )
+        try:
+            decode_ktx2(data)
+        except (ValueError, NotImplementedError):
+            pass
