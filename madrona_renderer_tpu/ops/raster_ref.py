@@ -49,7 +49,12 @@ from .raytrace_ref import (
 )
 
 
-@partial(jax.jit, static_argnames=("height", "width", "fov_y_degrees", "chunk", "texture_filter"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "fov_y_degrees", "chunk", "texture_filter", "shadows",
+    ),
+)
 @f32_precise
 def rasterize(
     state: SimState,
@@ -62,6 +67,7 @@ def rasterize(
     fov_y_degrees: float = 90.0,
     chunk: int = 16,
     texture_filter: str = "nearest",
+    shadows: bool = False,
 ) -> Frames:
     """Render every (world, camera) view with raster conventions."""
     soup = build_world_soup(state, scene)
@@ -96,9 +102,24 @@ def rasterize(
     z = t * cosf
     hit = hit & (z < far)  # near handled exactly in t-space above
 
+    lit = None
+    if shadows:
+        from .raytrace_ref import shadow_occlusion
+
+        points = state.camera_pos[:, :, None, :] + t[..., None] * dirs
+        cols = []
+        for li in range(int(scene.light_dir.shape[0])):
+            sdir = -(
+                scene.light_dir[li]
+                / jnp.maximum(jnp.linalg.norm(scene.light_dir[li]), 1e-20)
+            )
+            occ = shadow_occlusion(soup, points, sdir, t)
+            cols.append(jnp.where(occ, 0.0, 1.0))
+        lit = jnp.stack(cols, axis=-1)
+
     # No segmask under raster (reference FATALs; our Manager raises).
     return finish_frames(
         soup, state, scene, dirs, idx, hit, z,
         height=height, width=width, texture_filter=texture_filter,
-        with_segmask=False,
+        with_segmask=False, lit=lit,
     )

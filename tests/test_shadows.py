@@ -142,3 +142,14 @@ def test_manager_shadows_config():
     b = on.rgb_tensor().numpy()
     assert a.shape == b.shape
     assert (a != b).any()  # the cube shadows part of the plane
+
+
+def test_shadow_parity_raster_mode():
+    from madrona_renderer_tpu.ops.raster_pallas import rasterize as rast_pal
+    from madrona_renderer_tpu.ops.raster_ref import rasterize as rast_ref
+
+    state, scene = _scene()
+    a = rast_ref(state, scene, height=32, width=32, shadows=True)
+    b = rast_pal(state, scene, height=32, width=32, interpret=True, shadows=True)
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 1, d.max()
