@@ -69,3 +69,28 @@ def test_webviewer_end_to_end():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_webviewer_depth_frame():
+    """Depth view streams as a grayscale-expanded PNG."""
+    mgr = Manager(demo_config(1, RenderMode.Raytracer, 16, 16))
+    httpd, vs = serve(Viewer(mgr), port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        _get(port, "/key?k=d")
+        status, png, headers = _get(port, "/frame.png")
+        assert status == 200
+        state = json.loads(headers["X-Viewer-State"])
+        assert state["depth"] is True
+        from madrona_renderer_tpu.assets.png import decode_png
+        from madrona_renderer_tpu.runners.dump import depth_to_gray_u8
+
+        img = decode_png(png)
+        expect = depth_to_gray_u8(np.asarray(mgr.frames.depth[0, 0]))
+        np.testing.assert_array_equal(img, expect)
+        np.testing.assert_array_equal(img[..., 0], img[..., 1])
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
