@@ -274,6 +274,8 @@ def run_baseline_suite(impl: str) -> dict:
                 "value": round(fps, 1),
                 "vs_baseline": round(fps / 1e5, 4),
             }
+            if _smoke():
+                out[name]["smoke_worlds"] = _scaled(worlds)
         except Exception:
             traceback.print_exc(file=sys.stderr)
             out[name] = {"error": traceback.format_exc(limit=1).strip()[-200:]}
@@ -337,6 +339,12 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(fps / 1e5, 4),
     }
+    if _smoke():
+        # Smoke mode shrinks every config ~256×: mark the artifact so a
+        # lingering MRT_BENCH_SMOKE=1 can never pass scaled numbers off as
+        # full-scale results under the full-scale metric name.
+        record["smoke"] = True
+        record["worlds_measured"] = _scaled(args.worlds)
     if default_invocation:
         # The driver's invocation (plain `python bench.py`): carry the full
         # BASELINE ladder inside the one parsed JSON line so regressions in

@@ -104,18 +104,10 @@ def rasterize(
 
     lit = None
     if shadows:
-        from .raytrace_ref import shadow_occlusion
+        from .raytrace_ref import compute_lit
 
         points = state.camera_pos[:, :, None, :] + t[..., None] * dirs
-        cols = []
-        for li in range(int(scene.light_dir.shape[0])):
-            sdir = -(
-                scene.light_dir[li]
-                / jnp.maximum(jnp.linalg.norm(scene.light_dir[li]), 1e-20)
-            )
-            occ = shadow_occlusion(soup, points, sdir, t)
-            cols.append(jnp.where(occ, 0.0, 1.0))
-        lit = jnp.stack(cols, axis=-1)
+        lit = compute_lit(soup, scene, points, t)
 
     # No segmask under raster (reference FATALs; our Manager raises).
     return finish_frames(

@@ -1538,7 +1538,7 @@ def _frames_from_core(core, T, scene, state, height, width, texture_filter,
         if shadows:
             # 9-output path (big texel pools): occlusion via the reference
             # machinery, applied in the XLA shading epilogue.
-            from .raytrace_ref import camera_ray_dirs, shadow_occlusion
+            from .raytrace_ref import camera_ray_dirs, compute_lit
 
             soup = build_world_soup(state, scene)
             eff_fov = jnp.where(
@@ -1546,15 +1546,7 @@ def _frames_from_core(core, T, scene, state, height, width, texture_filter,
             )
             dirs = camera_ray_dirs(state.camera_rot, height, width, eff_fov)
             points = state.camera_pos[:, :, None, :] + core["t"][..., None] * dirs
-            cols = []
-            for li in range(int(scene.light_dir.shape[0])):
-                sdir = -(
-                    scene.light_dir[li]
-                    / jnp.maximum(jnp.linalg.norm(scene.light_dir[li]), 1e-20)
-                )
-                occ = shadow_occlusion(soup, points, sdir, core["t"])
-                cols.append(jnp.where(occ, 0.0, 1.0))
-            lit = jnp.stack(cols, axis=-1)
+            lit = compute_lit(soup, scene, points, core["t"])
         # Planar shading (no [..., k<128] intermediates — they tile-pad
         # 32-42x on TPU); pixels unpack to RGBA u8 only at the very end.
         packed = shade_lambert_planar(

@@ -338,6 +338,23 @@ def shadow_occlusion(
     return occ[:, :, :P]
 
 
+def compute_lit(soup: TriangleSoup, scene, points, t_hit) -> jnp.ndarray:
+    """Per-light visibility [W, C, P, L] from primary hit points — one
+    shadow_occlusion pass per light. Shared by every shadowed render path
+    (jnp raytrace/rasterize and the Pallas planar epilogue) so the
+    normalization expression stays in one place (it must match the
+    kernel's camera-row packing bit-for-bit)."""
+    cols = []
+    for li in range(int(scene.light_dir.shape[0])):
+        sdir = -(
+            scene.light_dir[li]
+            / jnp.maximum(jnp.linalg.norm(scene.light_dir[li]), 1e-20)
+        )
+        occ = shadow_occlusion(soup, points, sdir, t_hit)
+        cols.append(jnp.where(occ, 0.0, 1.0))
+    return jnp.stack(cols, axis=-1)
+
+
 def finish_frames(
     soup: TriangleSoup,
     state: SimState,
@@ -443,16 +460,7 @@ def raytrace(
     lit = None
     if shadows:
         points = state.camera_pos[:, :, None, :] + t[..., None] * dirs
-        cols = []
-        for li in range(int(scene.light_dir.shape[0])):
-            # Same normalization expression as the kernel's camera rows.
-            sdir = -(
-                scene.light_dir[li]
-                / jnp.maximum(jnp.linalg.norm(scene.light_dir[li]), 1e-20)
-            )
-            occ = shadow_occlusion(soup, points, sdir, t)
-            cols.append(jnp.where(occ, 0.0, 1.0))
-        lit = jnp.stack(cols, axis=-1)
+        lit = compute_lit(soup, scene, points, t)
     return finish_frames(
         soup, state, scene, dirs, idx, hit, t,
         height=height, width=width, texture_filter=texture_filter, lit=lit,

@@ -52,15 +52,37 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # ValueError: jax's cluster auto-detection found no coordinator.
+    except (ValueError, RuntimeError) as e:
+        # ValueError: jax's cluster auto-detection found no coordinator —
+        # a single-process run, fine to continue on local devices.
         # RuntimeError: the XLA backend is already initialized (too late
-        # to join a fleet). With explicit args either is a real error;
-        # env-driven they mean "single-process run, local devices only".
-        # (Env sniffing is NOT a reliable pre-check: e.g. the axon TPU
-        # plugin sets TPU_WORKER_HOSTNAMES=localhost on single-chip hosts.)
+        # to join a fleet). With explicit args either is a real error.
         if explicit:
             raise
+        # Env-driven case: if the environment clearly describes a fleet of
+        # more than one process, degrading to single-process would be
+        # silent wrongness (every host would render every world) — raise.
+        # A 1-process "fleet" is harmless (e.g. the axon TPU plugin sets
+        # TPU_WORKER_HOSTNAMES=localhost on single-chip hosts, which is
+        # why plain env sniffing can't gate the initialize() call itself).
+        if isinstance(e, RuntimeError) and _env_fleet_size() > 1:
+            raise RuntimeError(
+                "multihost.initialize() was called after the XLA backend "
+                "was already initialized, but the environment describes a "
+                f"{_env_fleet_size()}-process fleet — call initialize() "
+                "before any other jax use (jax.devices(), computations)"
+            ) from e
+
+
+def _env_fleet_size() -> int:
+    """Best-effort process count implied by cluster env vars (1 = none)."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    n = len([h for h in hosts.split(",") if h.strip()]) if hosts else 1
+    for var in ("JAX_NUM_PROCESSES", "SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        v = os.environ.get(var)
+        if v and v.isdigit():
+            n = max(n, int(v))
+    return max(n, 1)
 
 
 def global_world_mesh() -> Mesh:

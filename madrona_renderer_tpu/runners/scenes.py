@@ -78,6 +78,26 @@ def _geo_from(meshes: List[np.ndarray], uv_list: List[np.ndarray], mats: List[in
     )
 
 
+
+def _publish_atomic(path: str, data: bytes) -> None:
+    """Write-once cache publish: atomic rename so concurrent readers never
+    see a partially-written file (bench + tests share these /tmp caches)."""
+    import tempfile
+
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".mrt_tmp_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def demo_texture_png(size: int = 64) -> str:
     """Generate (once) and return the path of the demo checkerboard
     texture — the textured-scene analog of the reference's cube.png."""
@@ -85,7 +105,7 @@ def demo_texture_png(size: int = 64) -> str:
 
     path = os.path.join(tempfile.gettempdir(), f"mrt_demo_checker_{size}.png")
     if not os.path.exists(path):
-        from ..assets.png import write_png
+        from ..assets.png import encode_png
 
         yy, xx = np.mgrid[0:size, 0:size]
         checker = ((yy // 8 + xx // 8) % 2).astype(np.float32)
@@ -94,7 +114,7 @@ def demo_texture_png(size: int = 64) -> str:
         img[..., 1] = (255 * (0.55 - 0.25 * checker)).astype(np.uint8)
         img[..., 2] = (255 * (0.25 + 0.5 * (1 - checker))).astype(np.uint8)
         img[..., 3] = 255
-        write_png(path, img)
+        _publish_atomic(path, encode_png(img))
     return path
 
 
@@ -108,8 +128,7 @@ def demo_texture_ktx2(size: int = 32) -> str:
         from ..assets.etc1s_encode import encode_ktx2_etc1s
         from ..assets.png import read_png
 
-        with open(path, "wb") as f:
-            f.write(encode_ktx2_etc1s(read_png(demo_texture_png(size))))
+        _publish_atomic(path, encode_ktx2_etc1s(read_png(demo_texture_png(size))))
     return path
 
 
@@ -137,8 +156,7 @@ def demo_obj_assets() -> list:
                 lines.append(
                     f"f {i+1}/{i+1} {i+2}/{i+2} {i+3}/{i+3}"
                 )
-            with open(path, "w") as f:
-                f.write("\n".join(lines) + "\n")
+            _publish_atomic(path, ("\n".join(lines) + "\n").encode())
         paths.append(path)
     return paths
 
@@ -169,8 +187,7 @@ def wall_obj_asset() -> str:
             lines.append(f"v {c[0]} {c[1]} {c[2]}")
         for f in faces:
             lines.append(f"f {f[0]} {f[1]} {f[2]}")
-        with open(path, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
+        _publish_atomic(path, ("\n".join(lines) + "\n").encode())
     return path
 
 

@@ -34,6 +34,18 @@ def save_state(path: str, state: SimState) -> None:
 def load_state(path: str, device=None) -> SimState:
     with np.load(_norm(path)) as data:
         kwargs = {k: data[k] for k in data.files}
+    # Forward compatibility for checkpoints written before a SimState
+    # field existed: per-camera fov/znear default to 0 ("inherit the call
+    # defaults" — the pre-field behavior exactly).
+    if "camera_pos" in kwargs:
+        cam_shape = kwargs["camera_pos"].shape[:2]
+        for field in ("camera_fov", "camera_znear"):
+            kwargs.setdefault(field, np.zeros(cam_shape, np.float32))
+    missing = {f.name for f in dataclasses.fields(SimState)} - set(kwargs)
+    if missing:
+        raise ValueError(
+            f"checkpoint {path!r} lacks SimState fields {sorted(missing)}"
+        )
     state = SimState(**kwargs)
     put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
     return jax.tree.map(put, state)

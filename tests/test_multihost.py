@@ -70,3 +70,38 @@ def test_single_process_initialize_noop():
     assert multihost.local_world_slice(16) == slice(0, 16)
     # Divisibility is per process count (1 here), so any count is fine.
     assert multihost.local_world_slice(7) == slice(0, 7)
+
+
+def test_env_fleet_late_init_raises(monkeypatch):
+    """If the env describes a >1-process fleet but the XLA backend is
+    already initialized, silently degrading to single-process would make
+    every host render every world — initialize() must raise instead."""
+    import jax
+
+    from madrona_renderer_tpu.parallel import multihost
+
+    jax.devices()  # ensure the backend is initialized
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "hosta,hostb")
+    monkeypatch.setattr(multihost, "_env_fleet_size", lambda: 2)
+    import jax._src.distributed as _dist
+
+    if _dist.global_state.client is not None:
+        pytest.skip("distributed client active in this process")
+    with pytest.raises(RuntimeError, match="fleet"):
+        multihost.initialize()
+
+
+def test_env_single_process_late_init_is_noop(monkeypatch):
+    # The axon plugin sets TPU_WORKER_HOSTNAMES=localhost on single-chip
+    # hosts — a 1-process "fleet" must stay a clean no-op.
+    import jax
+
+    from madrona_renderer_tpu.parallel import multihost
+
+    jax.devices()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    import jax._src.distributed as _dist
+
+    if _dist.global_state.client is not None:
+        pytest.skip("distributed client active in this process")
+    multihost.initialize()  # no raise

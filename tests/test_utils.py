@@ -97,3 +97,39 @@ def test_checkpoint_suffixless_path(mgr, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded.instance_pos), np.asarray(mgr.state.instance_pos)
     )
+
+
+def test_checkpoint_loads_pre_fov_field_files(tmp_path):
+    """Checkpoints written before SimState gained camera_fov/camera_znear
+    must still load (defaulting the new fields to 0 = inherit)."""
+    import dataclasses
+
+    import numpy as np
+
+    from madrona_renderer_tpu.core.state import SimState
+    from madrona_renderer_tpu.utils.checkpoint import load_state, save_state
+    from madrona_renderer_tpu.runners.scenes import demo_config
+    from madrona_renderer_tpu.core.state import init_state
+
+    cfg = demo_config(2, __import__("madrona_renderer_tpu").RenderMode.Raytracer, 8, 8)
+    state = init_state(cfg.rcfg.instances, cfg.rcfg.cameras, cfg.rcfg.worlds)
+    path = str(tmp_path / "old_ckpt")
+    save_state(path, state)
+    # Rewrite the file without the per-camera fov/znear fields (an
+    # old-format checkpoint).
+    with np.load(path + ".npz") as data:
+        arrays = {k: data[k] for k in data.files}
+    arrays.pop("camera_fov")
+    arrays.pop("camera_znear")
+    np.savez(path, **arrays)
+    loaded = load_state(path)
+    assert np.asarray(loaded.camera_fov).shape == np.asarray(state.camera_fov).shape
+    assert (np.asarray(loaded.camera_fov) == 0).all()
+    np.testing.assert_array_equal(
+        np.asarray(loaded.instance_pos), np.asarray(state.instance_pos)
+    )
+    # A checkpoint missing a core field errs clearly.
+    arrays.pop("instance_pos")
+    np.savez(path, **arrays)
+    with pytest.raises(ValueError, match="instance_pos"):
+        load_state(path)
