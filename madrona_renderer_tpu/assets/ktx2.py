@@ -78,6 +78,11 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     level0 = struct.unpack_from("<3Q", data, level_index_off)
     byte_offset, byte_length, uncompressed_length = level0
     del levels
+    # Bounds-check byte ranges before slicing: Python slices silently
+    # truncate, which would surface a corrupt file as an opaque downstream
+    # decode error (or empty buffers for a bogus huge offset).
+    if byte_offset + byte_length > len(data):
+        raise ValueError("truncated KTX2 file (level data out of range)")
 
     if supercompression == 1:
         # BasisLZ (ETC1S): decode via the native C++ transcoder straight
@@ -86,6 +91,8 @@ def decode_ktx2(data: bytes) -> np.ndarray:
         sgd_offset, sgd_length = struct.unpack_from("<2Q", data, 12 + 36 + 16)
         if sgd_length == 0:
             raise ValueError("KTX2: BasisLZ without supercompressionGlobalData")
+        if sgd_offset + sgd_length > len(data):
+            raise ValueError("truncated KTX2 file (global data out of range)")
         from ..native import available, decode_basislz_native
 
         if not available():

@@ -59,51 +59,70 @@ PyObject *py_obj_parse(PyObject *, PyObject *args) {
     }
     PyObject *mats = PyList_New(0);
     PyObject *meshes = PyList_New(0);
-    char tex[1024];
-    for (int i = 0; i < mrt_obj_num_materials(h); ++i) {
-        float color[4], rough, metal;
-        mrt_obj_material(h, i, color, &rough, &metal, tex, sizeof tex);
-        PyObject *m = Py_BuildValue(
-            "{s:(ffff),s:f,s:f,s:s}", "color", color[0], color[1], color[2],
-            color[3], "roughness", rough, "metalness", metal, "texture_path",
-            tex[0] ? tex : nullptr);
-        PyList_Append(mats, m);
-        Py_DECREF(m);
-    }
-    for (int i = 0; i < mrt_obj_num_meshes(h); ++i) {
-        int nv, ni, mi, huv, hn;
-        mrt_obj_mesh_info(h, i, &nv, &ni, &mi, &huv, &hn);
-        std::vector<float> pos((size_t)nv * 3), uv((size_t)nv * 2),
-            nrm((size_t)nv * 3);
-        std::vector<uint32_t> idx((size_t)ni);
-        mrt_obj_mesh_data(h, i, pos.data(), huv ? uv.data() : nullptr,
-                          hn ? nrm.data() : nullptr, idx.data());
-        PyObject *m = Py_BuildValue(
-            "{s:i,s:i,s:i,s:y#,s:O,s:O,s:y#}", "num_vertices", nv,
-            "num_indices", ni, "material_idx", mi, "positions",
-            (const char *)pos.data(), (Py_ssize_t)(pos.size() * 4), "uvs",
-            Py_None, "normals", Py_None, "indices",
-            (const char *)idx.data(), (Py_ssize_t)(idx.size() * 4));
-        if (huv) {
-            PyObject *b = PyBytes_FromStringAndSize(
-                (const char *)uv.data(), (Py_ssize_t)(uv.size() * 4));
-            PyDict_SetItemString(m, "uvs", b);
-            Py_DECREF(b);
+    // Every allocation / append below is checked: on failure fall through
+    // to `fail` (Py_XDECREF tolerates the NULLs) — Py_DECREF(NULL) would
+    // crash the interpreter on allocation failure.
+    if (!mats || !meshes) goto fail;
+    {
+        char tex[1024];
+        for (int i = 0; i < mrt_obj_num_materials(h); ++i) {
+            float color[4], rough, metal;
+            mrt_obj_material(h, i, color, &rough, &metal, tex, sizeof tex);
+            PyObject *m = Py_BuildValue(
+                "{s:(ffff),s:f,s:f,s:s}", "color", color[0], color[1],
+                color[2], color[3], "roughness", rough, "metalness", metal,
+                "texture_path", tex[0] ? tex : nullptr);
+            if (!m) goto fail;
+            int rc = PyList_Append(mats, m);
+            Py_DECREF(m);
+            if (rc != 0) goto fail;
         }
-        if (hn) {
-            PyObject *b = PyBytes_FromStringAndSize(
-                (const char *)nrm.data(), (Py_ssize_t)(nrm.size() * 4));
-            PyDict_SetItemString(m, "normals", b);
-            Py_DECREF(b);
+        for (int i = 0; i < mrt_obj_num_meshes(h); ++i) {
+            int nv, ni, mi, huv, hn;
+            mrt_obj_mesh_info(h, i, &nv, &ni, &mi, &huv, &hn);
+            std::vector<float> pos((size_t)nv * 3), uv((size_t)nv * 2),
+                nrm((size_t)nv * 3);
+            std::vector<uint32_t> idx((size_t)ni);
+            mrt_obj_mesh_data(h, i, pos.data(), huv ? uv.data() : nullptr,
+                              hn ? nrm.data() : nullptr, idx.data());
+            PyObject *m = Py_BuildValue(
+                "{s:i,s:i,s:i,s:y#,s:O,s:O,s:y#}", "num_vertices", nv,
+                "num_indices", ni, "material_idx", mi, "positions",
+                (const char *)pos.data(), (Py_ssize_t)(pos.size() * 4), "uvs",
+                Py_None, "normals", Py_None, "indices",
+                (const char *)idx.data(), (Py_ssize_t)(idx.size() * 4));
+            if (!m) goto fail;
+            if (huv) {
+                PyObject *b = PyBytes_FromStringAndSize(
+                    (const char *)uv.data(), (Py_ssize_t)(uv.size() * 4));
+                int rc = b ? PyDict_SetItemString(m, "uvs", b) : -1;
+                Py_XDECREF(b);
+                if (rc != 0) { Py_DECREF(m); goto fail; }
+            }
+            if (hn) {
+                PyObject *b = PyBytes_FromStringAndSize(
+                    (const char *)nrm.data(), (Py_ssize_t)(nrm.size() * 4));
+                int rc = b ? PyDict_SetItemString(m, "normals", b) : -1;
+                Py_XDECREF(b);
+                if (rc != 0) { Py_DECREF(m); goto fail; }
+            }
+            int rc = PyList_Append(meshes, m);
+            Py_DECREF(m);
+            if (rc != 0) goto fail;
         }
-        PyList_Append(meshes, m);
-        Py_DECREF(m);
     }
+    {
+        mrt_obj_free(h);
+        PyObject *out = Py_BuildValue("(OO)", mats, meshes);
+        Py_DECREF(mats);
+        Py_DECREF(meshes);
+        return out;
+    }
+fail:
     mrt_obj_free(h);
-    PyObject *out = Py_BuildValue("(OO)", mats, meshes);
-    Py_DECREF(mats);
-    Py_DECREF(meshes);
-    return out;
+    Py_XDECREF(mats);
+    Py_XDECREF(meshes);
+    return nullptr;
 }
 
 PyObject *py_png_decode(PyObject *, PyObject *args) {

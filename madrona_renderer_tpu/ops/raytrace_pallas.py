@@ -636,9 +636,12 @@ def _render_kernel(
         # shadow *direction* is shared (directional light), so pvec, det,
         # and 1/det stay per-triangle scalars — only tvec/qvec go vector.
         # Miss pixels sweep from the camera origin (best_t = 0); their
-        # occlusion result is dead (shading masks on hit).
+        # occlusion result is dead (shading masks on hit). In the 9-output
+        # mode nothing consumes the sweep (occlusion is recomputed by
+        # compute_lit in the XLA epilogue) — skip building it rather than
+        # relying on DCE.
         occs = []
-        if shadows:
+        if shadows and (shaded or textured):
             from .raytrace_ref import SHADOW_EPS
 
             px_w = ox + best_t * dx
@@ -1275,9 +1278,9 @@ def render_core(
     shaded = int(scene.tex_data.shape[0]) == 1
 
     # Textured scenes also shade in-kernel when the texel pool fits the
-    # row-select gather budget (nearest filter only; the mxu path keeps
-    # the planar epilogue). Beyond the budget the per-sample select sweep
-    # would rival the intersection sweep itself — fall back to XLA.
+    # row-select gather budget (nearest or bilinear filters; the mxu path
+    # keeps the planar epilogue). Beyond the budget the per-sample select
+    # sweep would rival the intersection sweep itself — fall back to XLA.
     n_texels = int(scene.tex_data.shape[0])
     n_mats = int(scene.mat_color.shape[0])
     tex_rows = -(-n_texels // _TILE_LANE)

@@ -65,12 +65,20 @@ def initialize(
         # A 1-process "fleet" is harmless (e.g. the axon TPU plugin sets
         # TPU_WORKER_HOSTNAMES=localhost on single-chip hosts, which is
         # why plain env sniffing can't gate the initialize() call itself).
-        if isinstance(e, RuntimeError) and _env_fleet_size() > 1:
+        if _env_fleet_size() > 1:
+            if isinstance(e, RuntimeError):
+                raise RuntimeError(
+                    "multihost.initialize() was called after the XLA backend "
+                    "was already initialized, but the environment describes a "
+                    f"{_env_fleet_size()}-process fleet — call initialize() "
+                    "before any other jax use (jax.devices(), computations)"
+                ) from e
             raise RuntimeError(
-                "multihost.initialize() was called after the XLA backend "
-                "was already initialized, but the environment describes a "
-                f"{_env_fleet_size()}-process fleet — call initialize() "
-                "before any other jax use (jax.devices(), computations)"
+                "jax.distributed coordinator auto-detection failed, but the "
+                f"environment describes a {_env_fleet_size()}-process fleet — "
+                "degrading to single-process would make every host render "
+                "every world; pass coordinator_address/num_processes/"
+                "process_id explicitly"
             ) from e
 
 

@@ -79,6 +79,18 @@ def _geo_from(meshes: List[np.ndarray], uv_list: List[np.ndarray], mats: List[in
 
 
 
+def _cache_dir() -> str:
+    """Per-user demo-asset cache dir: on multi-user machines a shared /tmp
+    path would collide across users (PermissionError, or trusting another
+    user's file); keying by uid gives each user an isolated cache."""
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    d = os.path.join(tempfile.gettempdir(), f"mrt_cache_{uid}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _publish_atomic(path: str, data: bytes) -> None:
     """Write-once cache publish: atomic rename so concurrent readers never
     see a partially-written file (bench + tests share these /tmp caches)."""
@@ -101,9 +113,7 @@ def _publish_atomic(path: str, data: bytes) -> None:
 def demo_texture_png(size: int = 64) -> str:
     """Generate (once) and return the path of the demo checkerboard
     texture — the textured-scene analog of the reference's cube.png."""
-    import tempfile
-
-    path = os.path.join(tempfile.gettempdir(), f"mrt_demo_checker_{size}.png")
+    path = os.path.join(_cache_dir(), f"mrt_demo_checker_{size}.png")
     if not os.path.exists(path):
         from ..assets.png import encode_png
 
@@ -121,9 +131,7 @@ def demo_texture_png(size: int = 64) -> str:
 def demo_texture_ktx2(size: int = 32) -> str:
     """The checkerboard as a BasisLZ/ETC1S .ktx2 — the "cube.png → KTX"
     conversion of BASELINE config 2 (ETC1S is lossy; fine for a texture)."""
-    import tempfile
-
-    path = os.path.join(tempfile.gettempdir(), f"mrt_demo_checker_{size}.ktx2")
+    path = os.path.join(_cache_dir(), f"mrt_demo_checker_{size}.ktx2")
     if not os.path.exists(path):
         from ..assets.etc1s_encode import encode_ktx2_etc1s
         from ..assets.png import read_png
@@ -136,9 +144,7 @@ def demo_obj_assets() -> list:
     """Write the demo cube/plane meshes as OBJ files (once) and return
     their paths — the disk-import variant of the demo scene (BASELINE
     config 1: "cube.obj + plane.obj"), exercising the asset importer."""
-    import tempfile
-
-    d = os.path.join(tempfile.gettempdir(), "mrt_demo_objs")
+    d = os.path.join(_cache_dir(), "mrt_demo_objs")
     os.makedirs(d, exist_ok=True)
     paths = []
     for name, (verts, uvs) in (
@@ -165,9 +171,7 @@ def wall_obj_asset() -> str:
     """wall_render.obj equivalent: a 2×2×2.5 wall block (the reference's
     data/wall_render.obj is an 8-vertex block; ours is generated, not
     copied). Written once to a temp dir."""
-    import tempfile
-
-    d = os.path.join(tempfile.gettempdir(), "mrt_demo_objs")
+    d = os.path.join(_cache_dir(), "mrt_demo_objs")
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "wall_render.obj")
     if not os.path.exists(path):
