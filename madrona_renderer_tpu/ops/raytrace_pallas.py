@@ -654,39 +654,47 @@ def _render_kernel(
                 sdy = -cam_ref[0, 0, c0 + 1]
                 sdz = -cam_ref[0, 0, c0 + 2]
 
-                def sh_body(i, occ, sdx=sdx, sdy=sdy, sdz=sdz):
-                    v0x = tri_ref[0, 0, i]
-                    v0y = tri_ref[0, 1, i]
-                    v0z = tri_ref[0, 2, i]
-                    e1x = tri_ref[0, 3, i]
-                    e1y = tri_ref[0, 4, i]
-                    e1z = tri_ref[0, 5, i]
-                    e2x = tri_ref[0, 6, i]
-                    e2y = tri_ref[0, 7, i]
-                    e2z = tri_ref[0, 8, i]
-                    pvx = sdy * e2z - sdz * e2y
-                    pvy = sdz * e2x - sdx * e2z
-                    pvz = sdx * e2y - sdy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-                    tvx = px_w - v0x
-                    tvy = py_w - v0y
-                    tvz = pz_w - v0z
-                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                    qx = tvy * e1z - tvz * e1y
-                    qy = tvz * e1x - tvx * e1z
-                    qz = tvx * e1y - tvy * e1x
-                    v = (sdx * qx + sdy * qy + sdz * qz) * inv
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv
-                    ok = (
-                        (jnp.minimum(u, v) >= -_EPS_BARY)
-                        & (u + v <= 1.0 + _EPS_BARY)
-                        & (t > eps_sh)
-                    )
-                    # i32 carry: Mosaic miscompiles vmask (i1) fori_loop
-                    # carries (layout desync in arith.ori).
-                    return occ | ok.astype(jnp.int32)
+                def make_sh_body(read, sdx=sdx, sdy=sdy, sdz=sdz):
+                    """Shadow any-hit test parametric over the scalar
+                    reader (resident SMEM block vs DMA-streamed scratch
+                    slab — same split as make_tri_test)."""
 
+                    def sh_body(i, occ):
+                        v0x = read(0, i)
+                        v0y = read(1, i)
+                        v0z = read(2, i)
+                        e1x = read(3, i)
+                        e1y = read(4, i)
+                        e1z = read(5, i)
+                        e2x = read(6, i)
+                        e2y = read(7, i)
+                        e2z = read(8, i)
+                        pvx = sdy * e2z - sdz * e2y
+                        pvy = sdz * e2x - sdx * e2z
+                        pvz = sdx * e2y - sdy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                        tvx = px_w - v0x
+                        tvy = py_w - v0y
+                        tvz = pz_w - v0z
+                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                        qx = tvy * e1z - tvz * e1y
+                        qy = tvz * e1x - tvx * e1z
+                        qz = tvx * e1y - tvy * e1x
+                        v = (sdx * qx + sdy * qy + sdz * qz) * inv
+                        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                        ok = (
+                            (jnp.minimum(u, v) >= -_EPS_BARY)
+                            & (u + v <= 1.0 + _EPS_BARY)
+                            & (t > eps_sh)
+                        )
+                        # i32 carry: Mosaic miscompiles vmask (i1) fori_loop
+                        # carries (layout desync in arith.ori).
+                        return occ | ok.astype(jnp.int32)
+
+                    return sh_body
+
+                sh_body = make_sh_body(lambda k, j: tri_ref[0, k, j])
                 occ0 = jnp.zeros(best_t.shape, jnp.int32)
                 if culled:
                     # Cluster-culled shadow sweep: slab-test each cluster
@@ -729,6 +737,25 @@ def _render_kernel(
                         def sweep(o):
                             base = c * cluster_size
                             cnt = cl_ref[0, 7, c].astype(jnp.int32)
+                            if dma_tris:
+                                # Stream the cluster's slab HBM → SMEM,
+                                # exactly like the primary sweep (shadow
+                                # clusters differ from primary clusters,
+                                # so each sweep pages its own slabs).
+                                window = max(cluster_size, 128)
+                                aligned = (base // window) * window
+                                off = base - aligned
+                                dma = pltpu.make_async_copy(
+                                    tri_ref.at[w_idx, :, pl.ds(aligned, window)],
+                                    scratch,
+                                    sem,
+                                )
+                                dma.start()
+                                dma.wait()
+                                body = make_sh_body(
+                                    lambda k, j: scratch[k, off + j]
+                                )
+                                return jax.lax.fori_loop(0, cnt, body, o)
                             return jax.lax.fori_loop(
                                 base, base + cnt, sh_body, o
                             )
@@ -1275,7 +1302,12 @@ def render_core(
 
     # Untextured scenes shade in-kernel: 4 outputs instead of 9 and no
     # XLA shading epilogue (static check on the texel-pool shape).
-    shaded = int(scene.tex_data.shape[0]) == 1
+    # Exception: shadows with accel='mxu' — the batched kernel has no
+    # shadow sweep, so force the 9-output mode and let the XLA epilogue
+    # compute occlusion (compute_lit), same graceful fallback as the
+    # big-texel-pool path.
+    shadows_epilogue = shadows and accel == "mxu"
+    shaded = int(scene.tex_data.shape[0]) == 1 and not shadows_epilogue
 
     # Textured scenes also shade in-kernel when the texel pool fits the
     # row-select gather budget (nearest or bilinear filters; the mxu path
@@ -1286,6 +1318,7 @@ def render_core(
     tex_rows = -(-n_texels // _TILE_LANE)
     tex_inkernel = (
         not shaded
+        and not shadows_epilogue
         and accel != "mxu"
         and texture_filter in ("nearest", "bilinear")
         and tex_rows <= _TEX_INKERNEL_MAX_ROWS
@@ -1369,13 +1402,6 @@ def render_core(
 
     tri_block_bytes = _N_TRI_ROWS * S * 4
     dma_tris = use_clusters and tri_block_bytes > SMEM_TRI_BUDGET
-
-    if shadows and (dma_tris or accel == "mxu"):
-        raise NotImplementedError(
-            "shadows=True needs the resident-SMEM triangle kernels "
-            "(mesh exceeds the SMEM budget, or accel='mxu'); use the jnp "
-            "reference path (ops.raytrace_ref) for shadowed big-mesh scenes"
-        )
 
     if accel == "mxu":
         s_pad = -(-S // 128) * 128

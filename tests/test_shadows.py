@@ -153,3 +153,51 @@ def test_shadow_parity_raster_mode():
     b = rast_pal(state, scene, height=32, width=32, interpret=True, shadows=True)
     d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
     assert d.max() <= 1, d.max()
+
+
+def test_shadow_parity_dma_streamed_mesh():
+    """shadows=True on a mesh big enough to stream clusters via DMA —
+    the shadow sweep pages its own slabs (VERDICT r2 item 4: shadows must
+    never raise from a valid Manager config)."""
+    rng = np.random.default_rng(17)
+    n_tris = 3600  # 32 rows * 3600 * 4B > 384 KB SMEM budget
+    centers = rng.uniform(-10, 10, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 40, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+
+    from tests.helpers import build, cam_at_origin_looking_plus_y
+    from madrona_renderer_tpu.ops import raytrace_pallas as rp
+    from madrona_renderer_tpu.core.scene import SMEM_TRI_BUDGET
+
+    state, scene = build(
+        [tris],
+        [ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=0)],
+        [cam_at_origin_looking_plus_y()],
+    )
+    scene = configure_lighting(scene, (0.5, 1, 0), (1, 1, 1))
+    S = state.instance_obj.shape[1] * scene.tris_per_object
+    assert rp._N_TRI_ROWS * S * 4 > SMEM_TRI_BUDGET, "must trigger DMA"
+    a = rt_ref(state, scene, height=16, width=16, shadows=True)
+    b = rt_pal(state, scene, height=16, width=16, interpret=True,
+               shadows=True, accel="clusters")
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 1, d.max()
+    # Shadows actually change the image on this scene.
+    c = rt_pal(state, scene, height=16, width=16, interpret=True,
+               accel="clusters")
+    assert (np.asarray(b.rgb) != np.asarray(c.rgb)).any()
+
+
+def test_shadow_mxu_epilogue_fallback():
+    """accel='mxu' + shadows: the batched kernel has no shadow sweep, so
+    occlusion falls back to the XLA epilogue (compute_lit) — exact parity
+    with the jnp reference, no exception."""
+    state, scene = _scene()
+    a = rt_ref(state, scene, height=32, width=32, shadows=True)
+    b = rt_pal(state, scene, height=32, width=32, interpret=True,
+               shadows=True, accel="mxu")
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 1, d.max()
