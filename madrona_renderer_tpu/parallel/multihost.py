@@ -28,6 +28,7 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    **kwargs,
 ) -> None:
     """jax.distributed.initialize, tolerating single-process use.
 
@@ -36,6 +37,14 @@ def initialize(
     the distributed client state directly instead of process_count(),
     which would itself initialize the backend and turn this into a no-op.
     Raises if the backend is already initialized in a multi-process env.
+
+    Extra kwargs pass through to ``jax.distributed.initialize`` — notably
+    ``initialization_timeout`` (seconds to wait for the fleet to assemble;
+    a worker that never joins surfaces as a RuntimeError here, the
+    failure-detection story for fleet bootstrap) and
+    ``heartbeat_timeout_seconds`` (a worker dying mid-run takes down the
+    survivors instead of hanging them — crash-only parity with the
+    reference's FATAL error model, SURVEY.md §5.3).
     """
     from jax._src import distributed as _dist
 
@@ -51,6 +60,7 @@ def initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
     except (ValueError, RuntimeError) as e:
         # ValueError: jax's cluster auto-detection found no coordinator —
@@ -101,7 +111,8 @@ def global_world_mesh() -> Mesh:
 
 def local_world_slice(num_worlds_global: int) -> slice:
     """Which contiguous block of worlds this process should construct.
-    World counts must divide evenly across processes."""
+    World counts must divide evenly across processes (use
+    ``local_world_range`` for uneven fleets)."""
     n_proc = jax.process_count()
     if num_worlds_global % n_proc:
         raise ValueError(
@@ -110,3 +121,17 @@ def local_world_slice(num_worlds_global: int) -> slice:
     per = num_worlds_global // n_proc
     start = per * jax.process_index()
     return slice(start, start + per)
+
+
+def local_world_range(num_worlds_global: int) -> slice:
+    """Uneven variant of ``local_world_slice``: the first
+    ``num_worlds_global % process_count`` processes take one extra world.
+    Worlds are embarrassingly parallel (no cross-world collectives —
+    SURVEY.md §2.3), so per-process world counts may differ freely; each
+    process renders its slice with a locally-jitted step."""
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    per, extra = divmod(num_worlds_global, n_proc)
+    start = per * pid + min(pid, extra)
+    stop = start + per + (1 if pid < extra else 0)
+    return slice(start, stop)

@@ -21,7 +21,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_fleet():
+def _launch_fleet(nproc, ndev, mode, pids=None, timeout=300):
+    """Spawn `pids` (default all) of an nproc-process fleet; return
+    [(pid, returncode, output)]."""
     port = _free_port()
     env = {
         k: v
@@ -32,29 +34,67 @@ def test_two_process_distributed_fleet():
     # repo root, so the package is only importable if installed — make the
     # worker independent of an editable install.
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    if pids is None:
+        pids = list(range(nproc))
     procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(pid)],
-            env=env,
-            cwd=REPO_ROOT,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
+        (
+            pid,
+            subprocess.Popen(
+                [sys.executable, WORKER, str(port), str(pid), str(nproc),
+                 str(ndev), mode],
+                env=env,
+                cwd=REPO_ROOT,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            ),
         )
-        for pid in (0, 1)
+        for pid in pids
     ]
-    outs = []
-    for p in procs:
+    results = []
+    for pid, p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
-            for q in procs:
+            for _, q in procs:
                 q.kill()
             raise
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        results.append((pid, p.returncode, out))
+    return results
+
+
+def test_two_process_distributed_fleet():
+    for pid, rc, out in _launch_fleet(2, 4, "even"):
+        assert rc == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid} OK" in out
+
+
+def test_four_process_uneven_fleet():
+    """4-process × 4-device fleet, 18 worlds split [5,5,4,4]: each process
+    renders its own slice with the real Pallas path and the fleet
+    cross-checks the world ranges over a DCN allgather (VERDICT r2 #10)."""
+    for pid, rc, out in _launch_fleet(4, 4, "uneven"):
+        assert rc == 0, f"worker {pid} failed:\n{out}"
+        assert f"worker {pid} OK" in out
+
+
+def test_killed_worker_fails_loudly():
+    """A fleet missing one worker (killed before it could join) must
+    surface as a RuntimeError in the survivors within the initialization
+    timeout — not a silent hang or a degraded single-process run."""
+    results = _launch_fleet(4, 2, "doomed", pids=[0, 1, 2], timeout=120)
+    for pid, rc, out in results:
+        # Two loud-failure shapes, both acceptable (crash-only parity):
+        # - a catchable RuntimeError from initialize() (worker exits 7), or
+        # - the coordination service LOG(FATAL)-terminates the process
+        #   (observed on the coordinator task: DEADLINE_EXCEEDED on
+        #   RegisterTask) — any nonzero exit with the fatal banner.
+        assert rc != 0, f"worker {pid} silently succeeded:\n{out}"
+        ok = (rc == 7 and "detected missing peer" in out) or (
+            "JAX distributed service detected fatal errors" in out
+            or "DEADLINE_EXCEEDED" in out
+        )
+        assert ok, f"worker {pid}: rc={rc}\n{out}"
 
 
 def test_single_process_initialize_noop():
