@@ -194,15 +194,29 @@ def world_clusters(state: SimState, scene: SceneData):
     return cl_lo, cl_hi, valid, count
 
 
+def _cluster_approach_dist2(cl_lo, cl_hi, cam_pos):
+    """Squared closest-approach distance camera → cluster AABB
+    [W, C, CC]. Conservative lower bound on any hit t inside the cluster
+    (unit ray directions ⇒ t = euclidean distance), which makes an
+    ascending visit order safe for occlusion early-exit: once every
+    pixel's best_t is below the current cluster's approach distance, no
+    later cluster can improve any pixel."""
+    near = jnp.clip(
+        cam_pos[:, :, None, :], cl_lo[:, None, :, :], cl_hi[:, None, :, :]
+    )  # [W, C, CC, 3]
+    d = near - cam_pos[:, :, None, :]
+    return jnp.sum(d * d, axis=-1)
+
+
 def camera_cluster_order(cl_lo, cl_hi, cl_valid, cam_pos):
     """Front-to-back cluster visit order per camera [WC, CC] (i32).
 
     Visiting near clusters first tightens best_t early, so the per-tile
-    slab test (tmin < best_t) culls far clusters — the BVH-order payoff.
-    Invalid clusters sort to the back."""
-    center = (cl_lo + cl_hi) * 0.5  # [W, CC, 3]
-    d = center[:, None, :, :] - cam_pos[:, :, None, :]  # [W, C, CC, 3]
-    dist = jnp.sum(d * d, axis=-1)
+    slab test (tmin < best_t) culls far clusters — the BVH-order payoff —
+    and the ascending closest-approach order licenses the kernel's
+    occlusion early-exit (see _cluster_approach_dist2). Invalid clusters
+    sort to the back (dist = inf, so the early-exit also skips them)."""
+    dist = _cluster_approach_dist2(cl_lo, cl_hi, cam_pos)
     dist = jnp.where(cl_valid[:, None, :] > 0, dist, jnp.inf)
     order = jnp.argsort(dist, axis=-1).astype(jnp.float32)  # [W, C, CC]
     W, C, CC = order.shape
@@ -212,24 +226,31 @@ def camera_cluster_order(cl_lo, cl_hi, cl_valid, cam_pos):
 def band_cluster_bins(
     cl_lo, cl_hi, cl_valid, state: SimState, eff_fov,
     height: int, width: int, n_tiles: int, tile_pix: int,
+    tiles_x: int = 1, tile_sub: int = 0,
 ):
     """Per-step screen-space cluster binning — the tile-binned pass.
 
-    Our pixel tiles are horizontal *bands* of the image (blocks of the
-    flattened pixel index), so binning is 1D: project each cluster's world
-    AABB through each camera to a conservative pixel-row interval, then
-    build per-band cluster lists sorted front-to-back. The kernel sweeps
-    only its band's bin — no per-tile AABB pass over all clusters (that
-    pass is O(clusters) per tile and dominates at high triangle counts).
+    With tiles_x == 1 the pixel tiles are horizontal *bands* of the image
+    (blocks of the flattened pixel index) and binning is 1D: project each
+    cluster's world AABB through each camera to a conservative pixel-row
+    interval and build per-band cluster lists. With tiles_x > 1 the tiles
+    are 2D screen rectangles (tile_sub rows × 128 columns) and the bins
+    intersect the row interval with a conservative pixel-*column*
+    interval — x-pruning that shrinks bins ~tiles_x× on meshes that
+    spread across the screen (the round-3 large-mesh accelerator). The
+    kernel sweeps only its tile's bin — no per-tile AABB pass over all
+    clusters (that pass is O(clusters) per tile and dominates at high
+    triangle counts).
 
-    Conservativeness: the row interval is padded by 2 px (covers the
+    Conservativeness: intervals are padded by 2 px (covers the
     intersector's _EPS_BARY edge slack); clusters with any corner at or
-    behind the camera plane bin into every band (projection undefined).
+    behind the camera plane bin into every tile (projection undefined).
     Off-screen or invalid clusters get empty intervals. Returns
     [WC, n_tiles, 1 + CC] i32: entry 0 the bin count, entries 1.. cluster
-    ids in ascending camera-distance order (the front-to-back visit order
-    that lets the in-kernel slab test's best_t bound cull occluded
-    clusters).
+    ids in ascending closest-approach-distance order — the front-to-back
+    visit order that (a) lets the in-kernel slab test's best_t bound cull
+    occluded clusters and (b) licenses the kernel's occlusion early-exit
+    (see _cluster_approach_dist2).
 
     Reference anchor: the Vulkan batch rasterizer's binned pass,
     ``src/mgr.cpp:543-545`` (batchRender) — re-designed for TPU: binning
@@ -257,7 +278,7 @@ def band_cluster_bins(
 
     # A cluster with every corner at/behind the camera plane can never be
     # hit (rays march forward): bin it nowhere. One that *straddles* the
-    # plane has an unbounded projection: bin it into every band.
+    # plane has an unbounded projection: bin it into every tile.
     behind_any = jnp.any(y_f <= 1e-6, axis=-1)  # [W, C, CC]
     behind_all = jnp.all(y_f <= 1e-6, axis=-1)
     straddle = behind_any & ~behind_all
@@ -268,28 +289,66 @@ def band_cluster_bins(
     ymax = jnp.max(py, axis=-1) + 2.0
     ymin = jnp.where(straddle, 0.0, ymin)
     ymax = jnp.where(straddle, float(height), ymax)
-
-    # Band interval via exact i32 math (bands are blocks of the flattened
-    # pixel index and need not align to whole image rows).
-    row0 = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, height - 1)
-    row1 = jnp.clip(jnp.floor(ymax).astype(jnp.int32) + 1, 0, height - 1)
-    b0 = (row0 * width) // tile_pix
-    b1 = (row1 * width + (width - 1)) // tile_pix
-    b0 = jnp.clip(b0, 0, n_tiles - 1)
-    b1 = jnp.clip(b1, 0, n_tiles - 1)
     onscreen = (ymax >= 0.0) & (ymin < float(height))
     ok = onscreen & ~behind_all & (cl_valid[:, None, :] > 0)  # [W, C, CC]
 
-    bands = jnp.arange(n_tiles, dtype=jnp.int32)[None, None, :, None]
-    member = (
-        ok[:, :, None, :]
-        & (b0[:, :, None, :] <= bands)
-        & (bands <= b1[:, :, None, :])
-    )  # [W, C, T, CC]
+    if tiles_x > 1:
+        # 2D tiles: r = ty * tiles_x + tx; tile (tx, ty) owns pixels
+        # x ∈ [tx·128, tx·128+128), y ∈ [ty·tile_sub, ty·tile_sub+tile_sub).
+        tiles_y = n_tiles // tiles_x
+        right = quat_rotate(rot, jnp.array([1.0, 0.0, 0.0], jnp.float32))
+        x_r = jnp.einsum("wcnkj,wcj->wcnk", rel, right)
+        tan_x = tan_y * (width / height)
+        pxc = (1.0 + x_r / (safe_yf * tan_x)) * (width * 0.5) - 0.5
+        xmin = jnp.min(pxc, axis=-1) - 2.0
+        xmax = jnp.max(pxc, axis=-1) + 2.0
+        xmin = jnp.where(straddle, 0.0, xmin)
+        xmax = jnp.where(straddle, float(width), xmax)
+        ok = ok & (xmax >= 0.0) & (xmin < float(width))
 
-    center = (cl_lo + cl_hi) * 0.5
-    d = center[:, None, :, :] - state.camera_pos[:, :, None, :]
-    dist = jnp.sum(d * d, axis=-1)  # [W, C, CC]
+        ty0 = jnp.clip(
+            jnp.floor(ymin).astype(jnp.int32) // tile_sub, 0, tiles_y - 1
+        )
+        ty1 = jnp.clip(
+            jnp.floor(ymax).astype(jnp.int32) // tile_sub, 0, tiles_y - 1
+        )
+        tx0 = jnp.clip(
+            jnp.floor(xmin).astype(jnp.int32) // _TILE_LANE, 0, tiles_x - 1
+        )
+        tx1 = jnp.clip(
+            jnp.floor(xmax).astype(jnp.int32) // _TILE_LANE, 0, tiles_x - 1
+        )
+        tys = jnp.arange(tiles_y, dtype=jnp.int32)[None, None, :, None]
+        txs = jnp.arange(tiles_x, dtype=jnp.int32)[None, None, :, None]
+        mem_y = (
+            ok[:, :, None, :]
+            & (ty0[:, :, None, :] <= tys)
+            & (tys <= ty1[:, :, None, :])
+        )  # [W, C, TY, CC]
+        mem_x = (
+            (tx0[:, :, None, :] <= txs) & (txs <= tx1[:, :, None, :])
+        )  # [W, C, TX, CC]
+        member = (
+            mem_y[:, :, :, None, :] & mem_x[:, :, None, :, :]
+        ).reshape(W, C, n_tiles, CC)
+    else:
+        # Band interval via exact i32 math (bands are blocks of the
+        # flattened pixel index, need not align to whole image rows).
+        row0 = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, height - 1)
+        row1 = jnp.clip(jnp.floor(ymax).astype(jnp.int32) + 1, 0, height - 1)
+        b0 = (row0 * width) // tile_pix
+        b1 = (row1 * width + (width - 1)) // tile_pix
+        b0 = jnp.clip(b0, 0, n_tiles - 1)
+        b1 = jnp.clip(b1, 0, n_tiles - 1)
+
+        bands = jnp.arange(n_tiles, dtype=jnp.int32)[None, None, :, None]
+        member = (
+            ok[:, :, None, :]
+            & (b0[:, :, None, :] <= bands)
+            & (bands <= b1[:, :, None, :])
+        )  # [W, C, T, CC]
+
+    dist = _cluster_approach_dist2(cl_lo, cl_hi, state.camera_pos)
     key = jnp.where(member, dist[:, :, None, :], jnp.inf)
     order = jnp.argsort(key, axis=-1).astype(jnp.int32)  # [W, C, T, CC]
     count = member.sum(axis=-1, dtype=jnp.int32)  # [W, C, T]
@@ -327,11 +386,18 @@ def _render_kernel(
     binned: bool = False,
     n_lights: int = 1,
     shadows: bool = False,
+    tiles_x: int = 1,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
     precomputed screen-space bin (band_cluster_bins) instead of all
-    clusters — the tile-binned rasterization pass.
+    clusters — the tile-binned rasterization pass. With tiles_x > 1 the
+    pixel tiles are 2D screen rectangles (tile_sub rows × 128 columns,
+    r = ty·tiles_x + tx) instead of flattened-index bands — tighter tile
+    frustums for the culled sweeps and 2D (row × column) binning.
+    Binned/ordered sweeps visit clusters in ascending closest-approach
+    order and exit early once no pixel's best_t can improve (occlusion-
+    driven termination; see _cluster_approach_dist2).
     With shaded=True (untextured scenes), shading happens in-kernel and the
     outputs shrink to (t, z, idx, packed rgb) — no XLA shading epilogue and
     5 fewer pixel-sized output arrays. With textured=True the same 4-output
@@ -391,9 +457,15 @@ def _render_kernel(
 
         sub = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 1)
-        p = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
-        px = (p % width).astype(jnp.float32)
-        py = (p // width).astype(jnp.float32)
+        if tiles_x > 1:
+            # 2D tile: r = ty·tiles_x + tx owns a (tile_sub × 128) screen
+            # rectangle (bottom tiles may overhang; cropped at unpack).
+            px = (r % tiles_x * _TILE_LANE + lane).astype(jnp.float32)
+            py = (r // tiles_x * tile_sub + sub).astype(jnp.float32)
+        else:
+            p = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
+            px = (p % width).astype(jnp.float32)
+            py = (p // width).astype(jnp.float32)
         a = ((px + 0.5) * (2.0 / width) - 1.0) * tan_x
         b = (1.0 - (py + 0.5) * (2.0 / height)) * tan_y
         dx = a * rxx + fx + b * ux
@@ -588,26 +660,76 @@ def _render_kernel(
 
                 return jax.lax.cond(any_hit, process, lambda cr: cr, carry)
 
+            def approach_dist2(c):
+                """Squared closest-approach distance, camera → cluster c's
+                AABB (scalar; must lower-bound any hit t in the cluster —
+                the kernel-side twin of _cluster_approach_dist2)."""
+                ax = jnp.maximum(
+                    jnp.maximum(cl_ref[0, 0, c] - ox, ox - cl_ref[0, 3, c]), 0.0
+                )
+                ay = jnp.maximum(
+                    jnp.maximum(cl_ref[0, 1, c] - oy, oy - cl_ref[0, 4, c]), 0.0
+                )
+                az = jnp.maximum(
+                    jnp.maximum(cl_ref[0, 2, c] - oz, oz - cl_ref[0, 5, c]), 0.0
+                )
+                return ax * ax + ay * ay + az * az
+
+            def front_to_back_sweep(n_scalar, cluster_at):
+                """Visit clusters in the (ascending closest-approach)
+                order given by cluster_at, stopping as soon as no pixel's
+                search window can reach the current cluster — every later
+                cluster is at least as far, so nothing downstream can
+                improve any pixel. The 0.998 factor absorbs f32 rounding
+                skew between this scalar distance and the XLA sort key."""
+
+                def cond(carry):
+                    return (carry[0] < n_scalar) & (carry[1] == 0)
+
+                def body(carry):
+                    b, _, *st = carry
+                    c = cluster_at(b)
+                    best_t = st[0]
+                    tf = jnp.minimum(best_t, far)
+                    live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
+                    live = live & (cl_ref[0, 6, c] > 0.0)
+                    st2 = jax.lax.cond(
+                        live,
+                        lambda s: visit_cluster(c, s),
+                        lambda s: s,
+                        tuple(st),
+                    )
+                    done = jnp.where(live, jnp.int32(0), jnp.int32(1))
+                    return (b + 1, done) + st2
+
+                out = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), jnp.int32(0)) + init
+                )
+                return out[2:]
+
             if binned:
-                # Tile-binned pass: sweep only this band's bin (already
+                # Tile-binned pass: sweep only this tile's bin (already
                 # front-to-back — see band_cluster_bins). The O(clusters)
                 # per-tile AABB scan disappears; the slab test still runs
-                # per binned cluster for the best_t occlusion bound.
+                # per binned cluster for the best_t occlusion bound, and
+                # the sweep exits early once the tile is fully covered
+                # nearer than every remaining cluster.
                 nb = bin_ref[0, 0, 0]
-
-                def bin_body(b, carry):
-                    return visit_cluster(bin_ref[0, 0, 1 + b], carry)
-
-                out = jax.lax.fori_loop(0, nb, bin_body, init)
+                out = front_to_back_sweep(
+                    nb, lambda b: bin_ref[0, 0, 1 + b]
+                )
+            elif ordered:
+                # Front-to-back visit order (per camera) with the same
+                # occlusion early-exit; invalid clusters sort to the back
+                # (inf key), so the exit also skips the padding tail.
+                out = front_to_back_sweep(
+                    n_clusters,
+                    lambda b: perm_ref[0, 0, b].astype(jnp.int32),
+                )
             else:
 
                 def cluster_body(ci, carry):
-                    if ordered:
-                        # Front-to-back visit order (per camera).
-                        c = perm_ref[0, 0, ci].astype(jnp.int32)
-                    else:
-                        c = ci
-                    return visit_cluster(c, carry)
+                    return visit_cluster(ci, carry)
 
                 out = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
         else:
@@ -1297,7 +1419,26 @@ def render_core(
 
     tile_sub = _pick_tile_sub(P)
     tile_pix = tile_sub * _TILE_LANE
-    n_tiles = -(-P // tile_pix)
+    # 2D screen tiles (tile_sub × 128 rectangles) for the culled scalar
+    # kernel when the image is wide enough for column pruning: tighter
+    # tile frustums for the slab tests and 2D (row × column) bins. The
+    # flattened-band scheme remains for narrow images (width ≤ 128 bands
+    # are already whole-row strips) and the mxu/brute paths.
+    tiles_x = 1
+    if (
+        use_clusters
+        and accel != "mxu"
+        and width % _TILE_LANE == 0
+        and width // _TILE_LANE >= 2
+        and height >= tile_sub
+    ):
+        tiles_x = width // _TILE_LANE
+    if tiles_x > 1:
+        tiles_y = -(-height // tile_sub)
+        n_tiles = tiles_x * tiles_y
+    else:
+        tiles_y = 0
+        n_tiles = -(-P // tile_pix)
     p_pad = n_tiles * tile_pix
 
     # Untextured scenes shade in-kernel: 4 outputs instead of 9 and no
@@ -1461,6 +1602,7 @@ def render_core(
             textured=tex_inkernel, tex_rows=tex_rows,
             tex_filter=texture_filter, binned=binned,
             n_lights=int(scene.light_dir.shape[0]), shadows=shadows,
+            tiles_x=tiles_x,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -1480,6 +1622,7 @@ def render_core(
             bins = band_cluster_bins(
                 cl_lo, cl_hi, cl_valid, state, eff_fov,
                 height, width, n_tiles, tile_pix=tile_pix,
+                tiles_x=tiles_x, tile_sub=tile_sub,
             ).reshape(WC * n_tiles, 1, cc + 1)
             extra_in_specs = [cl_spec, bin_spec, cam_spec] + tex_in_specs
             extra_inputs = (cl, bins, cams) + tex_inputs
@@ -1535,6 +1678,14 @@ def render_core(
         )(tris, cams, *tex_inputs)
 
     def unpack(x):
+        if tiles_x > 1:
+            # Reassemble the 2D tiling: tile r = ty·tiles_x + tx holds
+            # rows [r·tile_sub, (r+1)·tile_sub) of the output array.
+            x = x.reshape(WC, tiles_y, tiles_x, tile_sub, _TILE_LANE)
+            x = x.transpose(0, 1, 3, 2, 4).reshape(
+                WC, tiles_y * tile_sub, tiles_x * _TILE_LANE
+            )
+            return x[:, :height, :width].reshape(W, C, P)
         return x.reshape(WC, p_pad)[:, :P].reshape(W, C, P)
 
     if shaded or tex_inkernel:

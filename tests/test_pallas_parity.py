@@ -534,3 +534,58 @@ def test_parity_binned_dma_large_mesh():
     binned = rt_pal(state, scene, height=32, width=64, interpret=True, accel="binned")
     _assert_frames_equal(ref, binned)
     assert (np.asarray(ref.segmask) >= 0).any()
+
+
+def test_parity_2d_tiles_wide_image():
+    """Images ≥ 256 px wide use 2D screen tiles (tile_sub × 128
+    rectangles) with 2D row×column bins — exact parity incl. the
+    reassembly transpose in unpack (round-3 large-mesh accelerator)."""
+    rng = np.random.default_rng(21)
+    n_tris = 800
+    centers = rng.uniform(-12, 12, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(3, 30, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.5
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.5
+    state, scene = build(
+        [tris],
+        [ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=0)],
+        [cam_at_origin_looking_plus_y()],
+    )
+    ref = rt_ref(state, scene, height=96, width=256)
+    for accel in ("clusters", "binned"):
+        pal = rt_pal(state, scene, height=96, width=256, interpret=True,
+                     accel=accel)
+        _assert_frames_equal(ref, pal)
+    assert (np.asarray(ref.segmask) >= 0).any()
+
+
+def test_parity_occlusion_early_exit():
+    """A full-view near quad occluding a dense far field: the
+    front-to-back sweep's occlusion early-exit must skip the far
+    clusters without changing a single pixel."""
+    rng = np.random.default_rng(23)
+    n_tris = 600
+    centers = rng.uniform(-30, 30, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(50, 90, size=n_tris)  # far field
+    far_tris = np.repeat(centers, 3, axis=0)
+    far_tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32)
+    far_tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32)
+    state, scene = build(
+        [quad_xz(half=100.0, y=0.0), far_tris],
+        [
+            ImportedInstance(position=[0, 5, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=0),  # near occluder
+            ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=1),
+        ],
+        [cam_at_origin_looking_plus_y()],
+    )
+    ref = rt_ref(state, scene, height=64, width=256)
+    # Everything hits the near quad (full coverage, exercising the exit).
+    assert (np.asarray(ref.segmask) == 0).all()
+    for accel in ("clusters", "binned"):
+        pal = rt_pal(state, scene, height=64, width=256, interpret=True,
+                     accel=accel)
+        _assert_frames_equal(ref, pal)
