@@ -201,6 +201,10 @@ class ManagerConfig:
     # Shadow rays: one any-hit ray per (pixel, light) per step — a
     # beyond-reference feature (the reference's lambert is unshadowed).
     shadows: bool = False
+    # Mip-mapped textures: True / False / "auto" (on iff the texel pool
+    # exceeds the kernel's resident budget). The reference's hardware
+    # samplers mip implicitly (src/mgr.cpp:352-354); see ops/mips.py.
+    mipmaps: "bool | str" = "auto"
     # Optional multi-chip mesh: number of devices to shard the world axis
     # over (1 = single device). See madrona_renderer_tpu.parallel.
     num_devices: int = 1

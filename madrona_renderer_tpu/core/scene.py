@@ -26,6 +26,7 @@ Layout choices are TPU-first:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -70,9 +71,21 @@ class SceneData:
     mat_metal: jax.Array  # f32 [M]
     # Texture pool (entry 0 = 1x1 white)
     tex_data: jax.Array  # f32 [texels, 4] in [0, 1]
-    tex_offset: jax.Array  # i32 [K]
+    tex_offset: jax.Array  # i32 [K] (base/level-0 offset into tex_data)
     tex_width: jax.Array  # i32 [K]
     tex_height: jax.Array  # i32 [K]
+    # Mip chains (round 3; see ops/mips.py). L = 1 when mips are off —
+    # then the arrays just repeat the base level and every sampler
+    # reduces to base-level sampling. With mips on, tex_data is laid out
+    # [fallback region | fine levels]: the fallback region (≤ FB_ROWS·128
+    # texels) holds every texture's coarse chain (levels ≥ tex_fit_level)
+    # and stays resident in kernel VMEM; fine levels are DMA-paged per
+    # pixel tile. Entries past a texture's chain repeat its top mip, so
+    # level clamping is a plain index clamp.
+    tex_mip_offset: jax.Array  # i32 [K, L]
+    tex_mip_w: jax.Array  # i32 [K, L]
+    tex_mip_h: jax.Array  # i32 [K, L]
+    tex_fit_level: jax.Array  # i32 [K] — coarse-chain start (fallback)
     # Lighting: L directional lights. The reference engine's
     # configureLighting takes a light *list* (the app passes one,
     # src/mgr.cpp:356-359); ours generalizes — contributions are summed,
@@ -115,18 +128,48 @@ CLUSTER_SIZE = 64
 SMEM_TRI_BUDGET = 384 * 1024
 _TRI_ROWS = 32
 
+# Texture-pool row budgets (128 texels per row — the kernel's lane width).
+# TEX_RESIDENT_ROWS: the largest pool the kernel samples fully resident in
+# VMEM; beyond it bake_scene(mipmaps="auto") turns mip chains on and the
+# kernel pages fine levels per pixel tile (ops/mips.py has the design).
+# TEX_FB_ROWS: resident fallback region (every texture's coarse chain).
+# TEX_PAGE_ROWS: the per-tile DMA window over the fine pool.
+TEX_RESIDENT_ROWS = 128
+TEX_FB_ROWS = 64
+TEX_PAGE_ROWS = 128
+
+
+def _mip_next(img: np.ndarray) -> np.ndarray:
+    """One box-filtered mip step on u8 RGBA (odd dims edge-repeat,
+    round-half-up) — THE mip definition both render paths share."""
+    h, w = img.shape[:2]
+    if h % 2:
+        img = np.concatenate([img, img[-1:]], axis=0)
+    if w % 2:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+    a = img[0::2, 0::2].astype(np.uint16)
+    b = img[1::2, 0::2].astype(np.uint16)
+    c = img[0::2, 1::2].astype(np.uint16)
+    d = img[1::2, 1::2].astype(np.uint16)
+    return ((a + b + c + d + 2) // 4).astype(np.uint8)
+
 
 def bake_scene(
     assets: ImportedAssets,
     tri_pad_multiple: int = 8,
     device: "jax.Device | None" = None,
     cluster_size: int = CLUSTER_SIZE,
+    mipmaps="auto",
 ) -> SceneData:
     """Bake merged imports into SceneData (numpy work, one device_put).
 
     Triangles of each object are Morton-sorted and clustered (see
     geometry/bvh.py) so the culled intersector can skip whole clusters;
     the brute-force paths are order-insensitive.
+
+    ``mipmaps``: True / False / "auto" (on iff the texel pool exceeds
+    the kernel's resident budget — the reference's hardware samplers mip
+    implicitly, src/mgr.cpp:352-354; see ops/mips.py for the TPU design).
     """
     objects = assets.objects
     num_objects = max(1, len(objects))
@@ -152,16 +195,96 @@ def bake_scene(
     tex_offset = np.zeros((k,), np.int32)
     tex_width = np.zeros((k,), np.int32)
     tex_height = np.zeros((k,), np.int32)
-    pool = []
-    off = 0
     for i, tex in enumerate(textures):
-        h, w = tex.shape[0], tex.shape[1]
-        tex_offset[i] = off
-        tex_width[i] = w
-        tex_height[i] = h
-        pool.append(tex.reshape(-1, 4))
-        off += h * w
-    tex_data = (np.concatenate(pool, axis=0).astype(np.float32)) / 255.0
+        tex_width[i] = tex.shape[1]
+        tex_height[i] = tex.shape[0]
+
+    base_texels = int(sum(t.shape[0] * t.shape[1] for t in textures))
+    if mipmaps == "auto":
+        # Mips on exactly when the pool exceeds the resident budget —
+        # there the kernel needs the paged path, whose overflow fallback
+        # needs the coarse chains. Small pools keep round-2 behavior
+        # (and goldens) bit-for-bit.
+        mipmaps = -(-base_texels // 128) > TEX_RESIDENT_ROWS
+
+    if mipmaps:
+        chains = []
+        for tex in textures:
+            chain = [tex]
+            while chain[-1].shape[0] > 1 or chain[-1].shape[1] > 1:
+                chain.append(_mip_next(chain[-1]))
+            chains.append(chain)
+        n_levels = max(len(c) for c in chains)
+        # Coarse-chain start per texture: smallest level whose dims fit
+        # fit_max, shrinking fit_max until every coarse chain fits the
+        # resident fallback region together.
+        for fit_max in (32, 16, 8, 4, 2, 1):
+            fits = [
+                next(
+                    i for i, m in enumerate(c)
+                    if max(m.shape[0], m.shape[1]) <= fit_max
+                )
+                for c in chains
+            ]
+            coarse = sum(
+                sum(m.shape[0] * m.shape[1] for m in c[f:])
+                for c, f in zip(chains, fits)
+            )
+            if coarse <= TEX_FB_ROWS * 128:
+                break
+        else:
+            raise ValueError(
+                f"too many textures for the {TEX_FB_ROWS}-row fallback "
+                "region (even 1×1 chains overflow)"
+            )
+        tex_mip_offset = np.zeros((k, n_levels), np.int32)
+        tex_mip_w = np.zeros((k, n_levels), np.int32)
+        tex_mip_h = np.zeros((k, n_levels), np.int32)
+        tex_fit_level = np.asarray(fits, np.int32)
+        pool = []
+        off = 0
+
+        def push(ci, l, m):
+            nonlocal off
+            tex_mip_offset[ci, l] = off
+            tex_mip_w[ci, l] = m.shape[1]
+            tex_mip_h[ci, l] = m.shape[0]
+            pool.append(m.reshape(-1, 4))
+            off += m.shape[0] * m.shape[1]
+
+        # Fallback region first: every texture's coarse chain, then pad
+        # to the region boundary so fine levels start at row TEX_FB_ROWS.
+        for ci, (c, f) in enumerate(zip(chains, fits)):
+            for l in range(f, len(c)):
+                push(ci, l, c[l])
+        assert off <= TEX_FB_ROWS * 128
+        if off < TEX_FB_ROWS * 128:
+            pool.append(np.zeros((TEX_FB_ROWS * 128 - off, 4), np.uint8))
+            off = TEX_FB_ROWS * 128
+        # Fine levels (base first per texture).
+        for ci, (c, f) in enumerate(zip(chains, fits)):
+            for l in range(f):
+                push(ci, l, c[l])
+            # Entries past the chain repeat the top mip (index clamp).
+            for l in range(len(c), n_levels):
+                tex_mip_offset[ci, l] = tex_mip_offset[ci, len(c) - 1]
+                tex_mip_w[ci, l] = 1
+                tex_mip_h[ci, l] = 1
+        tex_offset = tex_mip_offset[:, 0].copy()
+        tex_data = np.concatenate(pool, axis=0).astype(np.float32) / 255.0
+    else:
+        pool = []
+        off = 0
+        for i, tex in enumerate(textures):
+            h, w = tex.shape[0], tex.shape[1]
+            tex_offset[i] = off
+            pool.append(tex.reshape(-1, 4))
+            off += h * w
+        tex_data = np.concatenate(pool, axis=0).astype(np.float32) / 255.0
+        tex_mip_offset = tex_offset[:, None].copy()
+        tex_mip_w = tex_width[:, None].copy()
+        tex_mip_h = tex_height[:, None].copy()
+        tex_fit_level = np.zeros((k,), np.int32)
 
     # --- Triangles, padded per object ---
     def object_tri_count(obj) -> int:
@@ -228,7 +351,12 @@ def bake_scene(
     from ..geometry.bvh import build_clusters
 
     if _TRI_ROWS * t_pad * 4 > SMEM_TRI_BUDGET:
-        cluster_size = 128  # t_pad already a multiple (padded above)
+        # DMA-streamed path: t_pad is 128-aligned (padded above); the DMA
+        # window stays 128 lanes and the cull granularity matches it
+        # (measured 512² terrain: 32-tri clusters LOSE ~20% — per-cluster
+        # fixed costs beat the finer-sweep savings). MRT_DMA_CLUSTER is a
+        # measurement knob for the tools/ benches, not a user surface.
+        cluster_size = int(os.environ.get("MRT_DMA_CLUSTER", "128"))
     else:
         # Largest power-of-two divisor of t_pad, capped at cluster_size.
         # Power-of-two sizes divide 128, which keeps the DMA-streamed
@@ -277,6 +405,8 @@ def bake_scene(
         mat_rough=mat_rough, mat_metal=mat_metal,
         tex_data=tex_data,
         tex_offset=tex_offset, tex_width=tex_width, tex_height=tex_height,
+        tex_mip_offset=tex_mip_offset, tex_mip_w=tex_mip_w,
+        tex_mip_h=tex_mip_h, tex_fit_level=tex_fit_level,
         light_dir=np.asarray([DEFAULT_LIGHT_DIR], np.float32),
         light_color=np.asarray([DEFAULT_LIGHT_COLOR], np.float32),
     )

@@ -90,7 +90,9 @@ class Manager:
             rcfg.additional_mats,
             rcfg.additional_textures,
         )
-        self.scene: SceneData = bake_scene(assets, device=self.device)
+        self.scene: SceneData = bake_scene(
+            assets, device=self.device, mipmaps=cfg.mipmaps
+        )
 
         # --- Optional multi-chip mesh (worlds-axis DP; no reference analog:
         # the reference is single-GPU, SURVEY.md §2.3) ---

@@ -1,0 +1,253 @@
+"""Mip-mapping + paged-texture shared math (jnp reference semantics).
+
+The reference samples BC7 textures of any size through hardware samplers
+with mip chains (``render_mgr->loadObjects`` textures, reference
+``src/mgr.cpp:352-354``). The TPU equivalent baked here (round 3):
+
+  * ``core/scene.bake_scene(mipmaps=...)`` builds a box-filtered mip
+    chain per texture and lays the texel pool out as
+    ``[fallback region | fine levels]`` — the fallback region holds every
+    texture's *coarse* chain (levels ≥ ``tex_fit_level``) and is small
+    enough to stay resident in kernel VMEM.
+  * Per-pixel mip level = ⌊log₂(footprint)⌋ where footprint =
+    ``t · (2·tan_y / height) · texel_density`` (texels per world unit at
+    the base level, a per-triangle quantity carried by the soup). The
+    level is computed by power-of-two *comparisons* (exact in f32), so
+    the jnp reference and the Mosaic kernel agree bit-for-bit.
+  * The paged kernel DMAs, per pixel tile, one ``PAGE_ROWS``-row window
+    of the fine pool covering the tile's texel rows. Tiles whose fine
+    rows span more than a window (wild UV ranges) clamp every pixel to
+    its material's fallback level — the "tile-adaptive mip clamp". The
+    helpers here reproduce that per-tile decision exactly so the jnp
+    reference path defines the semantics the kernel must match.
+
+All functions are pure jnp and run on CPU (tests) and TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.scene import TEX_FB_ROWS as FB_ROWS
+from ..core.scene import TEX_PAGE_ROWS as PAGE_ROWS
+
+TILE_LANE = 128
+TILE_SUB_MIN = 8
+TILE_SUB_MAX = 32
+
+
+def pick_tile_sub(n_pixels: int) -> int:
+    """Largest power-of-two sublane count ≤ 32 the image actually fills
+    (small images keep small tiles so padding lanes aren't swept). The
+    single source for the kernel's pixel-tile height — ref-path mip
+    clamping must agree with the kernel's tiling exactly.
+    MRT_TILE_SUB_MAX is a measurement knob for the tools/ benches."""
+    import os
+
+    cap = int(os.environ.get("MRT_TILE_SUB_MAX", str(TILE_SUB_MAX)))
+    need = -(-n_pixels // TILE_LANE)
+    sub = TILE_SUB_MIN
+    while sub < cap and sub < need:
+        sub *= 2
+    return sub
+
+
+def tile_geometry(height: int, width: int):
+    """(tile_sub, tiles_x, n_tiles) for the scalar kernel's tiling: 2D
+    (tile_sub × 128) rectangles when the image is wide enough, else
+    flattened-index bands. Mirrored by render_core for the culled and
+    paged-texture paths."""
+    P = height * width
+    tile_sub = pick_tile_sub(P)
+    tiles_x = 1
+    if (
+        width % TILE_LANE == 0
+        and width // TILE_LANE >= 2
+        and height >= tile_sub
+    ):
+        tiles_x = width // TILE_LANE
+    if tiles_x > 1:
+        n_tiles = tiles_x * (-(-height // tile_sub))
+    else:
+        n_tiles = -(-P // (tile_sub * TILE_LANE))
+    return tile_sub, tiles_x, n_tiles
+
+
+def mip_level(t, tan_y, height: int, density, num_levels: int):
+    """Per-pixel mip level ∈ [0, num_levels).
+
+    footprint = t · (2·tan_y/height) · density  (texels per pixel-ish);
+    level = ⌊log₂(footprint)⌋ computed as Σ_l [footprint ≥ 2^l] — exact
+    f32 comparisons, no transcendentals, so the kernel twin (same sum of
+    compares) matches bit-for-bit. footprint ≤ 1 (magnified) → level 0.
+    """
+    fp = t * (2.0 / height) * tan_y * density
+    lvl = jnp.zeros(fp.shape, jnp.int32)
+    for l in range(1, num_levels):
+        lvl = lvl + (fp >= jnp.float32(2.0**l)).astype(jnp.int32)
+    return lvl
+
+
+def level_boundary_mask(t, tan_y, height: int, density, num_levels: int,
+                        rel: float = 1e-4):
+    """Pixels whose footprint sits within `rel` of a 2^l level boundary.
+
+    The kernel's hit distance differs from the jnp reference's by f32
+    ulps (different-but-equivalent Möller–Trumbore factorizations), so
+    the selected level at an *exact* power-of-two footprint is ambiguous
+    by design — the same way hardware LOD selection is approximate.
+    Parity tests exempt these pixels (and only these) from the ±1 LSB
+    contract."""
+    fp = t * (2.0 / height) * tan_y * density
+    near = jnp.zeros(fp.shape, bool)
+    for l in range(1, num_levels):
+        b = jnp.float32(2.0**l)
+        near = near | (jnp.abs(fp - b) <= rel * b)
+    return near
+
+
+def soup_texel_density(e1w, e2w, duv1, duv2, base_w, base_h):
+    """Texels-per-world-unit at the base mip, per (world-space) triangle:
+    sqrt(uv_area · w·h / world_area). Exact under instance transforms
+    because it uses the *world* edges. Degenerate triangles → 0."""
+    cw = jnp.cross(e1w, e2w)
+    a_world = jnp.sqrt(jnp.sum(cw * cw, axis=-1))
+    a_uv = jnp.abs(
+        duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    )
+    tex_area = a_uv * base_w.astype(jnp.float32) * base_h.astype(jnp.float32)
+    return jnp.sqrt(tex_area / jnp.maximum(a_world, 1e-30))
+
+
+def tile_ids(height: int, width: int, tile_sub: int, tiles_x: int):
+    """i32 [H·W]: which kernel tile owns each pixel — flattened-index
+    bands when tiles_x == 1, 2D (tile_sub × 128) rectangles otherwise.
+    Must mirror the kernel's program-id decomposition exactly."""
+    y = jnp.arange(height, dtype=jnp.int32)[:, None]
+    x = jnp.arange(width, dtype=jnp.int32)[None, :]
+    if tiles_x > 1:
+        tid = (y // tile_sub) * tiles_x + x // TILE_LANE
+    else:
+        p = y * width + x
+        tid = p // (tile_sub * TILE_LANE)
+    return jnp.broadcast_to(tid, (height, width)).reshape(-1)
+
+
+def tile_window_overflow(row_lo, row_hi, fine, tid, n_tiles: int):
+    """Per-pixel bool: does this pixel's *tile* overflow the fine-pool
+    DMA window?  row_lo/row_hi [..., P]: min/max texel row touched by the
+    pixel's taps; fine [..., P]: taps land in the fine region (row ≥
+    FB_ROWS) AND the pixel participates (hit). tid [P]: tile id per
+    pixel. A tile overflows when (max_row − align8(min_row) + 1) >
+    PAGE_ROWS over its fine pixels; tiles with no fine pixels never
+    overflow. The kernel computes the identical integer test."""
+    big = jnp.int32(1 << 30)
+    lo = jnp.where(fine, row_lo, big)
+    hi = jnp.where(fine, row_hi, -1)
+    # Segment min/max over tiles (dense one-hot matmul-free formulation:
+    # scatter-min via .at — host/XLA path only, never in the kernel).
+    batch = lo.shape[:-1]
+    lo2 = lo.reshape((-1, lo.shape[-1]))
+    hi2 = hi.reshape((-1, hi.shape[-1]))
+    t_lo = jnp.full((lo2.shape[0], n_tiles), big, jnp.int32)
+    t_hi = jnp.full((lo2.shape[0], n_tiles), -1, jnp.int32)
+    bidx = jnp.broadcast_to(
+        jnp.arange(lo2.shape[0], dtype=jnp.int32)[:, None], lo2.shape
+    )
+    tidb = jnp.broadcast_to(tid[None, :], lo2.shape)
+    t_lo = t_lo.at[bidx, tidb].min(lo2)
+    t_hi = t_hi.at[bidx, tidb].max(hi2)
+    r0a = (t_lo // 8) * 8
+    over = (t_hi - r0a + 1) > PAGE_ROWS  # [B, n_tiles]
+    over = over & (t_hi >= 0)
+    return over[bidx, tidb].reshape(batch + (lo.shape[-1],))
+
+
+def sample_texture_mip(scene, tex_id, uv, level, texture_filter: str):
+    """Mip-aware sample from the flat texel pool → f32 [..., 4].
+
+    Same wrap/center conventions as shade.sample_texture_* but at the
+    per-pixel level's offset/size (tex_mip_offset/w/h [K, L])."""
+    K, L = scene.tex_mip_offset.shape
+    lin = tex_id * L + jnp.clip(level, 0, L - 1)
+    w = scene.tex_mip_w.reshape(-1)[lin]
+    h = scene.tex_mip_h.reshape(-1)[lin]
+    off = scene.tex_mip_offset.reshape(-1)[lin]
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    if texture_filter == "bilinear":
+        wf = w.astype(jnp.float32)
+        hf = h.astype(jnp.float32)
+        fx = u * wf - 0.5
+        fy = (1.0 - v) * hf - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        ax = (fx - x0)[..., None]
+        ay = (fy - y0)[..., None]
+
+        def texel(xi, yi):
+            xm = jnp.mod(xi.astype(jnp.int32), w)
+            ym = jnp.mod(yi.astype(jnp.int32), h)
+            return scene.tex_data[off + ym * w + xm]
+
+        t00 = texel(x0, y0)
+        t10 = texel(x0 + 1, y0)
+        t01 = texel(x0, y0 + 1)
+        t11 = texel(x0 + 1, y0 + 1)
+        top = t00 * (1 - ax) + t10 * ax
+        bot = t01 * (1 - ax) + t11 * ax
+        return top * (1 - ay) + bot * ay
+    x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(((1.0 - v) * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    return scene.tex_data[off + y * w + x]
+
+
+def mip_tap_rows(scene, tex_id, uv, level, texture_filter: str):
+    """(row_lo, row_hi) i32 [...]: min/max 128-texel pool row touched by
+    the pixel's tap(s) at `level` — the window inputs for
+    tile_window_overflow. Must mirror the kernel's tap math exactly."""
+    K, L = scene.tex_mip_offset.shape
+    lin = tex_id * L + jnp.clip(level, 0, L - 1)
+    w = scene.tex_mip_w.reshape(-1)[lin]
+    h = scene.tex_mip_h.reshape(-1)[lin]
+    off = scene.tex_mip_offset.reshape(-1)[lin]
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    if texture_filter == "bilinear":
+        wf = w.astype(jnp.float32)
+        hf = h.astype(jnp.float32)
+        fx = u * wf - 0.5
+        fy = (1.0 - v) * hf - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        flats = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                xm = jnp.mod(x0 + dx, w)
+                ym = jnp.mod(y0 + dy, h)
+                flats.append(off + ym * w + xm)
+        rows = [f // TILE_LANE for f in flats]
+        lo = rows[0]
+        hi = rows[0]
+        for r in rows[1:]:
+            lo = jnp.minimum(lo, r)
+            hi = jnp.maximum(hi, r)
+        return lo, hi
+    x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(((1.0 - v) * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    row = (off + y * w + x) // TILE_LANE
+    return row, row
+
+
+def clamp_levels(
+    scene, tex_id, uv, level, hit, tid, n_tiles: int,
+    texture_filter: str,
+):
+    """Filter-aware tile-adaptive clamp (see module docstring)."""
+    row_lo, row_hi = mip_tap_rows(scene, tex_id, uv, level, texture_filter)
+    fine = hit & (row_hi >= FB_ROWS)
+    over = tile_window_overflow(row_lo, row_hi, fine, tid, n_tiles)
+    K, L = scene.tex_mip_offset.shape
+    fit = scene.tex_fit_level[tex_id]
+    return jnp.where(over, jnp.maximum(level, fit), level)

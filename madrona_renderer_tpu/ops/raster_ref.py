@@ -100,6 +100,7 @@ def rasterize(
         chunk=chunk,
     )
     z = t * cosf
+    geo_hit = hit  # pre-far-clip (the mip tile clamp keys on this)
     hit = hit & (z < far)  # near handled exactly in t-space above
 
     lit = None
@@ -114,4 +115,5 @@ def rasterize(
         soup, state, scene, dirs, idx, hit, z,
         height=height, width=width, texture_filter=texture_filter,
         with_segmask=False, lit=lit,
+        mip_t=t, mip_fov=eff_fov, mip_hit=geo_hit,
     )

@@ -70,14 +70,9 @@ _MAX_TILE_SUB = 32
 _TEX_INKERNEL_MAX_ROWS = 128
 
 
-def _pick_tile_sub(n_pixels: int) -> int:
-    """Largest power-of-two sublane count ≤ 32 that the image actually
-    fills (small images keep small tiles so padding lanes aren't swept)."""
-    need = -(-n_pixels // _TILE_LANE)
-    sub = _TILE_SUB
-    while sub < _MAX_TILE_SUB and sub < need:
-        sub *= 2
-    return sub
+# Single-source tile-height rule (ops/mips.py): the jnp reference's
+# paged-texture tile clamp must see the identical tiling.
+from .mips import pick_tile_sub as _pick_tile_sub
 
 # Triangle SoA rows in the SMEM block (see _pack_tris):
 # v0(3) e1(3) e2(3) valid(1) uv0(2) duv1(2) duv2(2) n0(3) dn1(3) dn2(3) mat(1)
@@ -125,7 +120,9 @@ def _pack_tris(soup, scene: SceneData) -> jnp.ndarray:
         col[..., 0], col[..., 1], col[..., 2],
     ]
     zero = jnp.zeros_like(soup.valid)
-    rows += [zero, zero, zero]  # pad to 32 rows (8-aligned for DMA slices)
+    # Row 29: texel density (mip-level input, ops/mips.py); rows 30-31 pad
+    # to 32 rows (8-aligned for DMA slices).
+    rows += [soup.density, zero, zero]
     return jnp.stack(rows, axis=1)
 
 
@@ -387,6 +384,8 @@ def _render_kernel(
     n_lights: int = 1,
     shadows: bool = False,
     tiles_x: int = 1,
+    tex_paged: bool = False,
+    n_levels: int = 1,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -412,11 +411,17 @@ def _render_kernel(
     assert not dma_tris or culled, "DMA triangle streaming requires clusters"
     assert not binned or culled, "binning requires clusters"
     assert not (shaded and textured)
+    assert not (textured and tex_paged)
 
     def kernel(*refs):
-        scratch = sem = None
-        if dma_tris:
-            *refs, scratch, sem = refs
+        scratch = sem = tex_scratch = tex_sem = None
+        n_scratch = (2 if dma_tris else 0) + (2 if tex_paged else 0)
+        if n_scratch:
+            refs, extra = refs[:-n_scratch], refs[-n_scratch:]
+            if dma_tris:
+                scratch, sem = extra[0], extra[1]
+            if tex_paged:
+                tex_scratch, tex_sem = extra[-2], extra[-1]
         perm_ref = bin_ref = None
         if culled and binned:
             tri_ref, cl_ref, bin_ref, cam_ref, *rest = refs
@@ -426,10 +431,12 @@ def _render_kernel(
             tri_ref, cl_ref, cam_ref, *rest = refs
         else:
             tri_ref, cam_ref, *rest = refs
-        mp_ref = pool_ref = None
+        mp_ref = pool_ref = fb_ref = pool_hbm_ref = None
         if textured:
             mp_ref, pool_ref, *rest = rest
-        if shaded or textured:
+        elif tex_paged:
+            mp_ref, fb_ref, pool_hbm_ref, *rest = rest
+        if shaded or textured or tex_paged:
             t_ref, z_ref, idx_ref, rgb_ref = rest
         else:
             t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = rest
@@ -495,6 +502,8 @@ def _render_kernel(
             zero,  # ny
             zero,  # nz
         )
+        if tex_paged:
+            init = init + (zero,)  # texel density (mip level input)
 
         def make_tri_test(read, idx_base):
             """Triangle test parametric over the scalar reader: the SMEM
@@ -502,7 +511,7 @@ def _render_kernel(
             scratch slab with a global index offset for best_idx."""
 
             def tri_test(i, carry):
-                best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry
+                best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry[:8]
                 gi = i + idx_base
                 v0x = read(0, i)
                 v0y = read(1, i)
@@ -580,7 +589,7 @@ def _render_kernel(
                     a1 = uv0x + uc * duv1x + vc * duv2x
                     a2 = uv0y + uc * duv1y + vc * duv2y
 
-                return (
+                out = (
                     jnp.where(ok, t, best_t),
                     jnp.where(ok, gi, best_idx),
                     jnp.where(ok, a0, bmat),
@@ -590,6 +599,10 @@ def _render_kernel(
                     jnp.where(ok, ny, bny),
                     jnp.where(ok, nz, bnz),
                 )
+                if tex_paged:
+                    # Row 29: texels-per-world-unit (mip level input).
+                    out = out + (jnp.where(ok, read(29, i), carry[8]),)
+                return out
 
             return tri_test
 
@@ -736,7 +749,8 @@ def _render_kernel(
             tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
             out = jax.lax.fori_loop(0, s_pad, tri_resident, init)
 
-        best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = out
+        best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = out[:8]
+        bdens = out[8] if tex_paged else None
 
         # Flip the normal toward the viewer (two-sided shading) in-kernel,
         # where the ray direction still exists.
@@ -763,7 +777,7 @@ def _render_kernel(
         # compute_lit in the XLA epilogue) — skip building it rather than
         # relying on DCE.
         occs = []
-        if shadows and (shaded or textured):
+        if shadows and (shaded or textured or tex_paged):
             from .raytrace_ref import SHADOW_EPS
 
             px_w = ox + best_t * dx
@@ -1068,6 +1082,217 @@ def _render_kernel(
                 chan_t(base_r, sr)
                 | (chan_t(base_g, sg) << 8)
                 | (chan_t(base_b, sb) << 16)
+                | alpha
+            )
+            rgb_ref[0] = packed
+        elif tex_paged:
+            # ---- Paged mip-aware texture sampling (round 3; design in
+            # ops/mips.py). The texel pool exceeds the resident budget:
+            # the coarse fallback region ([0, TEX_FB_ROWS) rows, every
+            # texture's coarse chain) is resident in VMEM, and one
+            # TEX_PAGE_ROWS window of the fine pool is DMA'd per tile,
+            # covering the tile's texel rows at each pixel's mip level.
+            # Tiles whose fine rows overflow one window clamp to the
+            # coarse chains (tile-adaptive mip clamp — the jnp reference
+            # reproduces the identical integer test).
+            from ..core.scene import TEX_FB_ROWS, TEX_PAGE_ROWS
+            from .shade import AMBIENT
+
+            matv = bmat.astype(jnp.int32)
+            shape2 = matv.shape
+
+            def mparam(row):
+                return jnp.take_along_axis(
+                    jnp.broadcast_to(mp_ref[row : row + 1, :], shape2),
+                    matv,
+                    axis=1,
+                )
+
+            base_r = mparam(0)
+            base_g = mparam(1)
+            base_b = mparam(2)
+            fitl = mparam(3).astype(jnp.int32)
+
+            # Mip level: footprint = t·(2·tan_y/height)·density; level =
+            # Σ_l [fp ≥ 2^l] — exact f32 compares (ops/mips.py twin).
+            fp = best_t * (2.0 / height) * tan_y * bdens
+            lvl = jnp.zeros(shape2, jnp.int32)
+            for l in range(1, n_levels):
+                lvl = lvl + (fp >= jnp.float32(2.0**l)).astype(jnp.int32)
+
+            hitm = best_idx >= 0
+            # Overhang pixels (2D bottom tiles / flattened tail) must not
+            # widen the window — the jnp reference only sees real pixels.
+            if tiles_x > 1:
+                in_img = (r // tiles_x * tile_sub + sub) < height
+            else:
+                p_i = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
+                in_img = p_i < (height * width)
+            hit_w = hitm & in_img
+
+            uu = buvx - jnp.floor(buvx)
+            vv = buvy - jnp.floor(buvy)
+
+            def taps_for(lvl):
+                off = jnp.zeros(shape2, jnp.float32)
+                wf = jnp.ones(shape2, jnp.float32)
+                hf = jnp.ones(shape2, jnp.float32)
+                for l in range(n_levels):
+                    sel = lvl == l
+                    off = jnp.where(sel, mparam(4 + 3 * l), off)
+                    wf = jnp.where(sel, mparam(5 + 3 * l), wf)
+                    hf = jnp.where(sel, mparam(6 + 3 * l), hf)
+                w_i = wf.astype(jnp.int32)
+                h_i = hf.astype(jnp.int32)
+                off_i = off.astype(jnp.int32)
+                if tex_filter == "nearest":
+                    tx = jnp.clip((uu * wf).astype(jnp.int32), 0, w_i - 1)
+                    ty = jnp.clip(
+                        ((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1
+                    )
+                    return [off_i + ty * w_i + tx], None, None
+                fx = uu * wf - 0.5
+                fy = (1.0 - vv) * hf - 0.5
+                x0f = jnp.floor(fx)
+                y0f = jnp.floor(fy)
+                ax = fx - x0f
+                ay = fy - y0f
+                x0 = x0f.astype(jnp.int32)
+                y0 = y0f.astype(jnp.int32)
+
+                def wrap(i, n):
+                    i = jnp.where(i < 0, i + n, i)
+                    return jnp.where(i >= n, i - n, i)
+
+                flats = [
+                    off_i + wrap(y0 + dy, h_i) * w_i + wrap(x0 + dx, w_i)
+                    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1))
+                ]
+                return flats, ax, ay
+
+            # Window pass at the unclamped level, then the tile-adaptive
+            # clamp: fine-row span > one DMA window → everyone falls back
+            # to the coarse (resident) chains.
+            flats0, _, _ = taps_for(lvl)
+            row_lo = flats0[0] // _TILE_LANE
+            row_hi = row_lo
+            for f in flats0[1:]:
+                rv = f // _TILE_LANE
+                row_lo = jnp.minimum(row_lo, rv)
+                row_hi = jnp.maximum(row_hi, rv)
+            fine = hit_w & (row_hi >= TEX_FB_ROWS)
+            big = jnp.int32(1 << 30)
+            r0 = jnp.min(jnp.where(fine, row_lo, big))
+            r1 = jnp.max(jnp.where(fine, row_hi, -1))
+            r0a = (r0 // 8) * 8
+            overflow = (r1 - r0a + 1) > TEX_PAGE_ROWS
+            lvl = jnp.where(overflow, jnp.maximum(lvl, fitl), lvl)
+            flats, ax, ay = taps_for(lvl)
+
+            base_row = jnp.where(r1 >= 0, r0a, 0)
+
+            @pl.when(jnp.logical_and(r1 >= 0, jnp.logical_not(overflow)))
+            def _page_in():
+                dmac = pltpu.make_async_copy(
+                    pool_hbm_ref.at[pl.ds(base_row, TEX_PAGE_ROWS), :],
+                    tex_scratch,
+                    tex_sem,
+                )
+                dmac.start()
+                dmac.wait()
+
+            def fetch(flat):
+                rowv = flat // _TILE_LANE
+                lane_i = flat % _TILE_LANE
+                texel = jnp.zeros(shape2, jnp.int32)
+                for rr in range(TEX_FB_ROWS):
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(fb_ref[rr : rr + 1, :], shape2),
+                        lane_i,
+                        axis=1,
+                    )
+                    texel = jnp.where(rowv == rr, g, texel)
+                local = rowv - base_row
+                is_fine = rowv >= TEX_FB_ROWS
+                for rr in range(TEX_PAGE_ROWS):
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(
+                            tex_scratch[rr : rr + 1, :], shape2
+                        ),
+                        lane_i,
+                        axis=1,
+                    )
+                    texel = jnp.where(is_fine & (local == rr), g, texel)
+                return texel
+
+            lut_lo = jnp.broadcast_to(
+                mp_ref[4 + 3 * n_levels : 5 + 3 * n_levels, :], shape2
+            )
+            lut_hi = jnp.broadcast_to(
+                mp_ref[5 + 3 * n_levels : 6 + 3 * n_levels, :], shape2
+            )
+
+            def dequant(k):
+                k7 = k & (_TILE_LANE - 1)
+                lo = jnp.take_along_axis(lut_lo, k7, axis=1)
+                hi = jnp.take_along_axis(lut_hi, k7, axis=1)
+                return jnp.where(k < _TILE_LANE, lo, hi)
+
+            if tex_filter == "nearest":
+                texel = fetch(flats[0])
+                base_r = base_r * dequant(texel & 255)
+                base_g = base_g * dequant((texel >> 8) & 255)
+                base_b = base_b * dequant((texel >> 16) & 255)
+            else:
+                t00 = fetch(flats[0])
+                t10 = fetch(flats[1])
+                t01 = fetch(flats[2])
+                t11 = fetch(flats[3])
+
+                def lerp_ch(shift):
+                    c00 = dequant((t00 >> shift) & 255)
+                    c10 = dequant((t10 >> shift) & 255)
+                    c01 = dequant((t01 >> shift) & 255)
+                    c11 = dequant((t11 >> shift) & 255)
+                    top = c00 * (1 - ax) + c10 * ax
+                    bot = c01 * (1 - ax) + c11 * ax
+                    return top * (1 - ay) + bot * ay
+
+                base_r = base_r * lerp_ch(0)
+                base_g = base_g * lerp_ch(8)
+                base_b = base_b * lerp_ch(16)
+
+            n_inv = jax.lax.rsqrt(
+                jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
+            )
+            sr = sg = sb = jnp.float32(0.0)
+            for li in range(n_lights):
+                c0 = _CAM_LIGHT0 + 6 * li
+                nd = jnp.maximum(
+                    0.0,
+                    -(bnx * cam_ref[0, 0, c0]
+                      + bny * cam_ref[0, 0, c0 + 1]
+                      + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
+                )
+                if shadows:
+                    nd = jnp.where(occs[li] != 0, 0.0, nd)
+                sr = sr + nd * cam_ref[0, 0, c0 + 3]
+                sg = sg + nd * cam_ref[0, 0, c0 + 4]
+                sb = sb + nd * cam_ref[0, 0, c0 + 5]
+            hit = best_idx >= 0
+            if raster_clip:
+                hit = hit & (z < cam_ref[0, 0, 16])
+
+            def chan_p(base, s):
+                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0)
+                c = jnp.where(hit, c, 0.0)
+                return (c * 255.0 + 0.5).astype(jnp.int32)
+
+            alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
+            packed = (
+                chan_p(base_r, sr)
+                | (chan_p(base_g, sg) << 8)
+                | (chan_p(base_b, sb) << 16)
                 | alpha
             )
             rgb_ref[0] = packed
@@ -1419,28 +1644,6 @@ def render_core(
 
     tile_sub = _pick_tile_sub(P)
     tile_pix = tile_sub * _TILE_LANE
-    # 2D screen tiles (tile_sub × 128 rectangles) for the culled scalar
-    # kernel when the image is wide enough for column pruning: tighter
-    # tile frustums for the slab tests and 2D (row × column) bins. The
-    # flattened-band scheme remains for narrow images (width ≤ 128 bands
-    # are already whole-row strips) and the mxu/brute paths.
-    tiles_x = 1
-    if (
-        use_clusters
-        and accel != "mxu"
-        and width % _TILE_LANE == 0
-        and width // _TILE_LANE >= 2
-        and height >= tile_sub
-    ):
-        tiles_x = width // _TILE_LANE
-    if tiles_x > 1:
-        tiles_y = -(-height // tile_sub)
-        n_tiles = tiles_x * tiles_y
-    else:
-        tiles_y = 0
-        n_tiles = -(-P // tile_pix)
-    p_pad = n_tiles * tile_pix
-
     # Untextured scenes shade in-kernel: 4 outputs instead of 9 and no
     # XLA shading epilogue (static check on the texel-pool shape).
     # Exception: shadows with accel='mxu' — the batched kernel has no
@@ -1457,14 +1660,58 @@ def render_core(
     n_texels = int(scene.tex_data.shape[0])
     n_mats = int(scene.mat_color.shape[0])
     tex_rows = -(-n_texels // _TILE_LANE)
+    mips_on = int(scene.tex_mip_offset.shape[1]) > 1
     tex_inkernel = (
         not shaded
+        and not mips_on
         and not shadows_epilogue
         and accel != "mxu"
         and texture_filter in ("nearest", "bilinear")
         and tex_rows <= _TEX_INKERNEL_MAX_ROWS
         and n_mats <= _TILE_LANE
     )
+    # Mip-mapped pools (bake_scene(mipmaps=...) — auto-on past the
+    # resident budget) sample through the paged kernel path: resident
+    # coarse fallback region + per-tile DMA window over the fine pool
+    # (ops/mips.py has the design; the jnp reference mirrors it exactly).
+    tex_paged = (
+        mips_on
+        and not shaded
+        and not shadows_epilogue
+        and accel != "mxu"
+        and texture_filter in ("nearest", "bilinear")
+        and n_mats <= _TILE_LANE
+    )
+    if mips_on and not shaded and not tex_paged:
+        raise ValueError(
+            "mip-mapped texture pools need the paged kernel path — "
+            "accel='mxu' and >128 materials are unsupported with mipmaps "
+            "(bake with mipmaps=False, or drop accel='mxu')"
+        )
+    # 2D screen tiles (tile_sub × 128 rectangles) for the culled scalar
+    # kernel when the image is wide enough for column pruning: tighter
+    # tile frustums for the slab tests and 2D (row × column) bins. The
+    # flattened-band scheme remains for narrow images (width ≤ 128 bands
+    # are already whole-row strips) and the mxu/brute paths. The paged
+    # texture path always follows ops/mips.tile_geometry so the jnp
+    # reference's tile-adaptive mip clamp sees the identical tiling.
+    tiles_x = 1
+    if (
+        (use_clusters or tex_paged)
+        and accel != "mxu"
+        and width % _TILE_LANE == 0
+        and width // _TILE_LANE >= 2
+        and height >= tile_sub
+    ):
+        tiles_x = width // _TILE_LANE
+    if tiles_x > 1:
+        tiles_y = -(-height // tile_sub)
+        n_tiles = tiles_x * tiles_y
+    else:
+        tiles_y = 0
+        n_tiles = -(-P // tile_pix)
+    p_pad = n_tiles * tile_pix
+
     if tex_inkernel:
         # Per-material param table [8, 128] (lanes = materials):
         # rows 0-2 base color rgb, 3 texel-pool offset, 4 width, 5 height
@@ -1506,9 +1753,59 @@ def render_core(
         )
         tex_in_specs = [mp_spec, pool_spec]
         tex_inputs = (mp, pool)
+    elif tex_paged:
+        from ..core.scene import TEX_FB_ROWS, TEX_PAGE_ROWS
+
+        n_levels = int(scene.tex_mip_offset.shape[1])
+        mt = scene.mat_tex
+        # Param table rows: 0-2 color rgb, 3 coarse fallback level, then
+        # (offset, w, h) per mip level, then the 2-row k/255 dequant LUT.
+        rows = [
+            scene.mat_color[:, 0], scene.mat_color[:, 1],
+            scene.mat_color[:, 2],
+            scene.tex_fit_level[mt].astype(jnp.float32),
+        ]
+        for l in range(n_levels):
+            rows += [
+                scene.tex_mip_offset[mt, l].astype(jnp.float32),
+                scene.tex_mip_w[mt, l].astype(jnp.float32),
+                scene.tex_mip_h[mt, l].astype(jnp.float32),
+            ]
+        mp_rows = jnp.stack(rows)  # [4 + 3L, M]
+        mp = jnp.pad(mp_rows, ((0, 0), (0, _TILE_LANE - n_mats)))
+        lut = (
+            jnp.arange(256, dtype=jnp.float32) / 255.0
+        ).reshape(2, _TILE_LANE)
+        mp = jnp.concatenate([mp, lut], axis=0)  # [6 + 3L, 128]
+        mp_rows_pad = -(-int(mp.shape[0]) // 8) * 8
+        if mp_rows_pad != int(mp.shape[0]):
+            mp = jnp.pad(mp, ((0, mp_rows_pad - int(mp.shape[0])), (0, 0)))
+        q = (scene.tex_data * 255.0 + 0.5).astype(jnp.int32)
+        packedq = q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+        flat_pad = tex_rows * _TILE_LANE - n_texels
+        pool_all = jnp.pad(packedq, (0, flat_pad)).reshape(
+            tex_rows, _TILE_LANE
+        )
+        fb = pool_all[:TEX_FB_ROWS]  # resident coarse region
+        # Full pool in HBM, padded by one window so any 8-aligned base
+        # row yields an in-bounds TEX_PAGE_ROWS DMA.
+        pool_hbm = jnp.pad(pool_all, ((0, TEX_PAGE_ROWS), (0, 0)))
+        mp_spec = pl.BlockSpec(
+            (mp_rows_pad, _TILE_LANE), lambda wc, r: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        fb_spec = pl.BlockSpec(
+            (TEX_FB_ROWS, _TILE_LANE), lambda wc, r: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        pool_hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        tex_in_specs = [mp_spec, fb_spec, pool_hbm_spec]
+        tex_inputs = (mp, fb, pool_hbm)
     else:
         tex_in_specs = []
         tex_inputs = ()
+    if not tex_paged:
+        n_levels = 1
 
     tris = _pack_tris(soup, scene)  # [W, 29, S]
     cams = _pack_cams(
@@ -1529,7 +1826,7 @@ def render_core(
     )
     f32 = jax.ShapeDtypeStruct((WC, n_tiles * tile_sub, _TILE_LANE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((WC, n_tiles * tile_sub, _TILE_LANE), jnp.int32)
-    if shaded or tex_inkernel:
+    if shaded or tex_inkernel or tex_paged:
         out_shape = [f32, f32, i32, i32]
         out_specs = [out_spec] * 4
     else:
@@ -1602,7 +1899,7 @@ def render_core(
             textured=tex_inkernel, tex_rows=tex_rows,
             tex_filter=texture_filter, binned=binned,
             n_lights=int(scene.light_dir.shape[0]), shadows=shadows,
-            tiles_x=tiles_x,
+            tiles_x=tiles_x, tex_paged=tex_paged, n_levels=n_levels,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -1647,6 +1944,11 @@ def render_core(
         else:
             tri_spec_used = tri_spec
             scratch_shapes = []
+        if tex_paged:
+            scratch_shapes = scratch_shapes + [
+                pltpu.VMEM((TEX_PAGE_ROWS, _TILE_LANE), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1666,7 +1968,8 @@ def render_core(
             S, width, height, n_tiles, shaded=shaded, raster_clip=raster_clip,
             tile_sub=tile_sub, textured=tex_inkernel, tex_rows=tex_rows,
             tex_filter=texture_filter, n_lights=int(scene.light_dir.shape[0]),
-            shadows=shadows,
+            shadows=shadows, tiles_x=tiles_x,
+            tex_paged=tex_paged, n_levels=n_levels,
         )
         outs = pl.pallas_call(
             kernel,
@@ -1674,6 +1977,10 @@ def render_core(
             in_specs=[tri_spec, cam_spec] + tex_in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=(
+                [pltpu.VMEM((TEX_PAGE_ROWS, _TILE_LANE), jnp.int32),
+                 pltpu.SemaphoreType.DMA] if tex_paged else []
+            ),
             interpret=interpret,
         )(tris, cams, *tex_inputs)
 
@@ -1688,7 +1995,7 @@ def render_core(
             return x[:, :height, :width].reshape(W, C, P)
         return x.reshape(WC, p_pad)[:, :P].reshape(W, C, P)
 
-    if shaded or tex_inkernel:
+    if shaded or tex_inkernel or tex_paged:
         names = ["t", "z", "idx", "rgb"]
         outs = list(outs)
         outs[3] = jax.lax.bitcast_convert_type(outs[3], jnp.uint32)

@@ -65,6 +65,9 @@ class TriangleSoup:
     mat: jax.Array  # i32 [W, S]
     seg: jax.Array  # i32 [W, S] — per-world instance index (segmask value)
     valid: jax.Array  # f32 [W, S]
+    # Texels-per-world-unit at the base mip (ops/mips.py) — drives mip
+    # level selection; 0 for untextured/degenerate triangles.
+    density: jax.Array  # f32 [W, S]
 
 
 def build_world_soup(state: SimState, scene: SceneData) -> TriangleSoup:
@@ -106,6 +109,15 @@ def build_world_soup(state: SimState, scene: SceneData) -> TriangleSoup:
         jax.lax.broadcasted_iota(jnp.int32, (W, I, T), 1), (W, I, T)
     )
 
+    # Mip-level density (world-space, so instance scaling is exact).
+    from .mips import soup_texel_density
+
+    tex_id = scene.mat_tex[scene.tri_mat[obj]]  # [W, I, T]
+    density = soup_texel_density(
+        e1w, e2w, scene.duv1[obj], scene.duv2[obj],
+        scene.tex_width[tex_id], scene.tex_height[tex_id],
+    )
+
     S = I * T
 
     def flat3(x):
@@ -118,6 +130,7 @@ def build_world_soup(state: SimState, scene: SceneData) -> TriangleSoup:
         mat=scene.tri_mat[obj].reshape(W, S),
         seg=seg.reshape(W, S),
         valid=valid.reshape(W, S),
+        density=density.reshape(W, S),
     )
 
 
@@ -369,6 +382,11 @@ def finish_frames(
     texture_filter: str = "nearest",
     with_segmask: bool = True,
     lit=None,  # f32 [W, C, P, L] per-light visibility (shadows), or None
+    mip_t=None,  # f32 [W, C, P] hit distances (mip level input); required
+    #             when the scene carries mip chains (tex_mip L > 1)
+    mip_fov=None,  # f32 [W, C] effective fov degrees (mip level input)
+    mip_hit=None,  # bool [W, C, P] geometric-hit mask for the tile clamp
+    #               (pre far-clip / camera masking); defaults to `hit`
 ) -> Frames:
     """Shared shading epilogue: gather the best triangle per pixel,
     recompute barycentrics, interpolate attributes, shade, pack Frames.
@@ -394,10 +412,34 @@ def finish_frames(
     )
     mat = _gather_soup(soup.mat, idx)
 
+    tex_override = None
+    if int(scene.tex_mip_offset.shape[1]) > 1:
+        # Mip-aware sampling with the paged path's tile-adaptive clamp
+        # (ops/mips.py defines the semantics; the Pallas kernel matches).
+        from . import mips
+
+        tan_y = jnp.tan(jnp.deg2rad(mip_fov) * 0.5)
+        density = _gather_soup(soup.density, idx)
+        L = int(scene.tex_mip_offset.shape[1])
+        lvl = mips.mip_level(mip_t, tan_y[:, :, None], height, density, L)
+        tex_id = scene.mat_tex[mat]
+        tile_sub, tiles_x, n_tiles = mips.tile_geometry(height, width)
+        tid = mips.tile_ids(height, width, tile_sub, tiles_x)
+        geo_hit = hit if mip_hit is None else mip_hit
+        lvl = mips.clamp_levels(
+            scene, tex_id, uv, lvl, geo_hit, tid, n_tiles, texture_filter
+        )
+        tex_override = mips.sample_texture_mip(
+            scene, tex_id, uv, lvl, texture_filter
+        )
+
     cam_ok = state.camera_valid[:, :, None] > 0.0
     hit = hit & cam_ok
 
-    rgb = shade_lambert(scene, mat, uv, normal, dirs, hit, texture_filter, lit=lit)
+    rgb = shade_lambert(
+        scene, mat, uv, normal, dirs, hit, texture_filter, lit=lit,
+        tex_override=tex_override,
+    )
     depth = jnp.where(hit, depth_values, 0.0)
     if with_segmask:
         seg = _gather_soup(soup.seg, idx)
@@ -464,4 +506,5 @@ def raytrace(
     return finish_frames(
         soup, state, scene, dirs, idx, hit, t,
         height=height, width=width, texture_filter=texture_filter, lit=lit,
+        mip_t=t, mip_fov=eff_fov,
     )

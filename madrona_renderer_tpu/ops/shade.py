@@ -186,6 +186,7 @@ def shade_lambert(
     hit_mask: jnp.ndarray,  # bool [...]
     texture_filter: str = "nearest",
     lit=None,  # f32 [..., L] per-light visibility (1 = lit, 0 = shadowed)
+    tex_override=None,  # f32 [..., 4] pre-sampled texel (mip path), or None
 ) -> jnp.ndarray:
     """Returns u8 RGBA [..., 4]."""
     n = normal / jnp.maximum(
@@ -208,10 +209,13 @@ def shade_lambert(
     intensity = AMBIENT + (1.0 - AMBIENT) * s
 
     base = scene.mat_color[mat_id]  # [..., 4]
-    sampler = (
-        sample_texture_bilinear if texture_filter == "bilinear" else sample_texture_nearest
-    )
-    tex = sampler(scene, scene.mat_tex[mat_id], uv)
+    if tex_override is not None:
+        tex = tex_override
+    else:
+        sampler = (
+            sample_texture_bilinear if texture_filter == "bilinear" else sample_texture_nearest
+        )
+        tex = sampler(scene, scene.mat_tex[mat_id], uv)
     albedo = base * tex
 
     rgb = jnp.clip(albedo[..., :3] * intensity, 0.0, 1.0)

@@ -1,0 +1,286 @@
+"""Mip-mapping + paged-texture path (VERDICT r2 items 2 & 3).
+
+Covers: the bake's mip chains and pool layout, the shared level/clamp
+math (ops/mips.py), the jnp reference's mip sampling, minification
+anti-aliasing evidence, and jnp↔Pallas parity of the paged kernel path
+(resident fallback region + per-tile DMA windows) across filters, tile
+shapes, the overflow clamp, shadows, raster mode, and the combined
+big-mesh + big-texture case.
+
+Parity contract note: the kernel's hit distance/uv differ from the jnp
+reference's by f32 ulps (equivalent Möller–Trumbore factorizations), so
+*nearest* sampling may land on an adjacent texel at exact texel
+boundaries and level selection may flip at exact power-of-two
+footprints. Smooth gradient textures bound that inherent ambiguity to
+≤2 LSB while still catching every structural bug (wrong offsets, level
+math, window or clamp logic produce large errors).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from madrona_renderer_tpu.assets.png import encode_png
+from madrona_renderer_tpu.config import (
+    AdditionalMaterial, ImportedCamera, ImportedInstance,
+)
+from madrona_renderer_tpu.core.scene import (
+    TEX_FB_ROWS, TEX_RESIDENT_ROWS, _mip_next,
+)
+from madrona_renderer_tpu.ops import mips
+from madrona_renderer_tpu.ops.raytrace_pallas import raytrace as rt_pal
+from madrona_renderer_tpu.ops.raytrace_ref import raytrace as rt_ref
+
+from tests.helpers import build, quad_uvs, quad_xz
+
+
+def _gradient_png(size=256):
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    img = np.stack(
+        [xx * 255, yy * 255, (xx + yy) * 127.5, np.full_like(xx, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    path = os.path.join(tempfile.gettempdir(), f"mrt_mip_grad_{size}.png")
+    with open(path, "wb") as f:
+        f.write(encode_png(img))
+    return path, img
+
+
+def _checker_png(size=256, cell=4):
+    yy, xx = np.mgrid[0:size, 0:size]
+    c = ((yy // cell + xx // cell) % 2).astype(np.uint8) * 255
+    img = np.stack([c, c, c, np.full_like(c, 255)], axis=-1)
+    path = os.path.join(tempfile.gettempdir(), f"mrt_mip_chk_{size}.png")
+    with open(path, "wb") as f:
+        f.write(encode_png(img))
+    return path, img
+
+
+def _scene(tex_path, uv_scale=7.3, mipmaps="auto", extra_mesh=None):
+    meshes = [quad_xz(half=60.0, y=0.0)]
+    uvs = [quad_uvs() * uv_scale]
+    mats = [0]
+    instances = [
+        ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0],
+                         scale=[1, 1, 1], object_id=0)
+    ]
+    if extra_mesh is not None:
+        meshes.append(extra_mesh)
+        uvs.append(np.zeros((len(extra_mesh), 2), np.float32))
+        mats.append(1)
+        instances.append(
+            ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=1)
+        )
+    import tests.helpers as H
+    from madrona_renderer_tpu.assets.importer import load_render_assets
+    from madrona_renderer_tpu.core.scene import bake_scene
+    from madrona_renderer_tpu.core.state import init_state
+    from madrona_renderer_tpu.config import WorldInit
+
+    geo = H.geo_from_meshes(meshes, uvs=uvs, materials=mats)
+    merged = load_render_assets(
+        geo, [],
+        [AdditionalMaterial(color=(1, 1, 1, 1), texture_id=0),
+         AdditionalMaterial(color=(0.9, 0.4, 0.3, 1.0))],
+        [tex_path],
+    )
+    scene = bake_scene(merged, mipmaps=mipmaps)
+    state = init_state(
+        instances,
+        [ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0])],
+        [WorldInit(num_instances=len(instances), instance_offset=0,
+                   num_cameras=1, camera_offset=0)],
+    )
+    return state, scene
+
+
+
+
+def _assert_close_modulo_boundaries(a, b, frac=0.02, hard=64):
+    """Parity modulo the inherent nearest-sampling boundary ambiguity:
+    at most `frac` of pixels may differ beyond 2 LSB (a texel/level flip
+    at an exact boundary), and no pixel beyond `hard` (structural bugs —
+    wrong offsets/levels/windows — blow far past it)."""
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    dm = d.max(axis=-1)
+    assert d.max() <= hard, d.max()
+    bad = float((dm > 2).mean())
+    assert bad <= frac, (bad, d.max())
+
+
+
+# ------------------------------------------------------------- bake ----
+
+
+def test_mip_chain_matches_independent_boxfilter():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(8, 6, 4), dtype=np.uint8)
+    m1 = _mip_next(img)
+    # Independent recomputation (edge-repeat odd dims, round half up).
+    ref = np.zeros((4, 3, 4), np.uint16)
+    padded = np.concatenate([img, img[:, -1:]], axis=1)  # w 6→6? (even)
+    assert padded.shape[1] == 7  # odd→ repeat makes 7? no: 6 is even
+    # 6 is even so no pad; recompute directly:
+    for y in range(4):
+        for x in range(3):
+            blk = img[2 * y : 2 * y + 2, 2 * x : 2 * x + 2].astype(np.uint16)
+            ref[y, x] = (blk.sum(axis=(0, 1)) + 2) // 4
+    np.testing.assert_array_equal(m1, ref.astype(np.uint8))
+    # Chain terminates at 1×1.
+    m = img
+    while m.shape[0] > 1 or m.shape[1] > 1:
+        m = _mip_next(m)
+    assert m.shape[:2] == (1, 1)
+
+
+def test_bake_auto_gate_and_layout():
+    path, _ = _gradient_png(256)
+    _, on = _scene(path)  # 256² > resident budget → auto-on
+    L = int(on.tex_mip_offset.shape[1])
+    assert L == 9  # 256 → 1 is 9 levels
+    fit = np.asarray(on.tex_fit_level)
+    offs = np.asarray(on.tex_mip_offset)
+    ws = np.asarray(on.tex_mip_w)
+    hs = np.asarray(on.tex_mip_h)
+    # Coarse chains live in the fallback region; fine levels after it.
+    for k in range(offs.shape[0]):
+        for l in range(L):
+            end = offs[k, l] + ws[k, l] * hs[k, l]
+            if l >= fit[k]:
+                assert end <= TEX_FB_ROWS * 128, (k, l)
+            elif ws[k, l] > 1 or hs[k, l] > 1:
+                assert offs[k, l] >= TEX_FB_ROWS * 128, (k, l)
+    # Level sizes halve down the chain (big texture = index 1).
+    assert ws[1, 0] == 256 and ws[1, 1] == 128 and ws[1, 8] == 1
+    # Mips off (small texture) → trivial L = 1 arrays.
+    small, _ = _checker_png(32)
+    _, off = _scene(small)
+    assert int(off.tex_mip_offset.shape[1]) == 1
+    # Explicit off for a big texture keeps round-2 behavior.
+    _, off2 = _scene(path, mipmaps=False)
+    assert int(off2.tex_mip_offset.shape[1]) == 1
+
+
+def test_mip_level_math():
+    import jax.numpy as jnp
+
+    t = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+    # footprint = t·(2/h)·tan_y·density with h=2, tan_y=1 → = density.
+    dens = jnp.asarray([0.5, 1.9, 2.0, 63.9])
+    lvl = mips.mip_level(t, jnp.float32(1.0), 2, dens, 8)
+    np.testing.assert_array_equal(np.asarray(lvl), [0, 0, 1, 5])
+
+
+# ------------------------------------------------ minification quality ----
+
+
+def test_minification_aliasing_reduced():
+    """VERDICT r2 #3 'Done' condition: a fine checkerboard viewed at
+    distance aliases without mips (pixel values swing to the extremes)
+    and converges to mid-gray with them."""
+    path, _ = _checker_png(256, cell=2)
+    state, scene_mip = _scene(path, uv_scale=16.0)
+    _, scene_base = _scene(path, uv_scale=16.0, mipmaps=False)
+    a = rt_ref(state, scene_mip, height=48, width=48)
+    b = rt_ref(state, scene_base, height=48, width=48)
+    # Far half of the image (top rows = distant ground).
+    far_a = np.asarray(a.rgb)[0, 0, 8:20, :, 0].astype(np.float32)
+    far_b = np.asarray(b.rgb)[0, 0, 8:20, :, 0].astype(np.float32)
+    # Base-level sampling: each pixel lands on a black or white cell →
+    # huge variance. Mip sampling: averaged cells → near-constant gray.
+    assert far_b.std() > 4 * far_a.std(), (far_a.std(), far_b.std())
+
+
+# ------------------------------------------------------- pallas parity ----
+
+
+@pytest.mark.parametrize("filt", ["nearest", "bilinear"])
+@pytest.mark.parametrize("hw", [(48, 48), (64, 256)])
+def test_paged_parity_smooth(filt, hw):
+    h, w = hw
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, extra_mesh=quad_xz(half=2.0, y=4.0))
+    assert int(scene.tex_mip_offset.shape[1]) > 1
+    a = rt_ref(state, scene, height=h, width=w, texture_filter=filt)
+    b = rt_pal(state, scene, height=h, width=w, interpret=True,
+               texture_filter=filt)
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 2, (filt, hw, d.max())
+    # Depth/segmask unaffected by texturing: exact.
+    assert np.allclose(np.asarray(a.depth), np.asarray(b.depth), atol=1e-5)
+
+
+def test_paged_overflow_clamp_parity():
+    """uv·64 over a 256² texture: tile windows overflow and every tile
+    falls back to the coarse chains — both paths, identically."""
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, uv_scale=63.7)
+    a = rt_ref(state, scene, height=32, width=32)
+    b = rt_pal(state, scene, height=32, width=32, interpret=True)
+    _assert_close_modulo_boundaries(a, b)
+
+
+def test_paged_shadows_parity():
+    from madrona_renderer_tpu.core.scene import configure_lighting
+
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, extra_mesh=quad_xz(half=3.0, y=5.0))
+    scene = configure_lighting(scene, (1.0, 1.0, 0.0), (1, 1, 1))
+    a = rt_ref(state, scene, height=32, width=32, shadows=True)
+    b = rt_pal(state, scene, height=32, width=32, interpret=True,
+               shadows=True)
+    _assert_close_modulo_boundaries(a, b)
+    # Shadows actually darken something.
+    c = rt_pal(state, scene, height=32, width=32, interpret=True)
+    assert (np.asarray(b.rgb) != np.asarray(c.rgb)).any()
+
+
+def test_paged_raster_parity():
+    from madrona_renderer_tpu.ops.raster_pallas import rasterize as rast_pal
+    from madrona_renderer_tpu.ops.raster_ref import rasterize as rast_ref
+
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path)
+    a = rast_ref(state, scene, height=32, width=32)
+    b = rast_pal(state, scene, height=32, width=32, interpret=True)
+    _assert_close_modulo_boundaries(a, b)
+
+
+def test_paged_with_dma_streamed_mesh():
+    """Big mesh (cluster DMA) + big texture (page DMA) in one kernel —
+    the two DMA machineries must coexist."""
+    rng = np.random.default_rng(31)
+    n_tris = 3600
+    centers = rng.uniform(-30, 30, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 50, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32)
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32)
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, extra_mesh=tris)
+    from madrona_renderer_tpu.core.scene import SMEM_TRI_BUDGET
+    from madrona_renderer_tpu.ops import raytrace_pallas as rp
+
+    S = state.instance_obj.shape[1] * scene.tris_per_object
+    assert rp._N_TRI_ROWS * S * 4 > SMEM_TRI_BUDGET, "must trigger tri-DMA"
+    assert int(scene.tex_mip_offset.shape[1]) > 1
+    a = rt_ref(state, scene, height=16, width=16)
+    b = rt_pal(state, scene, height=16, width=16, interpret=True,
+               accel="clusters")
+    _assert_close_modulo_boundaries(a, b, frac=0.05)
+
+
+def test_manager_mipmaps_config():
+    import dataclasses
+
+    from madrona_renderer_tpu.manager import Manager
+    from madrona_renderer_tpu.runners.scenes import demo_config
+    from madrona_renderer_tpu.config import RenderMode
+
+    cfg = demo_config(2, RenderMode.Raytracer, 32, 32)
+    m = Manager(dataclasses.replace(cfg, mipmaps=True))
+    m.step()
+    assert m.rgb_tensor().numpy().shape == (2, 32, 32, 4)
