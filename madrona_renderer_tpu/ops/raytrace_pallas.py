@@ -126,6 +126,40 @@ def _pack_tris(soup, scene: SceneData) -> jnp.ndarray:
     return jnp.stack(rows, axis=1)
 
 
+_N_GEO_ROWS = 16  # deferred split: geometry block rows (9 used)
+_N_ATTR_ROWS = 24  # deferred split: attribute block rows (20 used)
+_N_SPLIT_ROWS = _N_GEO_ROWS + _N_ATTR_ROWS  # 40
+
+
+def _pack_tris_split(soup, scene: SceneData) -> jnp.ndarray:
+    """Soup → split-layout SoA [W, 40, S] for the deferred big-mesh
+    kernel: rows 0-8 geometry (the only rows the per-triangle sweep
+    reads, DMA'd to SMEM), rows 16-35 hit attributes (DMA'd to VMEM and
+    lane-gathered ONCE per visited cluster for the winning pixels —
+    attribute interpolation leaves the inner loop entirely)."""
+    val = soup.valid
+    col = scene.mat_color[soup.mat]
+    zero = jnp.zeros_like(soup.valid)
+    rows = [
+        soup.v0[..., 0], soup.v0[..., 1], soup.v0[..., 2],
+        soup.e1[..., 0] * val, soup.e1[..., 1] * val, soup.e1[..., 2] * val,
+        soup.e2[..., 0] * val, soup.e2[..., 1] * val, soup.e2[..., 2] * val,
+        zero, zero, zero, zero, zero, zero, zero,  # rows 9-15 pad
+        # Attribute block (slab-relative rows 0-19):
+        soup.uv0[..., 0], soup.uv0[..., 1],
+        soup.duv1[..., 0], soup.duv1[..., 1],
+        soup.duv2[..., 0], soup.duv2[..., 1],
+        soup.n0[..., 0], soup.n0[..., 1], soup.n0[..., 2],
+        soup.dn1[..., 0], soup.dn1[..., 1], soup.dn1[..., 2],
+        soup.dn2[..., 0], soup.dn2[..., 1], soup.dn2[..., 2],
+        soup.mat.astype(jnp.float32),
+        col[..., 0], col[..., 1], col[..., 2],
+        soup.density,
+        zero, zero, zero, zero,  # rows 36-39 pad
+    ]
+    return jnp.stack(rows, axis=1)
+
+
 def _pack_cams(
     state: SimState,
     scene: SceneData,
@@ -386,6 +420,7 @@ def _render_kernel(
     tiles_x: int = 1,
     tex_paged: bool = False,
     n_levels: int = 1,
+    deferred: bool = False,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -412,16 +447,29 @@ def _render_kernel(
     assert not binned or culled, "binning requires clusters"
     assert not (shaded and textured)
     assert not (textured and tex_paged)
+    # Deferred mode (big meshes, binned): split triangle layout — the
+    # sweep streams only geometry rows into SMEM (double-buffered,
+    # prefetching the next bin entry during the current sweep) and hit
+    # attributes stream into VMEM, resolved ONCE per visited cluster by
+    # lane-gathers over the winning pixels instead of per triangle.
+    assert not deferred or (dma_tris and binned)
 
     def kernel(*refs):
         scratch = sem = tex_scratch = tex_sem = None
+        geo_scratch = geo_sem = attr_scratch = attr_sem = None
         n_scratch = (2 if dma_tris else 0) + (2 if tex_paged else 0)
+        if deferred:
+            n_scratch += 2  # attr slab + sem (geo uses the 2-slot pair)
         if n_scratch:
             refs, extra = refs[:-n_scratch], refs[-n_scratch:]
+            extra = list(extra)
             if dma_tris:
-                scratch, sem = extra[0], extra[1]
+                scratch, sem = extra.pop(0), extra.pop(0)
+            if deferred:
+                geo_scratch, geo_sem = scratch, sem
+                attr_scratch, attr_sem = extra.pop(0), extra.pop(0)
             if tex_paged:
-                tex_scratch, tex_sem = extra[-2], extra[-1]
+                tex_scratch, tex_sem = extra.pop(0), extra.pop(0)
         perm_ref = bin_ref = None
         if culled and binned:
             tri_ref, cl_ref, bin_ref, cam_ref, *rest = refs
@@ -504,6 +552,8 @@ def _render_kernel(
         )
         if tex_paged:
             init = init + (zero,)  # texel density (mip level input)
+        if deferred:
+            init = init + (zero, zero)  # raw winner barycentrics (u, v)
 
         def make_tri_test(read, idx_base):
             """Triangle test parametric over the scalar reader: the SMEM
@@ -554,6 +604,17 @@ def _render_kernel(
                     & (t > t_lo)
                     & (t < jnp.minimum(far, best_t))
                 )
+
+                if deferred:
+                    # Carry only (t, idx, u, v); attributes resolve once
+                    # per visited cluster from the VMEM attr slab.
+                    return (
+                        jnp.where(ok, t, best_t),
+                        jnp.where(ok, gi, best_idx),
+                    ) + tuple(carry[2:-2]) + (
+                        jnp.where(ok, u, carry[-2]),
+                        jnp.where(ok, v, carry[-1]),
+                    )
 
                 # Attribute interpolation at hit time (clipped barycentrics,
                 # matching the reference-path epilogue).
@@ -720,7 +781,162 @@ def _render_kernel(
                 )
                 return out[2:]
 
-            if binned:
+            if binned and deferred:
+                # Deferred big-mesh sweep: double-buffered geometry DMA
+                # (prefetch bin[b+1] during bin[b]'s sweep), attribute
+                # slab DMA'd to VMEM in parallel with the sweep and
+                # resolved once per visited cluster by lane-gathers over
+                # the winning pixels — attribute interpolation leaves the
+                # per-triangle inner loop entirely.
+                window = max(cluster_size, 128)
+                assert window == _TILE_LANE, "deferred needs 128-lane windows"
+                nb = bin_ref[0, 0, 0]
+
+                def geo_dma(slot, c):
+                    aligned = (c * cluster_size // window) * window
+                    return pltpu.make_async_copy(
+                        tri_ref.at[
+                            w_idx, pl.ds(0, _N_GEO_ROWS),
+                            pl.ds(aligned, window),
+                        ],
+                        geo_scratch.at[slot],
+                        geo_sem.at[slot],
+                    )
+
+                @pl.when(nb > 0)
+                def _warm():
+                    geo_dma(jnp.int32(0), bin_ref[0, 0, 1]).start()
+
+                def resolve(cr, base, aligned, cnt):
+                    best_t_, best_idx_ = cr[0], cr[1]
+                    bu, bv = cr[-2], cr[-1]
+                    changed = (best_idx_ >= base) & (
+                        best_idx_ < base + cnt
+                    )
+                    lidx = jnp.clip(best_idx_ - aligned, 0, window - 1)
+                    shape2 = best_idx_.shape
+
+                    def aread(k):
+                        return jnp.take_along_axis(
+                            jnp.broadcast_to(
+                                attr_scratch[k : k + 1, :], shape2
+                            ),
+                            lidx,
+                            axis=1,
+                        )
+
+                    uc = jnp.clip(bu, 0.0, 1.0)
+                    vc = jnp.clip(bv, 0.0, 1.0)
+                    nx = aread(6) + uc * aread(9) + vc * aread(12)
+                    ny = aread(7) + uc * aread(10) + vc * aread(13)
+                    nz = aread(8) + uc * aread(11) + vc * aread(14)
+                    if shaded:
+                        a0 = aread(16)
+                        a1 = aread(17)
+                        a2 = aread(18)
+                    else:
+                        a0 = aread(15)
+                        a1 = aread(0) + uc * aread(2) + vc * aread(4)
+                        a2 = aread(1) + uc * aread(3) + vc * aread(5)
+                    upd = [
+                        best_t_, best_idx_,
+                        jnp.where(changed, a0, cr[2]),
+                        jnp.where(changed, a1, cr[3]),
+                        jnp.where(changed, a2, cr[4]),
+                        jnp.where(changed, nx, cr[5]),
+                        jnp.where(changed, ny, cr[6]),
+                        jnp.where(changed, nz, cr[7]),
+                    ]
+                    if tex_paged:
+                        upd.append(jnp.where(changed, aread(19), cr[8]))
+                    upd += [bu, bv]
+                    return tuple(upd)
+
+                def cond(carry):
+                    return (carry[0] < nb) & (carry[1] == 0)
+
+                def body(carry):
+                    b, _, *st = carry
+                    c = bin_ref[0, 0, 1 + b]
+                    slot = jax.lax.rem(b, jnp.int32(2))
+                    # Balance the prefetch issued for b (warm-up / b-1).
+                    geo_dma(slot, c).wait()
+                    best_t = st[0]
+                    tf = jnp.minimum(best_t, far)
+                    live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
+                    live = live & (cl_ref[0, 6, c] > 0.0)
+
+                    @pl.when(live & (b + 1 < nb))
+                    def _prefetch():
+                        geo_dma(1 - slot, bin_ref[0, 0, 2 + b]).start()
+
+                    def visit(cr):
+                        lox = cl_ref[0, 0, c]
+                        loy = cl_ref[0, 1, c]
+                        loz = cl_ref[0, 2, c]
+                        hix = cl_ref[0, 3, c]
+                        hiy = cl_ref[0, 4, c]
+                        hiz = cl_ref[0, 5, c]
+                        t1x = (lox - ox) * ivx
+                        t2x = (hix - ox) * ivx
+                        t1y = (loy - oy) * ivy
+                        t2y = (hiy - oy) * ivy
+                        t1z = (loz - oz) * ivz
+                        t2z = (hiz - oz) * ivz
+                        tmin = jnp.maximum(
+                            jnp.maximum(
+                                jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)
+                            ),
+                            jnp.minimum(t1z, t2z),
+                        )
+                        tmax = jnp.minimum(
+                            jnp.minimum(
+                                jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)
+                            ),
+                            jnp.maximum(t1z, t2z),
+                        )
+                        possible = (
+                            (tmax >= tmin) & (tmax > near) & (tmin < far)
+                            & (tmin < cr[0])
+                        )
+                        any_hit = jnp.any(possible)
+
+                        def process(cr2):
+                            base = c * cluster_size
+                            aligned = (base // window) * window
+                            off = base - aligned
+                            cnt = cl_ref[0, 7, c].astype(jnp.int32)
+                            attr_dma = pltpu.make_async_copy(
+                                tri_ref.at[
+                                    w_idx,
+                                    pl.ds(_N_GEO_ROWS, _N_ATTR_ROWS),
+                                    pl.ds(aligned, window),
+                                ],
+                                attr_scratch,
+                                attr_sem,
+                            )
+                            attr_dma.start()
+                            tri_local = make_tri_test(
+                                lambda k, j: geo_scratch[slot, k, off + j],
+                                base,
+                            )
+                            cr3 = jax.lax.fori_loop(0, cnt, tri_local, cr2)
+                            attr_dma.wait()
+                            return resolve(cr3, base, aligned, cnt)
+
+                        return jax.lax.cond(
+                            any_hit, process, lambda x: x, cr
+                        )
+
+                    st2 = jax.lax.cond(live, visit, lambda s: s, tuple(st))
+                    done = jnp.where(live, jnp.int32(0), jnp.int32(1))
+                    return (b + 1, done) + st2
+
+                out = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), jnp.int32(0)) + init
+                )
+                out = out[2:-2]  # drop (b, done) and the (u, v) carries
+            elif binned:
                 # Tile-binned pass: sweep only this tile's bin (already
                 # front-to-back — see band_cluster_bins). The O(clusters)
                 # per-tile AABB scan disappears; the slab test still runs
@@ -881,16 +1097,33 @@ def _render_kernel(
                                 window = max(cluster_size, 128)
                                 aligned = (base // window) * window
                                 off = base - aligned
-                                dma = pltpu.make_async_copy(
-                                    tri_ref.at[w_idx, :, pl.ds(aligned, window)],
-                                    scratch,
-                                    sem,
-                                )
+                                if deferred:
+                                    # Geometry rows only, slot 0 of the
+                                    # double-buffer (primary sweep done;
+                                    # all its DMAs are balanced).
+                                    dma = pltpu.make_async_copy(
+                                        tri_ref.at[
+                                            w_idx, pl.ds(0, _N_GEO_ROWS),
+                                            pl.ds(aligned, window),
+                                        ],
+                                        scratch.at[0],
+                                        sem.at[0],
+                                    )
+                                    reader = (
+                                        lambda k, j: scratch[0, k, off + j]
+                                    )
+                                else:
+                                    dma = pltpu.make_async_copy(
+                                        tri_ref.at[
+                                            w_idx, :, pl.ds(aligned, window)
+                                        ],
+                                        scratch,
+                                        sem,
+                                    )
+                                    reader = lambda k, j: scratch[k, off + j]
                                 dma.start()
                                 dma.wait()
-                                body = make_sh_body(
-                                    lambda k, j: scratch[k, off + j]
-                                )
+                                body = make_sh_body(reader)
                                 return jax.lax.fori_loop(0, cnt, body, o)
                             return jax.lax.fori_loop(
                                 base, base + cnt, sh_body, o
@@ -1807,7 +2040,38 @@ def render_core(
     if not tex_paged:
         n_levels = 1
 
-    tris = _pack_tris(soup, scene)  # [W, 29, S]
+    # Large meshes: the resident triangle SoA block would exceed SMEM
+    # (~1 MB on v5e, double-buffered); stream clusters via DMA instead
+    # (threshold shared with the bake, which sizes clusters accordingly).
+    from ..core.scene import SMEM_TRI_BUDGET
+
+    tri_block_bytes = _N_TRI_ROWS * S * 4
+    dma_tris = use_clusters and tri_block_bytes > SMEM_TRI_BUDGET
+    cc_total = n_clusters_total
+    # Tile-binned pass: per-tile screen-space cluster bins beat the
+    # in-kernel O(clusters)-per-tile AABB scan once there are many
+    # clusters and multiple tiles to split them over. The bins array
+    # is [WC, T, 1+CC] i32 — gate on its footprint for huge fleets.
+    binned = use_clusters and (
+        accel == "binned"
+        or (
+            accel == "auto"
+            and cc_total >= 64
+            and n_tiles >= 4
+            and WC * n_tiles * (cc_total + 1) <= (1 << 25)
+        )
+    )
+    # Front-to-back ordering pays for itself only with many clusters
+    # (the argsort + indirection cost a few % on tiny scenes).
+    ordered = use_clusters and (not binned) and cc_total >= 16
+    # Deferred split-layout sweep for binned big meshes (see
+    # _pack_tris_split / the kernel's deferred branch).
+    deferred = dma_tris and binned
+
+    if deferred:
+        tris = _pack_tris_split(soup, scene)  # [W, 40, S]
+    else:
+        tris = _pack_tris(soup, scene)  # [W, 32, S]
     cams = _pack_cams(
         state, scene, width, height, eff_fov, eff_near, far_t, far_z
     )  # [WC, 1, 24]
@@ -1832,14 +2096,6 @@ def render_core(
     else:
         out_shape = [f32, f32, i32, i32, f32, f32, f32, f32, f32]
         out_specs = [out_spec] * 9
-
-    # Large meshes: the resident triangle SoA block would exceed SMEM
-    # (~1 MB on v5e, double-buffered); stream clusters via DMA instead
-    # (threshold shared with the bake, which sizes clusters accordingly).
-    from ..core.scene import SMEM_TRI_BUDGET
-
-    tri_block_bytes = _N_TRI_ROWS * S * 4
-    dma_tris = use_clusters and tri_block_bytes > SMEM_TRI_BUDGET
 
     if accel == "mxu":
         s_pad = -(-S // 128) * 128
@@ -1876,21 +2132,7 @@ def render_core(
             # alignment math below relies on it.
             assert cluster_size & (cluster_size - 1) == 0, cluster_size
         cl = _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count)
-        # Tile-binned pass: per-band screen-space cluster bins beat the
-        # in-kernel O(clusters)-per-tile AABB scan once there are many
-        # clusters and multiple bands to split them over. The bins array
-        # is [WC, T, 1+CC] i32 — gate on its footprint for huge fleets.
-        # Measured (100k-tri terrain, 32 worlds, v5e): tie at 4 bands,
-        # +16% at 16 bands, +20% at 64 bands over the in-kernel scan.
-        binned = accel == "binned" or (
-            accel == "auto"
-            and cc >= 64
-            and n_tiles >= 4
-            and WC * n_tiles * (cc + 1) <= (1 << 25)
-        )
-        # Front-to-back ordering pays for itself only with many clusters
-        # (the argsort + indirection cost a few % on tiny scenes).
-        ordered = (not binned) and cc >= 16
+        assert cc == cc_total, (cc, cc_total)
         kernel = _render_kernel(
             S, width, height, n_tiles,
             cluster_size=cluster_size, n_clusters=cc,
@@ -1900,6 +2142,7 @@ def render_core(
             tex_filter=texture_filter, binned=binned,
             n_lights=int(scene.light_dir.shape[0]), shadows=shadows,
             tiles_x=tiles_x, tex_paged=tex_paged, n_levels=n_levels,
+            deferred=deferred,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -1937,10 +2180,19 @@ def render_core(
             if s_pad_lanes != S:
                 tris = jnp.pad(tris, ((0, 0), (0, 0), (0, s_pad_lanes - S)))
             tri_spec_used = pl.BlockSpec(memory_space=pltpu.HBM)
-            scratch_shapes = [
-                pltpu.SMEM((_N_TRI_ROWS, max(cluster_size, 128)), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ]
+            window = max(cluster_size, 128)
+            if deferred:
+                scratch_shapes = [
+                    pltpu.SMEM((2, _N_GEO_ROWS, window), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.VMEM((_N_ATTR_ROWS, window), jnp.float32),
+                    pltpu.SemaphoreType.DMA,
+                ]
+            else:
+                scratch_shapes = [
+                    pltpu.SMEM((_N_TRI_ROWS, window), jnp.float32),
+                    pltpu.SemaphoreType.DMA,
+                ]
         else:
             tri_spec_used = tri_spec
             scratch_shapes = []
