@@ -201,3 +201,31 @@ def test_shadow_mxu_epilogue_fallback():
                shadows=True, accel="mxu")
     d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
     assert d.max() <= 1, d.max()
+
+
+def test_shadow_parity_deferred_binned_mesh():
+    """shadows + the deferred binned big-mesh kernel (split layout,
+    double-buffered DMA): the shadow sweep pages geometry rows through
+    slot 0 of the double buffer."""
+    rng = np.random.default_rng(19)
+    n_tris = 3600
+    centers = rng.uniform(-10, 10, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 40, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+
+    from tests.helpers import build, cam_at_origin_looking_plus_y
+
+    state, scene = build(
+        [tris],
+        [ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=0)],
+        [cam_at_origin_looking_plus_y()],
+    )
+    scene = configure_lighting(scene, (0.5, 1, 0), (1, 1, 1))
+    a = rt_ref(state, scene, height=16, width=16, shadows=True)
+    b = rt_pal(state, scene, height=16, width=16, interpret=True,
+               shadows=True, accel="binned")
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 1, d.max()
