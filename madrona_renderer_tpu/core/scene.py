@@ -352,11 +352,12 @@ def bake_scene(
 
     if _TRI_ROWS * t_pad * 4 > SMEM_TRI_BUDGET:
         # DMA-streamed path: t_pad is 128-aligned (padded above); the DMA
-        # window stays 128 lanes and the cull granularity matches it
-        # (measured 512² terrain: 32-tri clusters LOSE ~20% — per-cluster
-        # fixed costs beat the finer-sweep savings). MRT_DMA_CLUSTER is a
+        # window stays 128 lanes while the *cull* granularity is finer —
+        # with the deferred kernel's double-buffered prefetch hiding DMA
+        # latency, 32-tri clusters measured fastest (512² terrain, v5e:
+        # 52.9 / 61.5 / 63.2 f/s at 128 / 64 / 32). MRT_DMA_CLUSTER is a
         # measurement knob for the tools/ benches, not a user surface.
-        cluster_size = int(os.environ.get("MRT_DMA_CLUSTER", "128"))
+        cluster_size = int(os.environ.get("MRT_DMA_CLUSTER", "32"))
     else:
         # Largest power-of-two divisor of t_pad, capped at cluster_size.
         # Power-of-two sizes divide 128, which keeps the DMA-streamed

@@ -447,12 +447,13 @@ def _render_kernel(
     assert not binned or culled, "binning requires clusters"
     assert not (shaded and textured)
     assert not (textured and tex_paged)
-    # Deferred mode (big meshes, binned): split triangle layout — the
-    # sweep streams only geometry rows into SMEM (double-buffered,
-    # prefetching the next bin entry during the current sweep) and hit
-    # attributes stream into VMEM, resolved ONCE per visited cluster by
-    # lane-gathers over the winning pixels instead of per triangle.
-    assert not deferred or (dma_tris and binned)
+    # Deferred mode (big meshes, binned or ordered): split triangle
+    # layout — the sweep streams only geometry rows into SMEM (double-
+    # buffered, prefetching the next visit-order entry during the current
+    # sweep) and hit attributes stream into VMEM, resolved ONCE per
+    # visited cluster by lane-gathers over the winning pixels instead of
+    # per triangle.
+    assert not deferred or (dma_tris and (binned or ordered))
 
     def kernel(*refs):
         scratch = sem = tex_scratch = tex_sem = None
@@ -781,7 +782,7 @@ def _render_kernel(
                 )
                 return out[2:]
 
-            if binned and deferred:
+            if deferred:
                 # Deferred big-mesh sweep: double-buffered geometry DMA
                 # (prefetch bin[b+1] during bin[b]'s sweep), attribute
                 # slab DMA'd to VMEM in parallel with the sweep and
@@ -790,7 +791,12 @@ def _render_kernel(
                 # per-triangle inner loop entirely.
                 window = max(cluster_size, 128)
                 assert window == _TILE_LANE, "deferred needs 128-lane windows"
-                nb = bin_ref[0, 0, 0]
+                if binned:
+                    nb = bin_ref[0, 0, 0]
+                    cluster_at = lambda b: bin_ref[0, 0, 1 + b]
+                else:
+                    nb = jnp.int32(n_clusters)
+                    cluster_at = lambda b: perm_ref[0, 0, b].astype(jnp.int32)
 
                 def geo_dma(slot, c):
                     aligned = (c * cluster_size // window) * window
@@ -805,7 +811,7 @@ def _render_kernel(
 
                 @pl.when(nb > 0)
                 def _warm():
-                    geo_dma(jnp.int32(0), bin_ref[0, 0, 1]).start()
+                    geo_dma(jnp.int32(0), cluster_at(jnp.int32(0))).start()
 
                 def resolve(cr, base, aligned, cnt):
                     best_t_, best_idx_ = cr[0], cr[1]
@@ -857,7 +863,7 @@ def _render_kernel(
 
                 def body(carry):
                     b, _, *st = carry
-                    c = bin_ref[0, 0, 1 + b]
+                    c = cluster_at(b)
                     slot = jax.lax.rem(b, jnp.int32(2))
                     # Balance the prefetch issued for b (warm-up / b-1).
                     geo_dma(slot, c).wait()
@@ -868,7 +874,7 @@ def _render_kernel(
 
                     @pl.when(live & (b + 1 < nb))
                     def _prefetch():
-                        geo_dma(1 - slot, bin_ref[0, 0, 2 + b]).start()
+                        geo_dma(1 - slot, cluster_at(b + 1)).start()
 
                     def visit(cr):
                         lox = cl_ref[0, 0, c]
@@ -1366,7 +1372,11 @@ def _render_kernel(
             uu = buvx - jnp.floor(buvx)
             vv = buvy - jnp.floor(buvy)
 
+            zero2 = jnp.zeros(shape2, jnp.float32)
+
             def taps_for(lvl):
+                """→ tuple (tap flats..., ax, ay); ax/ay zero for nearest
+                (tuple-shaped so lax.cond can select between passes)."""
                 off = jnp.zeros(shape2, jnp.float32)
                 wf = jnp.ones(shape2, jnp.float32)
                 hf = jnp.ones(shape2, jnp.float32)
@@ -1383,7 +1393,7 @@ def _render_kernel(
                     ty = jnp.clip(
                         ((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1
                     )
-                    return [off_i + ty * w_i + tx], None, None
+                    return (off_i + ty * w_i + tx, zero2, zero2)
                 fx = uu * wf - 0.5
                 fy = (1.0 - vv) * hf - 0.5
                 x0f = jnp.floor(fx)
@@ -1397,16 +1407,17 @@ def _render_kernel(
                     i = jnp.where(i < 0, i + n, i)
                     return jnp.where(i >= n, i - n, i)
 
-                flats = [
+                flats = tuple(
                     off_i + wrap(y0 + dy, h_i) * w_i + wrap(x0 + dx, w_i)
                     for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1))
-                ]
-                return flats, ax, ay
+                )
+                return flats + (ax, ay)
 
             # Window pass at the unclamped level, then the tile-adaptive
             # clamp: fine-row span > one DMA window → everyone falls back
             # to the coarse (resident) chains.
-            flats0, _, _ = taps_for(lvl)
+            taps0 = taps_for(lvl)
+            flats0 = taps0[:-2]
             row_lo = flats0[0] // _TILE_LANE
             row_hi = row_lo
             for f in flats0[1:]:
@@ -1419,43 +1430,78 @@ def _render_kernel(
             r1 = jnp.max(jnp.where(fine, row_hi, -1))
             r0a = (r0 // 8) * 8
             overflow = (r1 - r0a + 1) > TEX_PAGE_ROWS
-            lvl = jnp.where(overflow, jnp.maximum(lvl, fitl), lvl)
-            flats, ax, ay = taps_for(lvl)
-
             base_row = jnp.where(r1 >= 0, r0a, 0)
+            need_page = jnp.logical_and(r1 >= 0, jnp.logical_not(overflow))
 
-            @pl.when(jnp.logical_and(r1 >= 0, jnp.logical_not(overflow)))
-            def _page_in():
-                dmac = pltpu.make_async_copy(
-                    pool_hbm_ref.at[pl.ds(base_row, TEX_PAGE_ROWS), :],
-                    tex_scratch,
-                    tex_sem,
-                )
+            # Start the page DMA before the (conditional) tap recompute
+            # so the transfer overlaps it.
+            dmac = pltpu.make_async_copy(
+                pool_hbm_ref.at[pl.ds(base_row, TEX_PAGE_ROWS), :],
+                tex_scratch,
+                tex_sem,
+            )
+
+            @pl.when(need_page)
+            def _page_start():
                 dmac.start()
+
+            taps = jax.lax.cond(
+                overflow,
+                lambda: taps_for(jnp.maximum(lvl, fitl)),
+                lambda: taps0,
+            )
+            flats = taps[:-2]
+            ax, ay = taps[-2], taps[-1]
+
+            @pl.when(need_page)
+            def _page_wait():
                 dmac.wait()
+
+            # Fetch sweeps are scalar-gated: all-fine tiles skip the
+            # 64-row fallback sweep, all-coarse (or overflowed) tiles
+            # skip the 128-row page sweep.
+            row_lo_f = flats[0] // _TILE_LANE
+            for f in flats[1:]:
+                row_lo_f = jnp.minimum(row_lo_f, f // _TILE_LANE)
+            any_coarse = jnp.any(hit_w & (row_lo_f < TEX_FB_ROWS))
 
             def fetch(flat):
                 rowv = flat // _TILE_LANE
                 lane_i = flat % _TILE_LANE
+
+                def fb_sweep(texel):
+                    for rr in range(TEX_FB_ROWS):
+                        g = jnp.take_along_axis(
+                            jnp.broadcast_to(
+                                fb_ref[rr : rr + 1, :], shape2
+                            ),
+                            lane_i,
+                            axis=1,
+                        )
+                        texel = jnp.where(rowv == rr, g, texel)
+                    return texel
+
+                def page_sweep(texel):
+                    local = rowv - base_row
+                    is_fine = rowv >= TEX_FB_ROWS
+                    for rr in range(TEX_PAGE_ROWS):
+                        g = jnp.take_along_axis(
+                            jnp.broadcast_to(
+                                tex_scratch[rr : rr + 1, :], shape2
+                            ),
+                            lane_i,
+                            axis=1,
+                        )
+                        texel = jnp.where(is_fine & (local == rr), g, texel)
+                    return texel
+
                 texel = jnp.zeros(shape2, jnp.int32)
-                for rr in range(TEX_FB_ROWS):
-                    g = jnp.take_along_axis(
-                        jnp.broadcast_to(fb_ref[rr : rr + 1, :], shape2),
-                        lane_i,
-                        axis=1,
-                    )
-                    texel = jnp.where(rowv == rr, g, texel)
-                local = rowv - base_row
-                is_fine = rowv >= TEX_FB_ROWS
-                for rr in range(TEX_PAGE_ROWS):
-                    g = jnp.take_along_axis(
-                        jnp.broadcast_to(
-                            tex_scratch[rr : rr + 1, :], shape2
-                        ),
-                        lane_i,
-                        axis=1,
-                    )
-                    texel = jnp.where(is_fine & (local == rr), g, texel)
+                texel = jax.lax.cond(
+                    any_coarse, fb_sweep, lambda t: t, texel
+                )
+                texel = jax.lax.cond(
+                    need_page, page_sweep, lambda t: t, texel
+                )
                 return texel
 
             lut_lo = jnp.broadcast_to(
@@ -2064,9 +2110,9 @@ def render_core(
     # Front-to-back ordering pays for itself only with many clusters
     # (the argsort + indirection cost a few % on tiny scenes).
     ordered = use_clusters and (not binned) and cc_total >= 16
-    # Deferred split-layout sweep for binned big meshes (see
-    # _pack_tris_split / the kernel's deferred branch).
-    deferred = dma_tris and binned
+    # Deferred split-layout sweep for big meshes (see _pack_tris_split /
+    # the kernel's deferred branch) — binned or ordered visit orders.
+    deferred = dma_tris and (binned or ordered)
 
     if deferred:
         tris = _pack_tris_split(soup, scene)  # [W, 40, S]
