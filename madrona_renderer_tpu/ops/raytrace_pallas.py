@@ -2109,7 +2109,10 @@ def render_core(
     )
     # Front-to-back ordering pays for itself only with many clusters
     # (the argsort + indirection cost a few % on tiny scenes).
-    ordered = use_clusters and (not binned) and cc_total >= 16
+    import os as _os
+
+    ordered_min = int(_os.environ.get("MRT_ORDERED_MIN", "4"))
+    ordered = use_clusters and (not binned) and cc_total >= ordered_min
     # Deferred split-layout sweep for big meshes (see _pack_tris_split /
     # the kernel's deferred branch) — binned or ordered visit orders.
     deferred = dma_tris and (binned or ordered)

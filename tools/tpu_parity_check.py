@@ -151,6 +151,44 @@ def main():
                 ok &= edge_aware_ok(got.depth, want.depth, "depth", res)
                 ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", res)
                 failures += not ok
+    # --- Big-mesh configs: DMA-streamed clusters, binned 2D tiles,
+    # deferred split layout (r3) — both render modes, on hardware. ---
+    from tools.tpu_binned_bench import build_scene as build_terrain
+
+    t_state, t_scene = build_terrain(2, 72)  # 10,368 tris → DMA path
+    for mode in args.modes:
+        for accel in ("binned", "clusters"):
+            if mode == "rt":
+                got = raytrace_pallas.raytrace(
+                    t_state, t_scene, height=256, width=256, accel=accel)
+                want = raytrace_ref.raytrace(
+                    t_state, t_scene, height=256, width=256)
+            else:
+                got = raster_pallas.rasterize(
+                    t_state, t_scene, height=256, width=256, accel=accel)
+                want = raster_ref.rasterize(
+                    t_state, t_scene, height=256, width=256)
+            log(f"terrain 256² mode={mode} accel={accel} (deferred DMA):")
+            ok = edge_aware_ok(got.rgb, want.rgb, "rgb", 256)
+            ok &= edge_aware_ok(got.depth, want.depth, "depth", 256)
+            ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", 256)
+            failures += not ok
+
+    # --- Paged mip textures (r3): looser criterion — the mip level /
+    # nearest-texel choice at exact boundaries is ambiguous between the
+    # two codegens (see tests/test_mips.py docstring). ---
+    from tools.tpu_paged_tex_bench import build_scene as build_paged
+
+    p_state, p_scene = build_paged(4, 256, "auto")
+    got = raytrace_pallas.raytrace(p_state, p_scene, height=64, width=64)
+    want = raytrace_ref.raytrace(p_state, p_scene, height=64, width=64)
+    d = np.abs(np.asarray(got.rgb, np.int16) - np.asarray(want.rgb, np.int16))
+    frac = float((d.max(axis=-1) > 2).mean())
+    ok = d.max() <= 64 and frac <= 0.02
+    log(f"paged 256²-texture 64²: max|d|={d.max()} frac>2={frac:.4f} -> "
+        f"{'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     if failures:
         log(f"{failures} FAILURES")
         return 1
