@@ -41,6 +41,23 @@ def build(num_worlds: int, mode_str: str, width: int, height: int, impl: str,
     mode = RenderMode.Raytracer if mode_str == "rt" else RenderMode.Rasterizer
     if scene == "wall":
         cfg = wall_scene_config(num_worlds, mode, width, height, impl=impl)
+    elif scene == "terrain":
+        # r3 scale row: DMA-streamed big mesh (tools/tpu_bigmesh_bench's
+        # heightfield, ~10k tris/instance), deferred split-layout sweep.
+        import sys as _sys
+        _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        from tools.tpu_bigmesh_bench import build_scene as _terrain
+
+        state, scene_d = _terrain(num_worlds)
+        cfg = demo_config(num_worlds, mode, width, height, impl=impl)
+        return state, scene_d, cfg
+    elif scene == "textured256":
+        # r3 scale row: 256×256 texture → mip chains + paged texel pool.
+        from tools.tpu_paged_tex_bench import build_scene as _paged
+
+        state, scene_d = _paged(num_worlds, 256, "auto")
+        cfg = demo_config(num_worlds, mode, width, height, impl=impl)
+        return state, scene_d, cfg
     else:
         cfg = demo_config(
             num_worlds, mode, width, height, dynamic=True, impl=impl,
@@ -208,6 +225,11 @@ BASELINE_CONFIGS = [
     # Textured north-star (VERDICT r1 #5): in-kernel nearest sampling of a
     # 32x32 checkerboard on the cube.
     ("textured_4096w", 4096, 20, "rt", 64, 64, "textured", False),
+    # Round-3 scale rows (beyond the five declared configs; the scale
+    # frontier VERDICT r2 asked to attack — see docs/benchmarks.md):
+    # a DMA-streamed ~21k-tri/world mesh and a paged 256² texture.
+    ("bigmesh_512w", 512, 4, "rt", 64, 64, "terrain", False),
+    ("textured256_4096w", 4096, 10, "rt", 64, 64, "textured256", False),
 ]
 
 
