@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--updates", type=int, default=20)
     ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--rollout", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--entropy-coef", type=float, default=0.01)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     from madrona_renderer_tpu.config import RenderMode
@@ -36,8 +39,9 @@ def main():
     scene = bake_scene(assets)
     state = init_state(cfg.rcfg.instances, cfg.rcfg.cameras, cfg.rcfg.worlds)
 
-    ppo = PPOConfig(height=args.res, width=args.res, rollout_len=args.rollout)
-    key = jax.random.PRNGKey(0)
+    ppo = PPOConfig(height=args.res, width=args.res, rollout_len=args.rollout,
+                    lr=args.lr, entropy_coef=args.entropy_coef)
+    key = jax.random.PRNGKey(args.seed)
     params = init_policy_params(ppo, key)
     train_step = make_train_step(scene, ppo)
     opt_state = train_step.init_optimizer(params)
