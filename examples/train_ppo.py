@@ -7,7 +7,12 @@ as a runnable example:
 """
 
 import argparse
+import os
+import sys
 import time
+
+# Runnable without an editable install: `python examples/train_ppo.py`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np

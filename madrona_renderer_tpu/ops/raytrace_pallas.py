@@ -2109,12 +2109,15 @@ def render_core(
     )
     # Front-to-back ordering pays for itself only with many clusters
     # (the argsort + indirection cost a few % on tiny scenes).
-    # Front-to-back + occlusion early-exit from 3 clusters up: measured
-    # +7% on the wall 128² config (cc=3); the 2-cluster demo scenes keep
-    # the plain fori sweep (while_loop overhead not worth it there).
+    # Front-to-back + occlusion early-exit from 4 clusters up. Measured
+    # on the canonical ladder: ordering at cc=3 (wall 128² scene) LOSES
+    # 19% (99.9k vs 123.8k f/s) — the while_loop + live-check overhead
+    # beats the exit savings on tiny cluster counts; an ad-hoc probe that
+    # said otherwise was tunnel noise. Keep tiny scenes on the plain fori
+    # sweep.
     import os as _os
 
-    ordered_min = int(_os.environ.get("MRT_ORDERED_MIN", "3"))
+    ordered_min = int(_os.environ.get("MRT_ORDERED_MIN", "4"))
     ordered = use_clusters and (not binned) and cc_total >= ordered_min
     # Deferred split-layout sweep for big meshes (see _pack_tris_split /
     # the kernel's deferred branch) — binned or ordered visit orders.
