@@ -44,8 +44,6 @@ def build(num_worlds: int, mode_str: str, width: int, height: int, impl: str,
     elif scene == "terrain":
         # r3 scale row: DMA-streamed big mesh (tools/tpu_bigmesh_bench's
         # heightfield, ~10k tris/instance), deferred split-layout sweep.
-        import sys as _sys
-        _sys.path.insert(0, __file__.rsplit("/", 1)[0])
         from tools.tpu_bigmesh_bench import build_scene as _terrain
 
         state, scene_d = _terrain(num_worlds)

@@ -271,6 +271,15 @@ def bake_scene(
                 tex_mip_w[ci, l] = 1
                 tex_mip_h[ci, l] = 1
         tex_offset = tex_mip_offset[:, 0].copy()
+        if off > (1 << 24):
+            # The paged kernel's param table carries offsets as f32
+            # (exact only below 2^24); past that sampling would silently
+            # read shifted texels — refuse loudly instead.
+            raise ValueError(
+                f"texture pool ({off} texels incl. mip chains) exceeds "
+                "the paged sampler's 2^24-texel offset range; split "
+                "textures across scenes or downsample"
+            )
         tex_data = np.concatenate(pool, axis=0).astype(np.float32) / 255.0
     else:
         pool = []

@@ -36,7 +36,7 @@ def build_scene(num_worlds: int, tex_size: int, mipmaps):
     from madrona_renderer_tpu.core.state import init_state
     from madrona_renderer_tpu.runners.scenes import cube_mesh, plane_mesh
 
-    import tempfile
+    from madrona_renderer_tpu.runners.scenes import _cache_dir
 
     yy, xx = np.mgrid[0:tex_size, 0:tex_size]
     checker = ((yy // 8 + xx // 8) % 2).astype(np.float32)
@@ -45,7 +45,7 @@ def build_scene(num_worlds: int, tex_size: int, mipmaps):
     img[..., 1] = (255 * (0.55 - 0.25 * checker)).astype(np.uint8)
     img[..., 2] = (255 * (0.25 + 0.5 * (1 - checker))).astype(np.uint8)
     img[..., 3] = 255
-    path = os.path.join(tempfile.gettempdir(), f"mrt_paged_{tex_size}.png")
+    path = os.path.join(_cache_dir(), f"mrt_paged_{tex_size}.png")
     with open(path, "wb") as f:
         f.write(encode_png(img))
 

@@ -71,9 +71,8 @@ def main():
             pidname = ev.get("pid")
             name = ev.get("name", "")
             dur = ev.get("dur", 0) / 1e3  # ms
-            args_ = ev.get("args") or {}
-            if "run_id" in str(args_) or dur <= 0:
-                pass
+            if dur <= 0:
+                continue
             tot[name] += dur
     top = sorted(tot.items(), key=lambda kv: -kv[1])[:25]
     for name, ms in top:
