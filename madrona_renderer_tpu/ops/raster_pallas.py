@@ -17,22 +17,28 @@ has two regimes, selected automatically per scene:
    z-space far clip, no segmask — matching the reference's rasterizer
    surface, which FATALs on segmask at ``src/mgr.cpp:595``).
 
-2. **Triangles ≫ pixels** (large meshes): the tile-binned pass. Per step,
-   ``band_cluster_bins`` projects every triangle cluster's world AABB to a
-   conservative screen y-interval and builds per-band front-to-back
-   cluster lists in dense XLA math (bands = the kernel's pixel tiles over
-   the flattened pixel index, so binning is 1D — no atomics, no scatter,
-   sort-by-distance instead of sort-by-tile-id). Each kernel program then
-   sweeps only its band's bin, with the in-kernel slab test retained for
-   the best_t occlusion bound. Same per-pixel math → exact parity with
-   regime 1 and with the jnp reference (fuzz suite + on-chip checks).
+2. **Triangles ≫ pixels** (large meshes): the tile-binned pass (round 3:
+   2D). Per step, ``band_cluster_bins`` projects every triangle cluster's
+   world AABB to conservative screen row *and column* intervals and
+   builds per-tile front-to-back cluster lists in dense XLA math (tiles =
+   (tile_sub × 128) screen rectangles for images ≥ 256 px wide, else
+   flattened-index bands — no atomics, no scatter, sort by
+   closest-approach distance instead of sort-by-tile-id). Each kernel
+   program sweeps only its tile's bin with the slab test retained for the
+   best_t occlusion bound, **stops as soon as no pixel's depth window can
+   reach the current cluster** (the sort key lower-bounds every hit in a
+   cluster, so nothing later can win), and — for DMA meshes — streams
+   geometry through a double-buffered prefetch while attributes resolve
+   once per visited cluster from a VMEM slab (the deferred split-layout
+   sweep). Same per-pixel math → exact parity with regime 1 and with the
+   jnp reference (fuzz suite + on-chip checks).
 
 Both regimes depth-test per pixel tile with triangles resident in SMEM or
 DMA-streamed per cluster (meshes past the SMEM budget). ``rasterize`` is
 the single entry point; ``accel='binned'`` forces regime 2, ``'clusters'``
-regime 1, ``'auto'`` picks by cluster count × band count (measured
-crossover on a 100k-triangle terrain: tie at 4 bands, +16% at 16, +20% at
-64 — docs/benchmarks.md).
+regime 1, ``'auto'`` picks by cluster count × tile count (measured on the
+100k-triangle terrain at 512²: 29 → 63 f/s across the round-3 stages —
+docs/benchmarks.md has the ablation).
 """
 
 from .raytrace_pallas import band_cluster_bins, rasterize

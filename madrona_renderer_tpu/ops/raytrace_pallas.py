@@ -583,14 +583,37 @@ def _render_kernel(
                 qz = tvx * e1y - tvy * e1x
                 t_num = e2x * qx + e2y * qy + e2z * qz
 
-                px_ = dy * e2z - dz * e2y
-                py_ = dz * e2x - dx * e2z
-                pz_ = dx * e2y - dy * e2x
-                det = e1x * px_ + e1y * py_ + e1z * pz_
-                inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
-                v = (dx * qx + dy * qy + dz * qz) * inv
-                t = t_num * inv
+                if deferred:
+                    # Full factorization (the jnp reference's formulation,
+                    # intersect_bruteforce): every numerator is a dot of
+                    # the ray direction with a per-triangle scalar vector
+                    # — D = e2×e1 (det), A = e2×tvec (u), B = qvec (v).
+                    # ~7 fewer vector ops per triangle, measured NEUTRAL
+                    # on the 512² terrain (62.8 vs 63.2 f/s — the
+                    # deferred sweep is scalar-unit-bound); kept because
+                    # it mirrors the reference's arithmetic exactly. The
+                    # resident kernel keeps the pvec form (measured
+                    # neutral-to-worse there, r2).
+                    ddx = e2y * e1z - e2z * e1y
+                    ddy = e2z * e1x - e2x * e1z
+                    ddz = e2x * e1y - e2y * e1x
+                    aax = e2y * tvz - e2z * tvy
+                    aay = e2z * tvx - e2x * tvz
+                    aaz = e2x * tvy - e2y * tvx
+                    det = dx * ddx + dy * ddy + dz * ddz
+                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                    u = (dx * aax + dy * aay + dz * aaz) * inv
+                    v = (dx * qx + dy * qy + dz * qz) * inv
+                    t = t_num * inv
+                else:
+                    px_ = dy * e2z - dz * e2y
+                    py_ = dz * e2x - dx * e2z
+                    pz_ = dx * e2y - dy * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                    u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+                    v = (dx * qx + dy * qy + dz * qz) * inv
+                    t = t_num * inv
 
                 # No validity / det test needed: invalid or degenerate
                 # triangles produce inv = 0 → t = 0, which fails t > t_lo
