@@ -134,34 +134,35 @@ def tile_ids(height: int, width: int, tile_sub: int, tiles_x: int):
     return jnp.broadcast_to(tid, (height, width)).reshape(-1)
 
 
-def tile_window_overflow(row_lo, row_hi, fine, tid, n_tiles: int):
-    """Per-pixel bool: does this pixel's *tile* overflow the fine-pool
-    DMA window?  row_lo/row_hi [..., P]: min/max texel row touched by the
-    pixel's taps; fine [..., P]: taps land in the fine region (row ≥
-    FB_ROWS) AND the pixel participates (hit). tid [P]: tile id per
-    pixel. A tile overflows when (max_row − align8(min_row) + 1) >
-    PAGE_ROWS over its fine pixels; tiles with no fine pixels never
-    overflow. The kernel computes the identical integer test."""
-    big = jnp.int32(1 << 30)
-    lo = jnp.where(fine, row_lo, big)
-    hi = jnp.where(fine, row_hi, -1)
-    # Segment min/max over tiles (dense one-hot matmul-free formulation:
-    # scatter-min via .at — host/XLA path only, never in the kernel).
-    batch = lo.shape[:-1]
-    lo2 = lo.reshape((-1, lo.shape[-1]))
-    hi2 = hi.reshape((-1, hi.shape[-1]))
-    t_lo = jnp.full((lo2.shape[0], n_tiles), big, jnp.int32)
-    t_hi = jnp.full((lo2.shape[0], n_tiles), -1, jnp.int32)
+def _segment_min(vals, tid, n_tiles: int, fill):
+    """Per-tile min of vals [..., P] grouped by tid [P], broadcast back
+    per pixel (scatter-min via .at — host/XLA path only, never in the
+    kernel; the kernel computes its own tile's scalar reduce)."""
+    batch = vals.shape[:-1]
+    v2 = vals.reshape((-1, vals.shape[-1]))
+    acc = jnp.full((v2.shape[0], n_tiles), fill, vals.dtype)
     bidx = jnp.broadcast_to(
-        jnp.arange(lo2.shape[0], dtype=jnp.int32)[:, None], lo2.shape
+        jnp.arange(v2.shape[0], dtype=jnp.int32)[:, None], v2.shape
     )
-    tidb = jnp.broadcast_to(tid[None, :], lo2.shape)
-    t_lo = t_lo.at[bidx, tidb].min(lo2)
-    t_hi = t_hi.at[bidx, tidb].max(hi2)
-    r0a = (t_lo // 8) * 8
-    over = (t_hi - r0a + 1) > PAGE_ROWS  # [B, n_tiles]
-    over = over & (t_hi >= 0)
-    return over[bidx, tidb].reshape(batch + (lo.shape[-1],))
+    tidb = jnp.broadcast_to(tid[None, :], v2.shape)
+    acc = acc.at[bidx, tidb].min(v2)
+    return acc[bidx, tidb].reshape(batch + (vals.shape[-1],))
+
+
+def window_base(row_lo, fine, level, tid, n_tiles: int):
+    """Per-pixel (broadcast per tile) 8-aligned base row of the tile's
+    fine-pool DMA window. The window anchors at the tile's *magnified*
+    pixels (level 0) when any exist — coarse fallback hurts those most —
+    else at the lowest fine row. Tiles with no fine pixels get base 0.
+    The kernel computes the identical scalar reduce for its own tile."""
+    big = jnp.int32(1 << 30)
+    pref = _segment_min(
+        jnp.where(fine & (level == 0), row_lo, big), tid, n_tiles, big
+    )
+    anyf = _segment_min(jnp.where(fine, row_lo, big), tid, n_tiles, big)
+    r0 = jnp.where(pref < big, pref, anyf)
+    r0 = jnp.where(r0 < big, r0, 0)
+    return (r0 // 8) * 8
 
 
 def sample_texture_mip(scene, tex_id, uv, level, texture_filter: str):
@@ -244,10 +245,14 @@ def clamp_levels(
     scene, tex_id, uv, level, hit, tid, n_tiles: int,
     texture_filter: str,
 ):
-    """Filter-aware tile-adaptive clamp (see module docstring)."""
+    """Filter-aware per-pixel window clamp: each tile gets ONE fine-pool
+    DMA window (PAGE_ROWS rows, base from window_base); pixels whose
+    taps fall outside it fall back to their material's coarse chain
+    (resident region). Per-pixel — a wrapped-uv floor no longer drags a
+    sharp close-up in the same tile down to coarse mips."""
     row_lo, row_hi = mip_tap_rows(scene, tex_id, uv, level, texture_filter)
     fine = hit & (row_hi >= FB_ROWS)
-    over = tile_window_overflow(row_lo, row_hi, fine, tid, n_tiles)
-    K, L = scene.tex_mip_offset.shape
+    base = window_base(row_lo, fine, level, tid, n_tiles)
+    in_window = (row_lo >= base) & (row_hi < base + PAGE_ROWS)
     fit = scene.tex_fit_level[tex_id]
-    return jnp.where(over, jnp.maximum(level, fit), level)
+    return jnp.where(fine & ~in_window, jnp.maximum(level, fit), level)

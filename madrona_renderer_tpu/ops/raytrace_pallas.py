@@ -1436,9 +1436,11 @@ def _render_kernel(
                 )
                 return flats + (ax, ay)
 
-            # Window pass at the unclamped level, then the tile-adaptive
-            # clamp: fine-row span > one DMA window → everyone falls back
-            # to the coarse (resident) chains.
+            # Window pass at the unclamped level, then the per-pixel
+            # window clamp (ops/mips.py window_base/clamp_levels twin):
+            # ONE PAGE_ROWS window per tile, anchored at the magnified
+            # (level-0) pixels when any exist; pixels whose taps fall
+            # outside it fall back to their coarse (resident) chain.
             taps0 = taps_for(lvl)
             flats0 = taps0[:-2]
             row_lo = flats0[0] // _TILE_LANE
@@ -1449,12 +1451,17 @@ def _render_kernel(
                 row_hi = jnp.maximum(row_hi, rv)
             fine = hit_w & (row_hi >= TEX_FB_ROWS)
             big = jnp.int32(1 << 30)
-            r0 = jnp.min(jnp.where(fine, row_lo, big))
-            r1 = jnp.max(jnp.where(fine, row_hi, -1))
-            r0a = (r0 // 8) * 8
-            overflow = (r1 - r0a + 1) > TEX_PAGE_ROWS
-            base_row = jnp.where(r1 >= 0, r0a, 0)
-            need_page = jnp.logical_and(r1 >= 0, jnp.logical_not(overflow))
+            pref = jnp.min(jnp.where(fine & (lvl == 0), row_lo, big))
+            anyf = jnp.min(jnp.where(fine, row_lo, big))
+            r0 = jnp.where(pref < big, pref, anyf)
+            r0 = jnp.where(r0 < big, r0, 0)
+            base_row = (r0 // 8) * 8
+            in_window = (row_lo >= base_row) & (
+                row_hi < base_row + TEX_PAGE_ROWS
+            )
+            bump = fine & jnp.logical_not(in_window)
+            any_bump = jnp.any(bump)
+            need_page = jnp.any(fine & in_window)
 
             # Start the page DMA before the (conditional) tap recompute
             # so the transfer overlaps it.
@@ -1469,8 +1476,10 @@ def _render_kernel(
                 dmac.start()
 
             taps = jax.lax.cond(
-                overflow,
-                lambda: taps_for(jnp.maximum(lvl, fitl)),
+                any_bump,
+                lambda: taps_for(
+                    jnp.where(bump, jnp.maximum(lvl, fitl), lvl)
+                ),
                 lambda: taps0,
             )
             flats = taps[:-2]

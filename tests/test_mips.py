@@ -284,3 +284,102 @@ def test_manager_mipmaps_config():
     m = Manager(dataclasses.replace(cfg, mipmaps=True))
     m.step()
     assert m.rgb_tensor().numpy().shape == (2, 32, 32, 4)
+
+
+def test_per_pixel_window_clamp_keeps_magnified_sharp():
+    """A wrapped-uv floor (huge fine-row span) shares the view with a
+    close-up textured quad: the per-pixel window clamp anchors the DMA
+    window at the magnified pixels, so THEY keep base-level texels while
+    only the floor falls back to coarse mips (round-3 fix: the old
+    per-tile all-or-nothing clamp blurred the whole view)."""
+    import jax.numpy as jnp
+
+    from madrona_renderer_tpu.ops import mips
+
+    path, img = _gradient_png(256)
+    # Close-up quad (textured, uv 0..1 → level 0, small row span) in
+    # front of a far floor with wild uv wrap — SAME textured material.
+    import numpy as np
+
+    import tests.helpers as H
+    from madrona_renderer_tpu.assets.importer import load_render_assets
+    from madrona_renderer_tpu.core.scene import bake_scene
+    from madrona_renderer_tpu.core.state import init_state
+    from madrona_renderer_tpu.config import WorldInit
+
+    geo = H.geo_from_meshes(
+        [quad_xz(half=60.0, y=0.0), quad_xz(half=2.5, y=4.0)],
+        uvs=[quad_uvs() * 40.0, quad_uvs() * 0.07],
+        materials=[0, 0],
+    )
+    merged = load_render_assets(
+        geo, [], [AdditionalMaterial(color=(1, 1, 1, 1), texture_id=0)],
+        [path],
+    )
+    scene = bake_scene(merged)
+    state = init_state(
+        [ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=0),
+         ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=1)],
+        [ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0])],
+        [WorldInit(num_instances=2, instance_offset=0, num_cameras=1,
+                   camera_offset=0)],
+    )
+
+    a = rt_ref(state, scene, height=32, width=32)
+    # Reconstruct the clamp decision on the ref path to assert levels.
+    from madrona_renderer_tpu.ops.raytrace_ref import (
+        build_world_soup, camera_ray_dirs, intersect_bruteforce,
+        _gather_soup, _moller_trumbore,
+    )
+
+    soup = build_world_soup(state, scene)
+    eff_fov = jnp.full((1, 1), 90.0, jnp.float32)
+    dirs = camera_ray_dirs(state.camera_rot, 32, 32, eff_fov)
+    t, idx, hit = intersect_bruteforce(
+        soup, state.camera_pos, dirs,
+        jnp.full((1, 1), 0.1, jnp.float32),
+        jnp.full((1, 1), 1000.0, jnp.float32),
+    )
+    o = state.camera_pos[:, :, None, :]
+    bv0 = _gather_soup(soup.v0, idx)
+    be1 = _gather_soup(soup.e1, idx)
+    be2 = _gather_soup(soup.e2, idx)
+    _, u, v, _ = _moller_trumbore(o, dirs, bv0, be1, be2)
+    u = jnp.clip(u, 0, 1)
+    v = jnp.clip(v, 0, 1)
+    uv = (_gather_soup(soup.uv0, idx) + u[..., None] *
+          _gather_soup(soup.duv1, idx) + v[..., None] *
+          _gather_soup(soup.duv2, idx))
+    mat = _gather_soup(soup.mat, idx)
+    seg = np.asarray(a.segmask)[0, 0].reshape(-1)
+    dens = _gather_soup(soup.density, idx)
+    L = int(scene.tex_mip_offset.shape[1])
+    tan_y = jnp.ones((1, 1), jnp.float32)
+    lvl = mips.mip_level(t, tan_y[:, :, None], 32, dens, L)
+    tex_id = scene.mat_tex[mat]
+    tile_sub, tiles_x, n_tiles = mips.tile_geometry(32, 32)
+    tid = mips.tile_ids(32, 32, tile_sub, tiles_x)
+    lvl_c = np.asarray(mips.clamp_levels(
+        scene, tex_id, uv, lvl, hit, tid, n_tiles, "nearest"
+    ))[0, 0]
+    lvl_u = np.asarray(lvl)[0, 0]
+    near_quad = (seg == 1) & (lvl_u == 0)  # magnified close-up pixels
+    floor = seg == 0
+    assert near_quad.any() and floor.any()
+    # Magnified pixels keep level 0 (the window anchors at them)...
+    assert (lvl_c[near_quad] == 0).all(), np.unique(lvl_c[near_quad])
+    # ...while some floor pixels in the same tiles were bumped coarse.
+    # The magnified quad pixels page FINE rows (level 0 of a 256² texture
+    # is far outside the resident region) — the anchor preference is
+    # genuinely exercised, not satisfied by coarse-resident sampling.
+    from madrona_renderer_tpu.core.scene import TEX_FB_ROWS
+
+    offs = np.asarray(scene.tex_mip_offset)
+    assert offs[1, 0] >= TEX_FB_ROWS * 128
+    fit = int(np.asarray(scene.tex_fit_level)[1])
+    assert (lvl_c[floor] >= np.minimum(lvl_u[floor], fit)).all()
+    # And the kernel agrees with the ref under this mixed load.
+    b = rt_pal(state, scene, height=32, width=32, interpret=True)
+    _assert_close_modulo_boundaries(a, b)
