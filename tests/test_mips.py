@@ -383,3 +383,26 @@ def test_per_pixel_window_clamp_keeps_magnified_sharp():
     # And the kernel agrees with the ref under this mixed load.
     b = rt_pal(state, scene, height=32, width=32, interpret=True)
     _assert_close_modulo_boundaries(a, b)
+
+
+def test_mip_scene_golden():
+    """Golden-image regression for the mip/paged path (jnp-ref-generated
+    on CPU, committed): locks the mip chain, level-selection, and clamp
+    semantics against accidental drift. Both impls compared (pallas with
+    the boundary-tolerant contract)."""
+    from madrona_renderer_tpu.assets.png import read_png
+
+    gdir = os.path.join(os.path.dirname(__file__), "goldens")
+    want = read_png(os.path.join(gdir, "mip_rgb_world0.png"))
+    want_d = np.load(os.path.join(gdir, "mip_depth_world0.npy"))
+
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, extra_mesh=quad_xz(half=2.0, y=4.0))
+    a = rt_ref(state, scene, height=48, width=48)
+    np.testing.assert_array_equal(np.asarray(a.rgb)[0, 0], want)
+    np.testing.assert_allclose(
+        np.asarray(a.depth)[0, 0], want_d, rtol=1e-4, atol=1e-4
+    )
+    b = rt_pal(state, scene, height=48, width=48, interpret=True)
+    d = np.abs(np.asarray(b.rgb)[0, 0].astype(np.int16) - want.astype(np.int16))
+    assert d.max() <= 2, d.max()
