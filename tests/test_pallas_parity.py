@@ -589,3 +589,71 @@ def test_parity_occlusion_early_exit():
         pal = rt_pal(state, scene, height=64, width=256, interpret=True,
                      accel=accel)
         _assert_frames_equal(ref, pal)
+
+
+def test_parity_deferred_heterogeneous_worlds():
+    """Deferred binned path with per-world instance validity: world 0
+    has both instances, world 1 only the first — invalid instances'
+    clusters must vanish from bins and sweeps identically to the ref."""
+    rng = np.random.default_rng(41)
+    n_tris = 3600
+    centers = rng.uniform(-10, 10, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 40, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    instances = [
+        ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                         scale=[1, 1, 1], object_id=0),
+        ImportedInstance(position=[3, 5, 0], rotation=[1, 0, 0, 0],
+                         scale=[0.5, 0.5, 0.5], object_id=0),
+    ]
+    cams = [cam_at_origin_looking_plus_y(), cam_at_origin_looking_plus_y()]
+    worlds = [
+        WorldInit(num_instances=2, instance_offset=0, num_cameras=1,
+                  camera_offset=0),
+        WorldInit(num_instances=1, instance_offset=0, num_cameras=1,
+                  camera_offset=1),
+    ]
+    state, scene = build([tris], instances, cams, worlds=worlds)
+    from madrona_renderer_tpu.core.scene import SMEM_TRI_BUDGET
+    from madrona_renderer_tpu.ops import raytrace_pallas as rp
+
+    S = state.instance_obj.shape[1] * scene.tris_per_object
+    assert rp._N_TRI_ROWS * S * 4 > SMEM_TRI_BUDGET, "must trigger DMA"
+    ref = rt_ref(state, scene, height=16, width=16)
+    pal = rt_pal(state, scene, height=16, width=16, interpret=True,
+                 accel="binned")
+    _assert_frames_equal(ref, pal)
+    # World 1 must not see instance 1.
+    assert (np.asarray(ref.segmask)[1] != 1).all()
+
+
+def test_parity_deferred_multi_camera():
+    """Deferred path with 2 cameras per world: the DMA source row is the
+    WORLD index (program id // num_cams) — both views must match ref."""
+    rng = np.random.default_rng(43)
+    n_tris = 3600
+    centers = rng.uniform(-10, 10, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 40, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    cams = [
+        cam_at_origin_looking_plus_y(),
+        ImportedCamera(position=[5, -2, 1], rotation=[0.96, 0, 0, 0.28]),
+    ]
+    state, scene = build(
+        [tris],
+        [ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=0)],
+        cams,
+        worlds=[WorldInit(num_instances=1, instance_offset=0,
+                          num_cameras=2, camera_offset=0)],
+    )
+    ref = rt_ref(state, scene, height=16, width=16)
+    pal = rt_pal(state, scene, height=16, width=16, interpret=True,
+                 accel="binned")
+    _assert_frames_equal(ref, pal)
+    # The two views genuinely differ.
+    assert (np.asarray(ref.rgb)[:, 0] != np.asarray(ref.rgb)[:, 1]).any()
