@@ -107,6 +107,18 @@ def level_boundary_mask(t, tan_y, height: int, density, num_levels: int,
     return near
 
 
+def mip_blend_weight(t, tan_y, height: int, density, level):
+    """Trilinear blend weight w ∈ [0, 1] between `level` and `level+1`:
+    w = clamp(footprint / 2^level − 1, 0, 1) — a linear proxy for
+    frac(log₂ footprint) that is 0 at each level boundary and 1 at the
+    next, so the blend is continuous across levels. All operations are
+    exact given fp (power-of-two divide; Sterbenz subtraction in [1, 2)),
+    so the kernel twin agrees to the bit for equal fp."""
+    fp = t * (2.0 / height) * tan_y * density
+    pw = jnp.exp2(level.astype(jnp.float32))
+    return jnp.clip(fp / pw - 1.0, 0.0, 1.0)
+
+
 def soup_texel_density(e1w, e2w, duv1, duv2, base_w, base_h):
     """Texels-per-world-unit at the base mip, per (world-space) triangle:
     sqrt(uv_area · w·h / world_area). Exact under instance transforms
@@ -165,12 +177,23 @@ def window_base(row_lo, fine, level, tid, n_tiles: int):
     return (r0 // 8) * 8
 
 
-def sample_texture_mip(scene, tex_id, uv, level, texture_filter: str):
+def sample_texture_mip(scene, tex_id, uv, level, texture_filter: str,
+                       blend=None):
     """Mip-aware sample from the flat texel pool → f32 [..., 4].
 
     Same wrap/center conventions as shade.sample_texture_* but at the
-    per-pixel level's offset/size (tex_mip_offset/w/h [K, L])."""
+    per-pixel level's offset/size (tex_mip_offset/w/h [K, L]).
+    "trilinear" = bilinear at `level` and `level+1` (clamped), lerped by
+    `blend` (mip_blend_weight) — what the reference's hardware samplers
+    do by default."""
     K, L = scene.tex_mip_offset.shape
+    if texture_filter == "trilinear":
+        lo = sample_texture_mip(scene, tex_id, uv, level, "bilinear")
+        hi = sample_texture_mip(
+            scene, tex_id, uv, jnp.minimum(level + 1, L - 1), "bilinear"
+        )
+        b = blend[..., None]
+        return lo * (1.0 - b) + hi * b
     lin = tex_id * L + jnp.clip(level, 0, L - 1)
     w = scene.tex_mip_w.reshape(-1)[lin]
     h = scene.tex_mip_h.reshape(-1)[lin]
@@ -206,9 +229,16 @@ def sample_texture_mip(scene, tex_id, uv, level, texture_filter: str):
 
 def mip_tap_rows(scene, tex_id, uv, level, texture_filter: str):
     """(row_lo, row_hi) i32 [...]: min/max 128-texel pool row touched by
-    the pixel's tap(s) at `level` — the window inputs for
-    tile_window_overflow. Must mirror the kernel's tap math exactly."""
+    the pixel's tap(s) at `level` — the window inputs for the per-pixel
+    clamp. Must mirror the kernel's tap math exactly. Trilinear taps are
+    the union of both blended levels' bilinear taps."""
     K, L = scene.tex_mip_offset.shape
+    if texture_filter == "trilinear":
+        lo0, hi0 = mip_tap_rows(scene, tex_id, uv, level, "bilinear")
+        lo1, hi1 = mip_tap_rows(
+            scene, tex_id, uv, jnp.minimum(level + 1, L - 1), "bilinear"
+        )
+        return jnp.minimum(lo0, lo1), jnp.maximum(hi0, hi1)
     lin = tex_id * L + jnp.clip(level, 0, L - 1)
     w = scene.tex_mip_w.reshape(-1)[lin]
     h = scene.tex_mip_h.reshape(-1)[lin]

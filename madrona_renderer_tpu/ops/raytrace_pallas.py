@@ -1397,7 +1397,9 @@ def _render_kernel(
 
             zero2 = jnp.zeros(shape2, jnp.float32)
 
-            def taps_for(lvl):
+            trilinear = tex_filter == "trilinear"
+
+            def taps_for(lvl, filt):
                 """→ tuple (tap flats..., ax, ay); ax/ay zero for nearest
                 (tuple-shaped so lax.cond can select between passes)."""
                 off = jnp.zeros(shape2, jnp.float32)
@@ -1411,7 +1413,7 @@ def _render_kernel(
                 w_i = wf.astype(jnp.int32)
                 h_i = hf.astype(jnp.int32)
                 off_i = off.astype(jnp.int32)
-                if tex_filter == "nearest":
+                if filt == "nearest":
                     tx = jnp.clip((uu * wf).astype(jnp.int32), 0, w_i - 1)
                     ty = jnp.clip(
                         ((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1
@@ -1436,13 +1438,28 @@ def _render_kernel(
                 )
                 return flats + (ax, ay)
 
+            def all_taps(lvl):
+                """Trilinear = both blended levels' bilinear taps
+                (ops/mips.py mip_tap_rows union semantics)."""
+                if trilinear:
+                    l1 = jnp.minimum(lvl + 1, n_levels - 1)
+                    return taps_for(lvl, "bilinear") + taps_for(
+                        l1, "bilinear"
+                    )
+                return taps_for(lvl, tex_filter)
+
+            def tap_flats(taps):
+                if trilinear:
+                    return taps[0:4] + taps[6:10]
+                return taps[:-2]
+
             # Window pass at the unclamped level, then the per-pixel
             # window clamp (ops/mips.py window_base/clamp_levels twin):
             # ONE PAGE_ROWS window per tile, anchored at the magnified
             # (level-0) pixels when any exist; pixels whose taps fall
             # outside it fall back to their coarse (resident) chain.
-            taps0 = taps_for(lvl)
-            flats0 = taps0[:-2]
+            taps0 = all_taps(lvl)
+            flats0 = tap_flats(taps0)
             row_lo = flats0[0] // _TILE_LANE
             row_hi = row_lo
             for f in flats0[1:]:
@@ -1475,15 +1492,13 @@ def _render_kernel(
             def _page_start():
                 dmac.start()
 
+            lvl_f = jnp.where(bump, jnp.maximum(lvl, fitl), lvl)
             taps = jax.lax.cond(
                 any_bump,
-                lambda: taps_for(
-                    jnp.where(bump, jnp.maximum(lvl, fitl), lvl)
-                ),
+                lambda: all_taps(lvl_f),
                 lambda: taps0,
             )
-            flats = taps[:-2]
-            ax, ay = taps[-2], taps[-1]
+            flats = tap_flats(taps)
 
             @pl.when(need_page)
             def _page_wait():
@@ -1549,16 +1564,11 @@ def _render_kernel(
                 hi = jnp.take_along_axis(lut_hi, k7, axis=1)
                 return jnp.where(k < _TILE_LANE, lo, hi)
 
-            if tex_filter == "nearest":
-                texel = fetch(flats[0])
-                base_r = base_r * dequant(texel & 255)
-                base_g = base_g * dequant((texel >> 8) & 255)
-                base_b = base_b * dequant((texel >> 16) & 255)
-            else:
-                t00 = fetch(flats[0])
-                t10 = fetch(flats[1])
-                t01 = fetch(flats[2])
-                t11 = fetch(flats[3])
+            def bilerp(f4, ax, ay):
+                t00 = fetch(f4[0])
+                t10 = fetch(f4[1])
+                t01 = fetch(f4[2])
+                t11 = fetch(f4[3])
 
                 def lerp_ch(shift):
                     c00 = dequant((t00 >> shift) & 255)
@@ -1569,9 +1579,32 @@ def _render_kernel(
                     bot = c01 * (1 - ax) + c11 * ax
                     return top * (1 - ay) + bot * ay
 
-                base_r = base_r * lerp_ch(0)
-                base_g = base_g * lerp_ch(8)
-                base_b = base_b * lerp_ch(16)
+                return lerp_ch(0), lerp_ch(8), lerp_ch(16)
+
+            if tex_filter == "nearest":
+                texel = fetch(flats[0])
+                base_r = base_r * dequant(texel & 255)
+                base_g = base_g * dequant((texel >> 8) & 255)
+                base_b = base_b * dequant((texel >> 16) & 255)
+            elif trilinear:
+                # Blend weight from the clamped level (ops/mips.py
+                # mip_blend_weight twin): w = clamp(fp/2^lvl − 1, 0, 1);
+                # 2^lvl by the same per-level select chain (exact).
+                pw = jnp.ones(shape2, jnp.float32)
+                for l in range(1, n_levels):
+                    pw = jnp.where(lvl_f == l, jnp.float32(2.0**l), pw)
+                wgt = jnp.clip(fp / pw - 1.0, 0.0, 1.0)
+                r0c, g0c, b0c = bilerp(taps[0:4], taps[4], taps[5])
+                r1c, g1c, b1c = bilerp(taps[6:10], taps[10], taps[11])
+                base_r = base_r * (r0c * (1 - wgt) + r1c * wgt)
+                base_g = base_g * (g0c * (1 - wgt) + g1c * wgt)
+                base_b = base_b * (b0c * (1 - wgt) + b1c * wgt)
+            else:
+                ax, ay = taps[-2], taps[-1]
+                cr, cg, cb = bilerp(flats, ax, ay)
+                base_r = base_r * cr
+                base_g = base_g * cg
+                base_b = base_b * cb
 
             n_inv = jax.lax.rsqrt(
                 jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
@@ -1990,9 +2023,14 @@ def render_core(
         and not shaded
         and not shadows_epilogue
         and accel != "mxu"
-        and texture_filter in ("nearest", "bilinear")
+        and texture_filter in ("nearest", "bilinear", "trilinear")
         and n_mats <= _TILE_LANE
     )
+    if texture_filter == "trilinear" and not mips_on and not shaded:
+        raise ValueError(
+            "trilinear filtering needs mip chains — bake the scene with "
+            "mipmaps=True (ManagerConfig.mipmaps)"
+        )
     if mips_on and not shaded and not tex_paged:
         raise ValueError(
             "mip-mapped texture pools need the paged kernel path — "

@@ -413,6 +413,15 @@ def finish_frames(
     mat = _gather_soup(soup.mat, idx)
 
     tex_override = None
+    if (
+        texture_filter == "trilinear"
+        and int(scene.tex_mip_offset.shape[1]) == 1
+        and int(scene.tex_data.shape[0]) > 1
+    ):
+        raise ValueError(
+            "trilinear filtering needs mip chains — bake the scene with "
+            "mipmaps=True (ManagerConfig.mipmaps)"
+        )
     if int(scene.tex_mip_offset.shape[1]) > 1:
         # Mip-aware sampling with the paged path's tile-adaptive clamp
         # (ops/mips.py defines the semantics; the Pallas kernel matches).
@@ -429,8 +438,13 @@ def finish_frames(
         lvl = mips.clamp_levels(
             scene, tex_id, uv, lvl, geo_hit, tid, n_tiles, texture_filter
         )
+        blend = None
+        if texture_filter == "trilinear":
+            blend = mips.mip_blend_weight(
+                mip_t, tan_y[:, :, None], height, density, lvl
+            )
         tex_override = mips.sample_texture_mip(
-            scene, tex_id, uv, lvl, texture_filter
+            scene, tex_id, uv, lvl, texture_filter, blend=blend
         )
 
     cam_ok = state.camera_valid[:, :, None] > 0.0

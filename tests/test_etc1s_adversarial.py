@@ -490,3 +490,47 @@ def test_zero_run_past_symbol_count_fails():
     sgd = build_sgd(blob, sel_blob, tab_blob, 1, 1, 1)
     with pytest.raises(ValueError, match="run|symbol"):
         decode_basislz_native(sgd, b"\x00", 4, 4)
+
+
+def test_grayscale_endpoint_palette():
+    """grayscale=1: one color delta per endpoint, replicated to g/b —
+    a decoder branch no encoder-generated fixture exercises."""
+    bw = BitWriter()
+    color_lens = [0] * 32
+    color_lens[5] = 1
+    for _ in range(3):
+        write_table(bw, color_lens)
+    inten_lens = [0] * 8
+    inten_lens[2] = 1
+    write_table(bw, inten_lens)
+    bw.put_bits(1, 1)  # grayscale = 1
+    ccodes = canonical_codes(color_lens)
+    icodes = canonical_codes(inten_lens)
+    # Two endpoints: inten walks 2, 4; gray walks 16+5=21, +5 → 26.
+    for _ in range(2):
+        bw.put_code(*icodes[2])
+        bw.put_code(*ccodes[5])  # ONE channel only in grayscale mode
+    ep_blob = bw.bytes()
+
+    sel_blob = encode_selectors([[0] * 16, [3] * 16])
+    pred_lens = [0] * 4
+    pred_lens[3] = 1
+    delta_lens = [1, 2, 2]
+    sel_lens = [1, 1]
+    tab_blob = encode_tables(pred_lens, delta_lens, sel_lens)
+    bw = BitWriter()
+    dc = canonical_codes(delta_lens)
+    sc = canonical_codes(sel_lens)
+    bw.put_code(*canonical_codes(pred_lens)[3])
+    bw.put_code(*dc[2])  # ep = (0+2) % 2 = 0 → endpoint 0 (gray 21)
+    bw.put_code(*sc[1])  # selector palette 1 (all +b)
+    slice_blob = bw.bytes()
+    sgd = build_sgd(ep_blob, sel_blob, tab_blob, 2, 2, len(slice_blob))
+    img = decode_basislz_native(sgd, slice_blob, 4, 4)
+    g21 = expand5(21)
+    exp = expected_block(21, 21, 21, 2, [3] * 16)
+    np.testing.assert_array_equal(img, exp)
+    # Gray: r == g == b everywhere.
+    assert (img[..., 0] == img[..., 1]).all()
+    assert (img[..., 1] == img[..., 2]).all()
+    del g21

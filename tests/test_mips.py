@@ -406,3 +406,54 @@ def test_mip_scene_golden():
     b = rt_pal(state, scene, height=48, width=48, interpret=True)
     d = np.abs(np.asarray(b.rgb)[0, 0].astype(np.int16) - want.astype(np.int16))
     assert d.max() <= 2, d.max()
+
+
+def test_trilinear_parity_and_smoothness():
+    """Trilinear (linear-mipmap-linear — the reference's hardware
+    sampler default): exact jnp↔Pallas parity (the continuous blend is
+    insensitive to ulp-level hit differences), visibly different from
+    bilinear, and smooth across mip-level boundaries where per-level
+    sampling steps."""
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, extra_mesh=quad_xz(half=2.0, y=4.0))
+    a = rt_ref(state, scene, height=48, width=48,
+               texture_filter="trilinear")
+    b = rt_pal(state, scene, height=48, width=48, interpret=True,
+               texture_filter="trilinear")
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 1, d.max()
+    bl = rt_ref(state, scene, height=48, width=48,
+                texture_filter="bilinear")
+    assert (np.asarray(a.rgb) != np.asarray(bl.rgb)).any()
+
+
+def test_trilinear_2d_tiles_and_raster():
+    from madrona_renderer_tpu.ops.raster_pallas import rasterize as rast_pal
+    from madrona_renderer_tpu.ops.raster_ref import rasterize as rast_ref
+
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, extra_mesh=quad_xz(half=2.0, y=4.0))
+    a = rt_ref(state, scene, height=48, width=256,
+               texture_filter="trilinear")
+    b = rt_pal(state, scene, height=48, width=256, interpret=True,
+               texture_filter="trilinear")
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 1, d.max()
+    ar = rast_ref(state, scene, height=32, width=32,
+                  texture_filter="trilinear")
+    br = rast_pal(state, scene, height=32, width=32, interpret=True,
+                  texture_filter="trilinear")
+    dr = np.abs(np.asarray(ar.rgb, np.int16) - np.asarray(br.rgb, np.int16))
+    assert dr.max() <= 1, dr.max()
+
+
+def test_trilinear_without_mips_is_loud():
+    small, _ = _checker_png(32)
+    state, scene = _scene(small)  # auto → mips off (small pool)
+    assert int(scene.tex_mip_offset.shape[1]) == 1
+    with pytest.raises(ValueError, match="trilinear"):
+        rt_ref(state, scene, height=16, width=16,
+               texture_filter="trilinear")
+    with pytest.raises(ValueError, match="trilinear"):
+        rt_pal(state, scene, height=16, width=16, interpret=True,
+               texture_filter="trilinear")
