@@ -15,11 +15,13 @@ with mip chains (``render_mgr->loadObjects`` textures, reference
     level is computed by power-of-two *comparisons* (exact in f32), so
     the jnp reference and the Mosaic kernel agree bit-for-bit.
   * The paged kernel DMAs, per pixel tile, one ``PAGE_ROWS``-row window
-    of the fine pool covering the tile's texel rows. Tiles whose fine
-    rows span more than a window (wild UV ranges) clamp every pixel to
-    its material's fallback level — the "tile-adaptive mip clamp". The
-    helpers here reproduce that per-tile decision exactly so the jnp
-    reference path defines the semantics the kernel must match.
+    of the fine pool, anchored at the tile's magnified (level-0) pixels
+    when any exist (window_base). Pixels whose taps fall outside the
+    window fall back to their material's coarse chain — the per-pixel
+    window clamp (clamp_levels): a wrapped-uv surface degrades only
+    itself, never a sharp close-up sharing the tile. The helpers here
+    reproduce that decision exactly so the jnp reference path defines
+    the semantics the kernel must match.
 
 All functions are pure jnp and run on CPU (tests) and TPU.
 """

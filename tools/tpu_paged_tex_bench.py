@@ -142,6 +142,10 @@ def main():
     def rt(st, sc):
         return raytrace(st, sc, height=64, width=64)
 
+    def rt_tri(st, sc):
+        return raytrace(st, sc, height=64, width=64,
+                        texture_filter="trilinear")
+
     # Correctness first: paged vs jnp ref on a tiny fleet.
     from madrona_renderer_tpu.ops.raytrace_ref import raytrace as rt_ref
 
@@ -156,16 +160,17 @@ def main():
     log(f"paged 256² correctness: max|d|={d.max()} frac>2={frac:.4f} "
         f"coverage={float((np.asarray(fa.segmask) >= 0).mean()):.2f}")
 
-    for name, tex, mips in (
-        ("tex32_resident", 32, "auto"),
-        ("tex256_paged", 256, "auto"),
-        ("tex256_cliff_r2", 256, False),
+    for name, tex, mips, step in (
+        ("tex32_resident", 32, "auto", rt),
+        ("tex256_paged", 256, "auto", rt),
+        ("tex256_trilinear", 256, "auto", rt_tri),
+        ("tex256_cliff_r2", 256, False, rt),
     ):
         state, scene = build_scene(args.worlds, tex, mips)
         L = int(scene.tex_mip_offset.shape[1])
         log(f"{name}: pool={int(scene.tex_data.shape[0])} texels L={L} "
             "compiling...")
-        fps = measure(rt, state, scene, args.worlds)
+        fps = measure(step, state, scene, args.worlds)
         log(f"{name}: {fps:,.0f} frames/s")
 
 
