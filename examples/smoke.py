@@ -9,8 +9,12 @@ display (or PNG dump with --no-display).
 import argparse
 import math
 import os
+import sys
 
 import numpy as np
+
+# Runnable without an editable install: `python examples/smoke.py`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import madrona_renderer_tpu as m
 
