@@ -215,7 +215,7 @@ BASELINE_CONFIGS = [
     # 1: cube.obj + plane.obj (disk assets), 1 world
     ("cpu_sanity_1w", 1, 8, "rt", 64, 64, "demo_disk", False),
     # 2: 256 worlds, textured cube (checker → BasisLZ KTX2), rasterized
-    ("raster_256w", 256, 20, "rast", 64, 64, "textured_ktx", False),
+    ("raster_256w", 256, 60, "rast", 64, 64, "textured_ktx", False),
     # 3: 4096 worlds, wall_render.obj scene, 128×128 RGB-D raytrace
     ("raytrace_4096w_128px", 4096, 5, "rt", 128, 128, "wall", False),
     # 4: 8192 worlds, dynamic instance transforms + moving cameras

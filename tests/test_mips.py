@@ -457,3 +457,20 @@ def test_trilinear_without_mips_is_loud():
     with pytest.raises(ValueError, match="trilinear"):
         rt_pal(state, scene, height=16, width=16, interpret=True,
                texture_filter="trilinear")
+
+
+def test_trilinear_with_shadows_parity():
+    from madrona_renderer_tpu.core.scene import configure_lighting
+
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, extra_mesh=quad_xz(half=3.0, y=5.0))
+    scene = configure_lighting(scene, (1.0, 1.0, 0.0), (1, 1, 1))
+    a = rt_ref(state, scene, height=32, width=32, shadows=True,
+               texture_filter="trilinear")
+    b = rt_pal(state, scene, height=32, width=32, interpret=True,
+               shadows=True, texture_filter="trilinear")
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(b.rgb, np.int16))
+    assert d.max() <= 1, d.max()
+    c = rt_pal(state, scene, height=32, width=32, interpret=True,
+               texture_filter="trilinear")
+    assert (np.asarray(b.rgb) != np.asarray(c.rgb)).any()
