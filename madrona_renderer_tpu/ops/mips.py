@@ -163,17 +163,25 @@ def _segment_min(vals, tid, n_tiles: int, fill):
     return acc[bidx, tidb].reshape(batch + (vals.shape[-1],))
 
 
-def window_base(row_lo, fine, level, tid, n_tiles: int):
+def window_base(row_lo, row_hi, fine, level, tid, n_tiles: int):
     """Per-pixel (broadcast per tile) 8-aligned base row of the tile's
     fine-pool DMA window. The window anchors at the tile's *magnified*
     pixels (level 0) when any exist — coarse fallback hurts those most —
-    else at the lowest fine row. Tiles with no fine pixels get base 0.
-    The kernel computes the identical scalar reduce for its own tile."""
+    else at the lowest fine row. Pixels whose own tap span can never fit
+    one window (uv-seam wraps touching both texture edges) are excluded
+    from anchoring: one seam pixel must not drag the window away from
+    every interior pixel (they clamp coarse themselves instead). Tiles
+    with no fine pixels get base 0. The kernel computes the identical
+    scalar reduce for its own tile."""
     big = jnp.int32(1 << 30)
+    fits_self = (row_hi - row_lo) < PAGE_ROWS
+    anchor_ok = fine & fits_self
     pref = _segment_min(
-        jnp.where(fine & (level == 0), row_lo, big), tid, n_tiles, big
+        jnp.where(anchor_ok & (level == 0), row_lo, big), tid, n_tiles, big
     )
-    anyf = _segment_min(jnp.where(fine, row_lo, big), tid, n_tiles, big)
+    anyf = _segment_min(
+        jnp.where(anchor_ok, row_lo, big), tid, n_tiles, big
+    )
     r0 = jnp.where(pref < big, pref, anyf)
     r0 = jnp.where(r0 < big, r0, 0)
     return (r0 // 8) * 8
@@ -232,15 +240,12 @@ def sample_texture_mip(scene, tex_id, uv, level, texture_filter: str,
 def mip_tap_rows(scene, tex_id, uv, level, texture_filter: str):
     """(row_lo, row_hi) i32 [...]: min/max 128-texel pool row touched by
     the pixel's tap(s) at `level` — the window inputs for the per-pixel
-    clamp. Must mirror the kernel's tap math exactly. Trilinear taps are
-    the union of both blended levels' bilinear taps."""
+    clamp. Must mirror the kernel's tap math exactly. Trilinear callers
+    pass "bilinear" per blended level: the two levels' spans are
+    hundreds of rows apart in the pool, so the clamp treats them
+    separately (see clamp_levels' three-tier degradation) rather than
+    as one unfittable union."""
     K, L = scene.tex_mip_offset.shape
-    if texture_filter == "trilinear":
-        lo0, hi0 = mip_tap_rows(scene, tex_id, uv, level, "bilinear")
-        lo1, hi1 = mip_tap_rows(
-            scene, tex_id, uv, jnp.minimum(level + 1, L - 1), "bilinear"
-        )
-        return jnp.minimum(lo0, lo1), jnp.maximum(hi0, hi1)
     lin = tex_id * L + jnp.clip(level, 0, L - 1)
     w = scene.tex_mip_w.reshape(-1)[lin]
     h = scene.tex_mip_h.reshape(-1)[lin]
@@ -276,15 +281,47 @@ def mip_tap_rows(scene, tex_id, uv, level, texture_filter: str):
 def clamp_levels(
     scene, tex_id, uv, level, hit, tid, n_tiles: int,
     texture_filter: str,
+    tile_clamp_blend=None,  # required for trilinear: mip_blend_weight at
+    #                         the UNCLAMPED level (window-row inputs)
 ):
-    """Filter-aware per-pixel window clamp: each tile gets ONE fine-pool
-    DMA window (PAGE_ROWS rows, base from window_base); pixels whose
-    taps fall outside it fall back to their material's coarse chain
-    (resident region). Per-pixel — a wrapped-uv floor no longer drags a
-    sharp close-up in the same tile down to coarse mips."""
-    row_lo, row_hi = mip_tap_rows(scene, tex_id, uv, level, texture_filter)
-    fine = hit & (row_hi >= FB_ROWS)
-    base = window_base(row_lo, fine, level, tid, n_tiles)
-    in_window = (row_lo >= base) & (row_hi < base + PAGE_ROWS)
+    """Filter-aware per-pixel window clamp with three-tier degradation.
+
+    Each tile gets ONE fine-pool DMA window (PAGE_ROWS rows, base from
+    window_base, anchored on the *primary*-level spans). Per pixel:
+
+      1. primary taps in window           → sample as requested;
+      2. primary in window but trilinear
+         secondary taps out of window     → degrade to bilinear at the
+                                            primary level (kill the
+                                            blend — sharp beats a jump
+                                            to the coarse chain);
+      3. primary taps out of window       → fall back to the material's
+                                            coarse (resident) chain.
+
+    Returns (clamped_level, kill_blend) — kill_blend is None for
+    non-trilinear filters, else a bool mask the caller must apply as
+    blend = where(kill, 0, blend). Per-pixel — a wrapped-uv floor no
+    longer drags a sharp close-up in the same tile down to coarse mips,
+    and a trilinear pixel whose two levels straddle the window keeps
+    its sharp level instead of evicting to the fallback."""
+    prim_filter = "bilinear" if texture_filter == "trilinear" else texture_filter
+    plo, phi = mip_tap_rows(scene, tex_id, uv, level, prim_filter)
+    fine = hit & (phi >= FB_ROWS)
+    base = window_base(plo, phi, fine, level, tid, n_tiles)
+    prim_in = (plo >= base) & (phi < base + PAGE_ROWS)
     fit = scene.tex_fit_level[tex_id]
-    return jnp.where(fine & ~in_window, jnp.maximum(level, fit), level)
+    out = jnp.where(fine & ~prim_in, jnp.maximum(level, fit), level)
+    kill = None
+    if texture_filter == "trilinear":
+        K, L = scene.tex_mip_offset.shape
+        slo, shi = mip_tap_rows(
+            scene, tex_id, uv, jnp.minimum(level + 1, L - 1), "bilinear"
+        )
+        live = tile_clamp_blend > 0.0
+        sec_ok = (
+            (~live)
+            | (shi < FB_ROWS)  # secondary level resident → always there
+            | ((slo >= base) & (shi < base + PAGE_ROWS))
+        )
+        kill = fine & prim_in & ~sec_ok
+    return out, kill

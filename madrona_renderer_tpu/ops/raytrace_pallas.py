@@ -1456,20 +1456,27 @@ def _render_kernel(
             # Window pass at the unclamped level, then the per-pixel
             # window clamp (ops/mips.py window_base/clamp_levels twin):
             # ONE PAGE_ROWS window per tile, anchored at the magnified
-            # (level-0) pixels when any exist; pixels whose taps fall
-            # outside it fall back to their coarse (resident) chain.
+            # (level-0) pixels' PRIMARY-level spans when any exist.
+            # Three-tier degradation: primary taps in window → sample as
+            # requested; primary in but trilinear secondary out → kill
+            # the blend (bilinear at the primary level); primary out →
+            # coarse (resident) chain.
             taps0 = all_taps(lvl)
             flats0 = tap_flats(taps0)
-            row_lo = flats0[0] // _TILE_LANE
+            prim0 = flats0[0:4] if trilinear else flats0
+            row_lo = prim0[0] // _TILE_LANE
             row_hi = row_lo
-            for f in flats0[1:]:
+            for f in prim0[1:]:
                 rv = f // _TILE_LANE
                 row_lo = jnp.minimum(row_lo, rv)
                 row_hi = jnp.maximum(row_hi, rv)
             fine = hit_w & (row_hi >= TEX_FB_ROWS)
             big = jnp.int32(1 << 30)
-            pref = jnp.min(jnp.where(fine & (lvl == 0), row_lo, big))
-            anyf = jnp.min(jnp.where(fine, row_lo, big))
+            # Seam-wrap pixels whose own span can never fit one window
+            # must not drag the anchor (ops/mips.py window_base twin).
+            anchor_ok = fine & ((row_hi - row_lo) < TEX_PAGE_ROWS)
+            pref = jnp.min(jnp.where(anchor_ok & (lvl == 0), row_lo, big))
+            anyf = jnp.min(jnp.where(anchor_ok, row_lo, big))
             r0 = jnp.where(pref < big, pref, anyf)
             r0 = jnp.where(r0 < big, r0, 0)
             base_row = (r0 // 8) * 8
@@ -1479,6 +1486,28 @@ def _render_kernel(
             bump = fine & jnp.logical_not(in_window)
             any_bump = jnp.any(bump)
             need_page = jnp.any(fine & in_window)
+            if trilinear:
+                # Blend-kill mask (ops/mips.py clamp_levels twin): only
+                # pixels actually blending (w > 0 at the UNCLAMPED
+                # level) need their secondary taps; those whose
+                # secondary span is neither resident nor in the window
+                # degrade to bilinear at the primary level.
+                pw0 = jnp.ones(shape2, jnp.float32)
+                for l in range(1, n_levels):
+                    pw0 = jnp.where(lvl == l, jnp.float32(2.0**l), pw0)
+                w_live = (fp / pw0 - 1.0) > 0.0
+                slo = flats0[4] // _TILE_LANE
+                shi = slo
+                for f in flats0[5:8]:
+                    rv = f // _TILE_LANE
+                    slo = jnp.minimum(slo, rv)
+                    shi = jnp.maximum(shi, rv)
+                sec_ok = (
+                    jnp.logical_not(w_live)
+                    | (shi < TEX_FB_ROWS)
+                    | ((slo >= base_row) & (shi < base_row + TEX_PAGE_ROWS))
+                )
+                blend_kill = fine & in_window & jnp.logical_not(sec_ok)
 
             # Start the page DMA before the (conditional) tap recompute
             # so the transfer overlaps it.
@@ -1594,6 +1623,7 @@ def _render_kernel(
                 for l in range(1, n_levels):
                     pw = jnp.where(lvl_f == l, jnp.float32(2.0**l), pw)
                 wgt = jnp.clip(fp / pw - 1.0, 0.0, 1.0)
+                wgt = jnp.where(blend_kill, 0.0, wgt)
                 r0c, g0c, b0c = bilerp(taps[0:4], taps[4], taps[5])
                 r1c, g1c, b1c = bilerp(taps[6:10], taps[10], taps[11])
                 base_r = base_r * (r0c * (1 - wgt) + r1c * wgt)
@@ -2026,7 +2056,7 @@ def render_core(
         and texture_filter in ("nearest", "bilinear", "trilinear")
         and n_mats <= _TILE_LANE
     )
-    if texture_filter == "trilinear" and not mips_on and not shaded:
+    if texture_filter == "trilinear" and not mips_on and n_texels > 1:
         raise ValueError(
             "trilinear filtering needs mip chains — bake the scene with "
             "mipmaps=True (ManagerConfig.mipmaps)"

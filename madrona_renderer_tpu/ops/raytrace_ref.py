@@ -435,14 +435,21 @@ def finish_frames(
         tile_sub, tiles_x, n_tiles = mips.tile_geometry(height, width)
         tid = mips.tile_ids(height, width, tile_sub, tiles_x)
         geo_hit = hit if mip_hit is None else mip_hit
-        lvl = mips.clamp_levels(
-            scene, tex_id, uv, lvl, geo_hit, tid, n_tiles, texture_filter
+        clamp_blend = None
+        if texture_filter == "trilinear":
+            clamp_blend = mips.mip_blend_weight(
+                mip_t, tan_y[:, :, None], height, density, lvl
+            )
+        lvl, kill_blend = mips.clamp_levels(
+            scene, tex_id, uv, lvl, geo_hit, tid, n_tiles, texture_filter,
+            tile_clamp_blend=clamp_blend,
         )
         blend = None
         if texture_filter == "trilinear":
             blend = mips.mip_blend_weight(
                 mip_t, tan_y[:, :, None], height, density, lvl
             )
+            blend = jnp.where(kill_blend, 0.0, blend)
         tex_override = mips.sample_texture_mip(
             scene, tex_id, uv, lvl, texture_filter, blend=blend
         )

@@ -527,10 +527,8 @@ def test_grayscale_endpoint_palette():
     slice_blob = bw.bytes()
     sgd = build_sgd(ep_blob, sel_blob, tab_blob, 2, 2, len(slice_blob))
     img = decode_basislz_native(sgd, slice_blob, 4, 4)
-    g21 = expand5(21)
     exp = expected_block(21, 21, 21, 2, [3] * 16)
     np.testing.assert_array_equal(img, exp)
     # Gray: r == g == b everywhere.
     assert (img[..., 0] == img[..., 1]).all()
     assert (img[..., 1] == img[..., 2]).all()
-    del g21

@@ -363,7 +363,7 @@ def test_per_pixel_window_clamp_keeps_magnified_sharp():
     tid = mips.tile_ids(32, 32, tile_sub, tiles_x)
     lvl_c = np.asarray(mips.clamp_levels(
         scene, tex_id, uv, lvl, hit, tid, n_tiles, "nearest"
-    ))[0, 0]
+    )[0])[0, 0]
     lvl_u = np.asarray(lvl)[0, 0]
     near_quad = (seg == 1) & (lvl_u == 0)  # magnified close-up pixels
     floor = seg == 0
@@ -474,3 +474,139 @@ def test_trilinear_with_shadows_parity():
     c = rt_pal(state, scene, height=32, width=32, interpret=True,
                texture_filter="trilinear")
     assert (np.asarray(b.rgb) != np.asarray(c.rgb)).any()
+
+
+def _clamped_levels_for(state, scene, filt, res=32):
+    """Helper: per-pixel (unclamped, clamped) levels + segmask on the
+    jnp reference path, mirroring finish_frames' mip block."""
+    import jax.numpy as jnp
+
+    from madrona_renderer_tpu.ops import mips
+    from madrona_renderer_tpu.ops.raytrace_ref import (
+        _gather_soup, _moller_trumbore, build_world_soup, camera_ray_dirs,
+        intersect_bruteforce,
+    )
+
+    soup = build_world_soup(state, scene)
+    eff_fov = jnp.full((1, 1), 90.0, jnp.float32)
+    dirs = camera_ray_dirs(state.camera_rot, res, res, eff_fov)
+    t, idx, hit = intersect_bruteforce(
+        soup, state.camera_pos, dirs,
+        jnp.full((1, 1), 0.1, jnp.float32),
+        jnp.full((1, 1), 1000.0, jnp.float32),
+    )
+    o = state.camera_pos[:, :, None, :]
+    bv0 = _gather_soup(soup.v0, idx)
+    be1 = _gather_soup(soup.e1, idx)
+    be2 = _gather_soup(soup.e2, idx)
+    _, u, v, _ = _moller_trumbore(o, dirs, bv0, be1, be2)
+    u = jnp.clip(u, 0, 1)
+    v = jnp.clip(v, 0, 1)
+    uv = (_gather_soup(soup.uv0, idx) + u[..., None] *
+          _gather_soup(soup.duv1, idx) + v[..., None] *
+          _gather_soup(soup.duv2, idx))
+    mat = _gather_soup(soup.mat, idx)
+    dens = _gather_soup(soup.density, idx)
+    L = int(scene.tex_mip_offset.shape[1])
+    tan_y = jnp.ones((1, 1), jnp.float32)
+    lvl = mips.mip_level(t, tan_y[:, :, None], res, dens, L)
+    tex_id = scene.mat_tex[mat]
+    tile_sub, tiles_x, n_tiles = mips.tile_geometry(res, res)
+    tid = mips.tile_ids(res, res, tile_sub, tiles_x)
+    blend = None
+    if filt == "trilinear":
+        blend = mips.mip_blend_weight(t, tan_y[:, :, None], res, dens, lvl)
+    lvl_c, kill = mips.clamp_levels(
+        scene, tex_id, uv, lvl, hit, tid, n_tiles, filt,
+        tile_clamp_blend=blend,
+    )
+    seg = np.asarray(_gather_soup(soup.seg, idx))[0, 0]
+    seg = np.where(np.asarray(hit)[0, 0], seg, -1)
+    kill = None if kill is None else np.asarray(kill)[0, 0]
+    return np.asarray(lvl)[0, 0], np.asarray(lvl_c)[0, 0], seg, kill
+
+
+def _two_quad_scene(path, close_uv_lo, close_uv_hi):
+    import tests.helpers as H
+    from madrona_renderer_tpu.assets.importer import load_render_assets
+    from madrona_renderer_tpu.core.scene import bake_scene
+    from madrona_renderer_tpu.core.state import init_state
+    from madrona_renderer_tpu.config import WorldInit
+
+    span = close_uv_hi - close_uv_lo
+    geo = H.geo_from_meshes(
+        [quad_xz(half=60.0, y=0.0), quad_xz(half=2.5, y=4.0)],
+        uvs=[quad_uvs() * 40.0, quad_uvs() * span + close_uv_lo],
+        materials=[0, 0],
+    )
+    merged = load_render_assets(
+        geo, [], [AdditionalMaterial(color=(1, 1, 1, 1), texture_id=0)],
+        [path],
+    )
+    scene = bake_scene(merged)
+    state = init_state(
+        [ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=0),
+         ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=1)],
+        [ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0])],
+        [WorldInit(num_instances=2, instance_offset=0, num_cameras=1,
+                   camera_offset=0)],
+    )
+    return state, scene
+
+
+def test_trilinear_magnified_not_evicted():
+    """Review finding r3: a close-up's level-0 pixels keep level 0 under
+    trilinear exactly as under bilinear — pixels whose blend would reach
+    into level 1 (footprint > 1) degrade to bilinear-at-0 (kill mask)
+    instead of evicting to the coarse chain (three-tier degradation)."""
+    path, _ = _gradient_png(256)
+    state, scene = _two_quad_scene(path, 0.40, 0.47)
+    for filt in ("bilinear", "trilinear"):
+        lvl_u, lvl_c, seg, kill = _clamped_levels_for(state, scene, filt)
+        mag = (seg == 1) & (lvl_u == 0)
+        assert mag.sum() > 100, (filt, mag.sum())
+        assert (lvl_c[mag] == 0).all(), (filt, np.unique(lvl_c[mag]))
+        if filt == "trilinear":
+            # The close quad straddles footprint 1.0: some pixels blend
+            # (kill fires — level 1 is ~300 pool rows away), some don't.
+            assert kill[mag].any()
+            assert (~kill[mag]).any()
+        else:
+            assert kill is None
+
+
+def test_seam_pixels_do_not_drag_window():
+    """Review finding r3: a magnified pixel whose bilinear tap wraps the
+    uv seam must clamp only ITSELF coarse — interior pixels keep their
+    window (previously one seam pixel evicted the whole close-up)."""
+    path, _ = _gradient_png(256)
+    state, scene = _two_quad_scene(path, 0.0, 0.07)  # touches the seam
+    lvl_u, lvl_c, seg, _ = _clamped_levels_for(state, scene, "bilinear")
+    mag = (seg == 1) & (lvl_u == 0)
+    assert mag.sum() > 100
+    kept = (lvl_c[mag] == 0).mean()
+    assert kept > 0.8, kept  # interior pixels keep level 0
+    # Kernel parity still holds on this scene.
+    a = rt_ref(state, scene, height=32, width=32, texture_filter="bilinear")
+    b = rt_pal(state, scene, height=32, width=32, interpret=True,
+               texture_filter="bilinear")
+    _assert_close_modulo_boundaries(a, b)
+
+
+def test_trilinear_untextured_mxu_shadows_no_raise():
+    """Review finding r3: an untextured scene must not trip the
+    trilinear-needs-mips guard (filter is irrelevant without textures),
+    matching the jnp reference's behavior."""
+    from tests.helpers import build, quad_xz as qz
+
+    state, scene = build(
+        [qz(half=50.0, y=0.0)],
+        [ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=0)],
+        [ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0])],
+    )
+    f = rt_pal(state, scene, height=16, width=16, interpret=True,
+               shadows=True, accel="mxu", texture_filter="trilinear")
+    assert f.rgb.shape == (1, 1, 16, 16, 4)
