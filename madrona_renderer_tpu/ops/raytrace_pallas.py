@@ -387,6 +387,51 @@ def band_cluster_bins(
     return bins.reshape(W * C, n_tiles, 1 + CC)
 
 
+def camera_cluster_rowspans(cl_lo, cl_hi, cl_valid, state: SimState,
+                            eff_fov, height: int):
+    """Per-(camera, cluster) conservative IMAGE pixel-row span
+    [WC, 2, CC] i32 — the deferred-MXU sweep's scanline banding: a
+    visited cluster only sweeps the pixel rows its AABB can project to
+    (a Morton cluster typically covers 1–4 of a 2D tile's 32 rows, so
+    the per-row matmul loop skips the rest). Same corner projection and
+    ±2 px padding as band_cluster_bins; clusters straddling the camera
+    plane get the full span (projection unbounded). Behind-camera or
+    invalid clusters keep whatever span falls out — they are either
+    never binned or can produce no hit, so skipping rows is always
+    safe."""
+    W, CC = cl_valid.shape
+    height_f = float(height)
+    picks = jnp.asarray(
+        np.array(
+            [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+            np.float32,
+        )
+    )
+    corners = (
+        cl_lo[:, :, None, :] * (1 - picks) + cl_hi[:, :, None, :] * picks
+    )  # [W, CC, 8, 3]
+    rot = state.camera_rot
+    fwd = quat_rotate(rot, jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    up = quat_rotate(rot, jnp.array([0.0, 0.0, 1.0], jnp.float32))
+    rel = corners[:, None] - state.camera_pos[:, :, None, None, :]
+    y_f = jnp.einsum("wcnkj,wcj->wcnk", rel, fwd)
+    z_u = jnp.einsum("wcnkj,wcj->wcnk", rel, up)
+    tan_y = jnp.tan(jnp.deg2rad(eff_fov) * 0.5)[:, :, None, None]
+    behind_any = jnp.any(y_f <= 1e-6, axis=-1)
+    safe_yf = jnp.maximum(y_f, 1e-6)
+    py = (1.0 - z_u / (safe_yf * tan_y)) * (height * 0.5) - 0.5
+    ymin = jnp.min(py, axis=-1) - 2.0
+    ymax = jnp.max(py, axis=-1) + 2.0
+    ymin = jnp.where(behind_any, 0.0, ymin)
+    ymax = jnp.where(behind_any, height_f, ymax)
+    row_lo = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, height - 1)
+    row_hi = jnp.clip(
+        jnp.floor(ymax).astype(jnp.int32) + 1, 0, height - 1
+    )
+    spans = jnp.stack([row_lo, row_hi], axis=2)  # [W, C, 2, CC]
+    return spans.reshape(W * state.camera_pos.shape[1], 2, CC)
+
+
 def _pack_clusters(cl_lo, cl_hi, cl_valid, cl_count) -> jnp.ndarray:
     """→ SMEM-layout [W, 8, CC]: rows lo.xyz, hi.xyz, valid, count."""
     rows = [
@@ -421,6 +466,8 @@ def _render_kernel(
     tex_paged: bool = False,
     n_levels: int = 1,
     deferred: bool = False,
+    dmxu: bool = False,
+    rowskip: bool = False,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -454,6 +501,17 @@ def _render_kernel(
     # visited cluster by lane-gathers over the winning pixels instead of
     # per triangle.
     assert not deferred or (dma_tris and (binned or ordered))
+    # dmxu: deferred visits intersect their cluster on the MXU (geometry
+    # slab lands in VMEM; per-cluster D/A/B/t_num prepass is vectorized;
+    # one [10, K] x [10, 512] dot per pixel row replaces the per-triangle
+    # scalar-streamed fori sweep). No shadow-sweep reader exists for the
+    # VMEM slab, so the scalar deferred path keeps shadows.
+    assert not dmxu or (deferred and not shadows)
+    # rowskip (scanline-banded sweep): the dmxu row loop skips pixel rows
+    # outside the visited cluster's precomputed image-row span
+    # (camera_cluster_rowspans). Requires 2D tiles: one kernel sublane
+    # row == one image row.
+    assert not rowskip or (dmxu and tiles_x > 1)
 
     def kernel(*refs):
         scratch = sem = tex_scratch = tex_sem = None
@@ -471,15 +529,19 @@ def _render_kernel(
                 attr_scratch, attr_sem = extra.pop(0), extra.pop(0)
             if tex_paged:
                 tex_scratch, tex_sem = extra.pop(0), extra.pop(0)
-        perm_ref = bin_ref = None
+        perm_ref = bin_ref = rows_ref = None
         if culled and binned:
-            tri_ref, cl_ref, bin_ref, cam_ref, *rest = refs
+            tri_ref, cl_ref, bin_ref, *refs2 = refs
         elif culled and ordered:
-            tri_ref, cl_ref, perm_ref, cam_ref, *rest = refs
+            tri_ref, cl_ref, perm_ref, *refs2 = refs
         elif culled:
-            tri_ref, cl_ref, cam_ref, *rest = refs
+            tri_ref, cl_ref, *refs2 = refs
         else:
-            tri_ref, cam_ref, *rest = refs
+            tri_ref, *refs2 = refs
+        if rowskip:
+            rows_ref, cam_ref, *rest = refs2
+        else:
+            cam_ref, *rest = refs2
         mp_ref = pool_ref = fb_ref = pool_hbm_ref = None
         if textured:
             mp_ref, pool_ref, *rest = rest
@@ -821,12 +883,17 @@ def _render_kernel(
                     nb = jnp.int32(n_clusters)
                     cluster_at = lambda b: perm_ref[0, 0, b].astype(jnp.int32)
 
-                def geo_dma(slot, c):
-                    aligned = (c * cluster_size // window) * window
+                def win_of(c):
+                    # Window INDEX (not byte/lane offset): carried through
+                    # the loop and multiplied by `window` only at the DMA
+                    # slice, so Mosaic can prove 128-divisibility.
+                    return c * cluster_size // window
+
+                def geo_dma(slot, wi):
                     return pltpu.make_async_copy(
                         tri_ref.at[
                             w_idx, pl.ds(0, _N_GEO_ROWS),
-                            pl.ds(aligned, window),
+                            pl.ds(wi * window, window),
                         ],
                         geo_scratch.at[slot],
                         geo_sem.at[slot],
@@ -834,7 +901,179 @@ def _render_kernel(
 
                 @pl.when(nb > 0)
                 def _warm():
-                    geo_dma(jnp.int32(0), cluster_at(jnp.int32(0))).start()
+                    geo_dma(
+                        jnp.int32(0), win_of(cluster_at(jnp.int32(0)))
+                    ).start()
+
+                if dmxu:
+                    # --- MXU cluster sweep (deferred-mxu) ---------------- #
+                    # Per-tile rhs: block-diagonal [10, 4·128] per pixel
+                    # row (the _batched_kernel layout — d bands for the
+                    # det/u/v numerators + a ones band broadcasting
+                    # t_num), built ONCE and reused for every visited
+                    # cluster. lhsT [10, K] comes from a vectorized
+                    # per-cluster prepass over the VMEM geometry slab —
+                    # the per-triangle scalar SMEM stream (the deferred
+                    # sweep's bottleneck) disappears entirely.
+                    blk4 = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 4 * _TILE_LANE), 1
+                        )
+                        // _TILE_LANE
+                    )
+                    ones_row = jnp.ones((1, _TILE_LANE), jnp.float32)
+                    rhs_rows = []
+                    for i in range(tile_sub):
+                        d4 = jnp.concatenate(
+                            [dx[i : i + 1], dy[i : i + 1], dz[i : i + 1],
+                             ones_row],
+                            axis=0,
+                        )
+                        dcat = jnp.concatenate([d4] * 4, axis=1)
+                        rws = [
+                            jnp.where(
+                                blk4 == row // 3,
+                                dcat[row % 3 : row % 3 + 1, :],
+                                0.0,
+                            )
+                            for row in range(9)
+                        ]
+                        rws.append(jnp.where(blk4 == 3, 1.0, 0.0))
+                        rhs_rows.append(jnp.concatenate(rws, axis=0))
+                    cs = cluster_size
+                    ltri_cs = jax.lax.broadcasted_iota(
+                        jnp.int32, (cs, _TILE_LANE), 0
+                    )
+
+                    def mxu_cluster_sweep(cr2, slot, off, base, c):
+                        g = jax.lax.cond(
+                            slot == 0,
+                            lambda: geo_scratch[0][...],
+                            lambda: geo_scratch[1][...],
+                        )  # [16, window] — only the correct slot is read
+                        v0x, v0y, v0z = g[0:1], g[1:2], g[2:3]
+                        e1x, e1y, e1z = g[3:4], g[4:5], g[5:6]
+                        e2x, e2y, e2z = g[6:7], g[7:8], g[8:9]
+                        tvx = ox - v0x
+                        tvy = oy - v0y
+                        tvz = oz - v0z
+                        # Same full factorization as the scalar deferred
+                        # sweep: D = e2×e1, A = e2×tvec, B = tvec×e1,
+                        # t_num = e2·B. Padded/invalid lanes have zero
+                        # edges → det = 0 → t = 0 → fail t > t_lo.
+                        ddx = e2y * e1z - e2z * e1y
+                        ddy = e2z * e1x - e2x * e1z
+                        ddz = e2x * e1y - e2y * e1x
+                        aax = e2y * tvz - e2z * tvy
+                        aay = e2z * tvx - e2x * tvz
+                        aaz = e2x * tvy - e2y * tvx
+                        qx = tvy * e1z - tvz * e1y
+                        qy = tvz * e1x - tvx * e1z
+                        qz = tvx * e1y - tvy * e1x
+                        tn = e2x * qx + e2y * qy + e2z * qz
+                        pre = jnp.concatenate(
+                            [ddx, ddy, ddz, aax, aay, aaz, qx, qy, qz, tn],
+                            axis=0,
+                        )  # [10, window]
+                        if window // cs > 1:
+                            lhsT = jax.lax.switch(
+                                off // cs,
+                                [
+                                    (lambda o=o: pre[:, o * cs : (o + 1) * cs])
+                                    for o in range(window // cs)
+                                ],
+                            )
+                        else:
+                            lhsT = pre
+                        best_t_, best_idx_ = cr2[0], cr2[1]
+                        bu, bv = cr2[-2], cr2[-1]
+                        if rowskip:
+                            # Scanline banding: this cluster only touches
+                            # image rows [rlo, rhi] (conservative host
+                            # projection) — skip the others' matmuls.
+                            rlo = rows_ref[0, 0, c]
+                            rhi = rows_ref[0, 1, c]
+                            tile_row0 = (r // tiles_x) * tile_sub
+
+                        def sweep_row(i):
+                            nums = jax.lax.dot_general(
+                                lhsT,
+                                rhs_rows[i],
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # [cs, 512]
+                            det = nums[:, 0:_TILE_LANE]
+                            un = nums[:, _TILE_LANE : 2 * _TILE_LANE]
+                            vn = nums[:, 2 * _TILE_LANE : 3 * _TILE_LANE]
+                            tnb = nums[:, 3 * _TILE_LANE :]
+                            inv = jnp.where(
+                                jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0
+                            )
+                            u = un * inv
+                            v = vn * inv
+                            t = tnb * inv
+                            tl = t_lo[i : i + 1] if raster_clip else t_lo
+                            ok = (
+                                (jnp.minimum(u, v) >= -_EPS_BARY)
+                                & (u + v <= 1.0 + _EPS_BARY)
+                                & (t > tl)
+                                & (t < far)
+                            )
+                            tm = jnp.where(ok, t, jnp.inf)
+                            cmin = jnp.min(tm, axis=0, keepdims=True)
+                            # First-occurrence tie-break (iota-min), same
+                            # as the scalar fori order.
+                            lidx = jnp.min(
+                                jnp.where(tm == cmin, ltri_cs, cs),
+                                axis=0,
+                                keepdims=True,
+                            )
+                            oh = ltri_cs == lidx
+                            return (
+                                cmin,
+                                lidx,
+                                jnp.sum(jnp.where(oh, u, 0.0), axis=0,
+                                        keepdims=True),
+                                jnp.sum(jnp.where(oh, v, 0.0), axis=0,
+                                        keepdims=True),
+                            )
+
+                        inf_row = jnp.full((1, _TILE_LANE), jnp.inf,
+                                           jnp.float32)
+                        cs_row = jnp.full((1, _TILE_LANE), cs, jnp.int32)
+                        zrow = jnp.zeros((1, _TILE_LANE), jnp.float32)
+                        t_rows, i_rows, u_rows, v_rows = [], [], [], []
+                        for i in range(tile_sub):
+                            if rowskip:
+                                row_on = (
+                                    (tile_row0 + i >= rlo)
+                                    & (tile_row0 + i <= rhi)
+                                )
+                                cmin, lidx, ur, vr = jax.lax.cond(
+                                    row_on,
+                                    lambda i=i: sweep_row(i),
+                                    lambda: (inf_row, cs_row, zrow, zrow),
+                                )
+                            else:
+                                cmin, lidx, ur, vr = sweep_row(i)
+                            t_rows.append(cmin)
+                            i_rows.append(lidx)
+                            u_rows.append(ur)
+                            v_rows.append(vr)
+                        ct = jnp.concatenate(t_rows, axis=0)
+                        ci = jnp.concatenate(i_rows, axis=0)
+                        cu = jnp.concatenate(u_rows, axis=0)
+                        cv = jnp.concatenate(v_rows, axis=0)
+                        # Strict < keeps the earlier-visited cluster on
+                        # exact ties — the scalar sweep's semantics.
+                        better = ct < best_t_
+                        return (
+                            jnp.where(better, ct, best_t_),
+                            jnp.where(better, base + ci, best_idx_),
+                        ) + tuple(cr2[2:-2]) + (
+                            jnp.where(better, cu, bu),
+                            jnp.where(better, cv, bv),
+                        )
 
                 def resolve(cr, base, aligned, cnt):
                     best_t_, best_idx_ = cr[0], cr[1]
@@ -885,19 +1124,48 @@ def _render_kernel(
                     return (carry[0] < nb) & (carry[1] == 0)
 
                 def body(carry):
-                    b, _, *st = carry
+                    b, _, cur0, cur_a0, pf_a0, *st = carry
                     c = cluster_at(b)
-                    slot = jax.lax.rem(b, jnp.int32(2))
-                    # Balance the prefetch issued for b (warm-up / b-1).
-                    geo_dma(slot, c).wait()
+                    w_c = win_of(c)
+                    # Window reuse: the 128-lane slab holds
+                    # window/cluster_size consecutive clusters, and the
+                    # front-to-back visit order (Morton-clustered AABBs)
+                    # often visits same-window clusters back-to-back —
+                    # only a window SWITCH waits on (and consumes) the
+                    # in-flight prefetch. Invariant: whenever
+                    # w_c != cur_w, the previous iteration (or warm-up)
+                    # prefetched exactly window w_c into slot 1-cur.
+                    switch = w_c != cur_a0
+
+                    def do_switch(cu, _ca, _pa):
+                        geo_dma(1 - cu, w_c).wait()
+                        return 1 - cu, w_c, jnp.int32(-1)
+
+                    cur, cur_a, pf_a = jax.lax.cond(
+                        switch,
+                        do_switch,
+                        lambda cu, ca, pa: (cu, ca, pa),
+                        cur0, cur_a0, pf_a0,
+                    )
+                    slot = cur
                     best_t = st[0]
                     tf = jnp.minimum(best_t, far)
                     live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
                     live = live & (cl_ref[0, 6, c] > 0.0)
 
-                    @pl.when(live & (b + 1 < nb))
+                    # Arm the prefetch for the NEXT different window (at
+                    # most one in flight; a_n == cur_a arms nothing, so
+                    # same-window runs skip the DMA entirely).
+                    w_n = win_of(cluster_at(jnp.minimum(b + 1, nb - 1)))
+                    arm = (
+                        live & (b + 1 < nb) & (pf_a == -1) & (w_n != cur_a)
+                    )
+
+                    @pl.when(arm)
                     def _prefetch():
-                        geo_dma(1 - slot, cluster_at(b + 1)).start()
+                        geo_dma(1 - slot, w_n).start()
+
+                    pf_a = jnp.where(arm, w_n, pf_a)
 
                     def visit(cr):
                         lox = cl_ref[0, 0, c]
@@ -945,11 +1213,16 @@ def _render_kernel(
                                 attr_sem,
                             )
                             attr_dma.start()
-                            tri_local = make_tri_test(
-                                lambda k, j: geo_scratch[slot, k, off + j],
-                                base,
-                            )
-                            cr3 = jax.lax.fori_loop(0, cnt, tri_local, cr2)
+                            if dmxu:
+                                cr3 = mxu_cluster_sweep(cr2, slot, off, base, c)
+                            else:
+                                tri_local = make_tri_test(
+                                    lambda k, j: geo_scratch[slot, k, off + j],
+                                    base,
+                                )
+                                cr3 = jax.lax.fori_loop(
+                                    0, cnt, tri_local, cr2
+                                )
                             attr_dma.wait()
                             return resolve(cr3, base, aligned, cnt)
 
@@ -959,12 +1232,32 @@ def _render_kernel(
 
                     st2 = jax.lax.cond(live, visit, lambda s: s, tuple(st))
                     done = jnp.where(live, jnp.int32(0), jnp.int32(1))
-                    return (b + 1, done) + st2
+                    return (b + 1, done, cur, cur_a, pf_a) + st2
 
-                out = jax.lax.while_loop(
-                    cond, body, (jnp.int32(0), jnp.int32(0)) + init
+                # Control carry: cur slot (1 so warm-up slot 0 is "the
+                # prefetch"), resident window base (-1: none yet),
+                # in-flight prefetch base (-1: none).
+                pf0 = jnp.where(
+                    nb > 0,
+                    win_of(cluster_at(jnp.int32(0))),
+                    jnp.int32(-1),
                 )
-                out = out[2:-2]  # drop (b, done) and the (u, v) carries
+                out = jax.lax.while_loop(
+                    cond,
+                    body,
+                    (jnp.int32(0), jnp.int32(0), jnp.int32(1),
+                     jnp.int32(-1), pf0) + init,
+                )
+                # Occlusion early-exit can leave one prefetch in flight;
+                # drain it so the semaphore is balanced for the shadow
+                # sweep / the next grid program.
+                cur_f, pf_f = out[2], out[4]
+
+                @pl.when(pf_f >= 0)
+                def _drain():
+                    geo_dma(1 - cur_f, pf_f).wait()
+
+                out = out[5:-2]  # drop control and the (u, v) carries
             elif binned:
                 # Tile-binned pass: sweep only this tile's bin (already
                 # front-to-back — see band_cluster_bins). The O(clusters)
@@ -2222,6 +2515,20 @@ def render_core(
     # Deferred split-layout sweep for big meshes (see _pack_tris_split /
     # the kernel's deferred branch) — binned or ordered visit orders.
     deferred = dma_tris and (binned or ordered)
+    # Deferred-MXU experiment (MRT_DEFERRED_MXU=1): intersect each
+    # visited cluster on the MXU instead of the scalar-streamed
+    # per-triangle sweep. Shadows keep the scalar path (the in-kernel
+    # shadow sweep reads the SMEM slab).
+    dmxu = (
+        deferred
+        and not shadows
+        and _os.environ.get("MRT_DEFERRED_MXU", "0") == "1"
+    )
+    # Scanline-banded sweep (requires 2D tiles: sublane == image row).
+    rowskip = (
+        dmxu and tiles_x > 1
+        and _os.environ.get("MRT_ROWSKIP", "1") == "1"
+    )
 
     if deferred:
         tris = _pack_tris_split(soup, scene)  # [W, 40, S]
@@ -2297,7 +2604,7 @@ def render_core(
             tex_filter=texture_filter, binned=binned,
             n_lights=int(scene.light_dir.shape[0]), shadows=shadows,
             tiles_x=tiles_x, tex_paged=tex_paged, n_levels=n_levels,
-            deferred=deferred,
+            deferred=deferred, dmxu=dmxu, rowskip=rowskip,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -2313,18 +2620,32 @@ def render_core(
             lambda wc, r: (wc * n_tiles + r, 0, 0),
             memory_space=pltpu.SMEM,
         )
+        rows_specs, rows_inputs = [], ()
+        if rowskip:
+            spans = camera_cluster_rowspans(
+                cl_lo, cl_hi, cl_valid, state, eff_fov, height
+            )
+            rows_specs = [pl.BlockSpec(
+                (1, 2, cc), lambda wc, r: (wc, 0, 0),
+                memory_space=pltpu.SMEM,
+            )]
+            rows_inputs = (spans,)
         if binned:
             bins = band_cluster_bins(
                 cl_lo, cl_hi, cl_valid, state, eff_fov,
                 height, width, n_tiles, tile_pix=tile_pix,
                 tiles_x=tiles_x, tile_sub=tile_sub,
             ).reshape(WC * n_tiles, 1, cc + 1)
-            extra_in_specs = [cl_spec, bin_spec, cam_spec] + tex_in_specs
-            extra_inputs = (cl, bins, cams) + tex_inputs
+            extra_in_specs = (
+                [cl_spec, bin_spec] + rows_specs + [cam_spec] + tex_in_specs
+            )
+            extra_inputs = (cl, bins) + rows_inputs + (cams,) + tex_inputs
         elif ordered:
             perm = camera_cluster_order(cl_lo, cl_hi, cl_valid, state.camera_pos)
-            extra_in_specs = [cl_spec, perm_spec, cam_spec] + tex_in_specs
-            extra_inputs = (cl, perm, cams) + tex_inputs
+            extra_in_specs = (
+                [cl_spec, perm_spec] + rows_specs + [cam_spec] + tex_in_specs
+            )
+            extra_inputs = (cl, perm) + rows_inputs + (cams,) + tex_inputs
         else:
             extra_in_specs = [cl_spec, cam_spec] + tex_in_specs
             extra_inputs = (cl, cams) + tex_inputs
@@ -2337,8 +2658,9 @@ def render_core(
             tri_spec_used = pl.BlockSpec(memory_space=pltpu.HBM)
             window = max(cluster_size, 128)
             if deferred:
+                geo_space = pltpu.VMEM if dmxu else pltpu.SMEM
                 scratch_shapes = [
-                    pltpu.SMEM((2, _N_GEO_ROWS, window), jnp.float32),
+                    geo_space((2, _N_GEO_ROWS, window), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.VMEM((_N_ATTR_ROWS, window), jnp.float32),
                     pltpu.SemaphoreType.DMA,

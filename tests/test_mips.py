@@ -610,3 +610,23 @@ def test_trilinear_untextured_mxu_shadows_no_raise():
     f = rt_pal(state, scene, height=16, width=16, interpret=True,
                shadows=True, accel="mxu", texture_filter="trilinear")
     assert f.rgb.shape == (1, 1, 16, 16, 4)
+
+
+def test_paged_with_dmxu_mesh(monkeypatch):
+    """Deferred-MXU sweep + paged textures: the texel-density carry
+    passes through the matmul sweep (cr[8]) and resolves per cluster —
+    page DMA and the MXU cluster sweep must coexist."""
+    monkeypatch.setenv("MRT_DEFERRED_MXU", "1")
+    rng = np.random.default_rng(31)
+    n_tris = 3600
+    centers = rng.uniform(-30, 30, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 50, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32)
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32)
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, extra_mesh=tris)
+    a = rt_ref(state, scene, height=16, width=16)
+    b = rt_pal(state, scene, height=16, width=16, interpret=True,
+               accel="clusters")
+    _assert_close_modulo_boundaries(a, b, frac=0.05)

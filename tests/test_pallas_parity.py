@@ -657,3 +657,84 @@ def test_parity_deferred_multi_camera():
     _assert_frames_equal(ref, pal)
     # The two views genuinely differ.
     assert (np.asarray(ref.rgb)[:, 0] != np.asarray(ref.rgb)[:, 1]).any()
+
+
+def _dense_field_scene(seed=41, n_tris=3600, two_instances=True):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-10, 10, size=(n_tris, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(4, 40, size=n_tris)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.4
+    instances = [ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                                  scale=[1, 1, 1], object_id=0)]
+    if two_instances:
+        instances.append(
+            ImportedInstance(position=[3, 5, 0], rotation=[1, 0, 0, 0],
+                             scale=[0.5, 0.5, 0.5], object_id=0))
+    return build([tris], instances, [cam_at_origin_looking_plus_y()])
+
+
+def test_parity_deferred_mxu(monkeypatch):
+    """Deferred-MXU sweep (MRT_DEFERRED_MXU=1): the per-cluster matmul
+    intersection must match the jnp reference exactly in interpret mode
+    (dot_general is a plain f32 dot there — the iota-min tie-break and
+    strict-< cluster merge are what is under test)."""
+    monkeypatch.setenv("MRT_DEFERRED_MXU", "1")
+    state, scene = _dense_field_scene()
+    from madrona_renderer_tpu.core.scene import SMEM_TRI_BUDGET
+    from madrona_renderer_tpu.ops import raytrace_pallas as rp
+
+    S = state.instance_obj.shape[1] * scene.tris_per_object
+    assert rp._N_TRI_ROWS * S * 4 > SMEM_TRI_BUDGET, "must trigger DMA"
+    ref = rt_ref(state, scene, height=16, width=16)
+    pal = rt_pal(state, scene, height=16, width=16, interpret=True,
+                 accel="binned")
+    _assert_frames_equal(ref, pal)
+    assert (np.asarray(ref.segmask) >= 0).any()
+
+
+def test_parity_deferred_mxu_ordered(monkeypatch):
+    """Deferred-MXU through the ordered (non-binned) visit path, single
+    instance — covers the perm_ref cluster_at variant and partial
+    (cnt < cluster_size) tail clusters."""
+    monkeypatch.setenv("MRT_DEFERRED_MXU", "1")
+    state, scene = _dense_field_scene(seed=47, two_instances=False)
+    ref = rt_ref(state, scene, height=16, width=16)
+    pal = rt_pal(state, scene, height=16, width=16, interpret=True,
+                 accel="clusters")
+    _assert_frames_equal(ref, pal)
+
+
+def test_parity_deferred_mxu_matches_scalar(monkeypatch):
+    """The dmxu sweep and the scalar deferred sweep are exact-equal in
+    interpret mode (same formulas, same tie-breaks)."""
+    state, scene = _dense_field_scene(seed=53)
+    a = rt_pal(state, scene, height=16, width=16, interpret=True,
+               accel="binned")
+    monkeypatch.setenv("MRT_DEFERRED_MXU", "1")
+    b = rt_pal(state, scene, height=16, width=16, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.segmask),
+                                  np.asarray(b.segmask))
+
+
+def test_parity_deferred_mxu_rowskip(monkeypatch):
+    """Scanline-banded dmxu sweep (2D tiles: 64x256 -> tiles_x=2): rows
+    outside a cluster's projected span are skipped — must be invisible
+    (the host projection is conservative), exact vs the reference, and
+    exact vs the unskipped dmxu sweep."""
+    monkeypatch.setenv("MRT_DEFERRED_MXU", "1")
+    state, scene = _dense_field_scene(seed=59)
+    ref = rt_ref(state, scene, height=64, width=256)
+    pal = rt_pal(state, scene, height=64, width=256, interpret=True,
+                 accel="binned")
+    _assert_frames_equal(ref, pal)
+    monkeypatch.setenv("MRT_ROWSKIP", "0")
+    pal2 = rt_pal(state, scene, height=64, width=256, interpret=True,
+                  accel="binned")
+    np.testing.assert_array_equal(np.asarray(pal.rgb), np.asarray(pal2.rgb))
+    np.testing.assert_array_equal(np.asarray(pal.segmask),
+                                  np.asarray(pal2.segmask))
