@@ -468,6 +468,8 @@ def _render_kernel(
     deferred: bool = False,
     dmxu: bool = False,
     rowskip: bool = False,
+    defer_attrs: bool = False,
+    sweep_unroll: int = 1,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -512,6 +514,27 @@ def _render_kernel(
     # (camera_cluster_rowspans). Requires 2D tiles: one kernel sublane
     # row == one image row.
     assert not rowskip or (dmxu and tiles_x > 1)
+    # defer_attrs (resident twin of `deferred`): the SMEM-resident sweeps
+    # carry only (t, idx, u, v) — the ~22 vector ops/triangle of at-hit
+    # attribute interpolation + 8-way carry merges leave the inner loop —
+    # and the winner's attributes are lane-gathered ONCE per tile from a
+    # VMEM attr block (split layout rows 16+), one pass per 128-lane
+    # window. Mutually exclusive with the DMA-streamed deferred mode.
+    assert not defer_attrs or not (deferred or dma_tris or dmxu)
+    attr_lanes = -(-s_pad // _TILE_LANE) * _TILE_LANE
+    # sweep_unroll > 1: the carry-form sweeps (deferred / defer_attrs)
+    # probe `unroll` triangles per loop iteration with INDEPENDENT
+    # dependency chains (each tested against the loop-entry best_t) and
+    # fold them exactly — the sequential sweep's per-triangle carry chain
+    # is latency-bound, not throughput-bound (removing 22 vector
+    # ops/triangle measured flat), so ILP is the lever.
+    assert sweep_unroll == 1 or deferred or defer_attrs
+    # Over-sweep safety: the unrolled loops round the dynamic valid count
+    # up to a multiple of sweep_unroll, which must stay inside the
+    # cluster's (degenerate-padded) slots.
+    assert sweep_unroll == 1 or not culled or (
+        cluster_size % sweep_unroll == 0
+    )
 
     def kernel(*refs):
         scratch = sem = tex_scratch = tex_sem = None
@@ -529,6 +552,12 @@ def _render_kernel(
                 attr_scratch, attr_sem = extra.pop(0), extra.pop(0)
             if tex_paged:
                 tex_scratch, tex_sem = extra.pop(0), extra.pop(0)
+        attr_ref = None
+        if defer_attrs:
+            # VMEM attr block rides as input #2, right after the geometry.
+            refs = list(refs)
+            attr_ref = refs.pop(1)
+            refs = tuple(refs)
         perm_ref = bin_ref = rows_ref = None
         if culled and binned:
             tri_ref, cl_ref, bin_ref, *refs2 = refs
@@ -615,7 +644,7 @@ def _render_kernel(
         )
         if tex_paged:
             init = init + (zero,)  # texel density (mip level input)
-        if deferred:
+        if deferred or defer_attrs:
             init = init + (zero, zero)  # raw winner barycentrics (u, v)
 
         def make_tri_test(read, idx_base):
@@ -691,9 +720,10 @@ def _render_kernel(
                     & (t < jnp.minimum(far, best_t))
                 )
 
-                if deferred:
+                if deferred or defer_attrs:
                     # Carry only (t, idx, u, v); attributes resolve once
-                    # per visited cluster from the VMEM attr slab.
+                    # per visited cluster (deferred) or once per tile
+                    # (defer_attrs) from the VMEM attr slab.
                     return (
                         jnp.where(ok, t, best_t),
                         jnp.where(ok, gi, best_idx),
@@ -752,6 +782,89 @@ def _render_kernel(
                 return out
 
             return tri_test
+
+        def make_unrolled_body(read, idx_base):
+            """Carry-form sweep body testing `sweep_unroll` triangles per
+            iteration with independent dependency chains. Each probe is
+            tested against the LOOP-ENTRY best_t (a superset of the
+            sequential candidates), then the probes fold left-to-right
+            keeping the minimum t with strict-< (earliest index wins on
+            exact ties) — bit-exact equal to the sequential sweep. The
+            caller over-sweeps to a multiple of `sweep_unroll`; padding
+            slots are degenerate (zero edges → t = 0 → fails t > t_lo)."""
+
+            def probe(i, best_t):
+                v0x = read(0, i)
+                v0y = read(1, i)
+                v0z = read(2, i)
+                e1x = read(3, i)
+                e1y = read(4, i)
+                e1z = read(5, i)
+                e2x = read(6, i)
+                e2y = read(7, i)
+                e2z = read(8, i)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                t_num = e2x * qx + e2y * qy + e2z * qz
+                if deferred:
+                    ddx = e2y * e1z - e2z * e1y
+                    ddy = e2z * e1x - e2x * e1z
+                    ddz = e2x * e1y - e2y * e1x
+                    aax = e2y * tvz - e2z * tvy
+                    aay = e2z * tvx - e2x * tvz
+                    aaz = e2x * tvy - e2y * tvx
+                    det = dx * ddx + dy * ddy + dz * ddz
+                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                    u = (dx * aax + dy * aay + dz * aaz) * inv
+                    v = (dx * qx + dy * qy + dz * qz) * inv
+                    t = t_num * inv
+                else:
+                    px_ = dy * e2z - dz * e2y
+                    py_ = dz * e2x - dx * e2z
+                    pz_ = dx * e2y - dy * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                    u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+                    v = (dx * qx + dy * qy + dz * qz) * inv
+                    t = t_num * inv
+                ok = (
+                    (jnp.minimum(u, v) >= -_EPS_BARY)
+                    & (u + v <= 1.0 + _EPS_BARY)
+                    & (t > t_lo)
+                    & (t < jnp.minimum(far, best_t))
+                )
+                return t, u, v, ok
+
+            def body(i0, carry):
+                best_t, best_idx = carry[0], carry[1]
+                cands = [
+                    probe(i0 + j, best_t) for j in range(sweep_unroll)
+                ]
+                wt, wu, wv, wk = cands[0]
+                wg = None
+                for j in range(1, sweep_unroll):
+                    t, u, v, k = cands[j]
+                    take = k & (jnp.logical_not(wk) | (t < wt))
+                    gi_j = i0 + j + idx_base
+                    gi_0 = i0 + idx_base
+                    wg = jnp.where(take, gi_j, gi_0 if wg is None else wg)
+                    wt = jnp.where(take, t, wt)
+                    wu = jnp.where(take, u, wu)
+                    wv = jnp.where(take, v, wv)
+                    wk = wk | k
+                return (
+                    jnp.where(wk, wt, best_t),
+                    jnp.where(wk, wg, best_idx),
+                ) + tuple(carry[2:-2]) + (
+                    jnp.where(wk, wu, carry[-2]),
+                    jnp.where(wk, wv, carry[-1]),
+                )
+
+            return body
 
         if culled:
             safe = lambda d: jnp.where(
@@ -815,6 +928,16 @@ def _render_kernel(
                             lambda k, j: scratch[k, off + j], base
                         )
                         return jax.lax.fori_loop(0, cnt, tri_local, cr)
+                    if defer_attrs and sweep_unroll > 1:
+                        ub = make_unrolled_body(
+                            lambda k, j: tri_ref[0, k, j], 0
+                        )
+                        ngroups = (cnt + sweep_unroll - 1) // sweep_unroll
+                        return jax.lax.fori_loop(
+                            0, ngroups,
+                            lambda p, cr2: ub(base + p * sweep_unroll, cr2),
+                            cr,
+                        )
                     tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
                     return jax.lax.fori_loop(base, base + cnt, tri_resident, cr)
 
@@ -1215,6 +1338,19 @@ def _render_kernel(
                             attr_dma.start()
                             if dmxu:
                                 cr3 = mxu_cluster_sweep(cr2, slot, off, base, c)
+                            elif sweep_unroll > 1:
+                                ub = make_unrolled_body(
+                                    lambda k, j: geo_scratch[slot, k, off + j],
+                                    base,
+                                )
+                                ngroups = (
+                                    cnt + sweep_unroll - 1
+                                ) // sweep_unroll
+                                cr3 = jax.lax.fori_loop(
+                                    0, ngroups,
+                                    lambda p, c2: ub(p * sweep_unroll, c2),
+                                    cr2,
+                                )
                             else:
                                 tri_local = make_tri_test(
                                     lambda k, j: geo_scratch[slot, k, off + j],
@@ -1285,7 +1421,64 @@ def _render_kernel(
                 out = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
         else:
             tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
-            out = jax.lax.fori_loop(0, s_pad, tri_resident, init)
+            if defer_attrs and sweep_unroll > 1:
+                ub = make_unrolled_body(lambda k, j: tri_ref[0, k, j], 0)
+                n_main = s_pad // sweep_unroll
+                out = jax.lax.fori_loop(
+                    0, n_main,
+                    lambda p, cr: ub(p * sweep_unroll, cr),
+                    init,
+                )
+                for i in range(n_main * sweep_unroll, s_pad):
+                    out = tri_resident(i, out)
+            else:
+                out = jax.lax.fori_loop(0, s_pad, tri_resident, init)
+
+        if defer_attrs:
+            # Winner-attribute resolve — the resident twin of the deferred
+            # path's per-cluster resolve: one pass per 128-lane window of
+            # the VMEM attr block, lane-gathering the winning triangle's
+            # attribute rows for the pixels it won (best_idx is the global
+            # triangle index == attr lane index). Miss pixels (idx = -1)
+            # match no window and keep the zero init, exactly like the
+            # per-triangle merge they replace.
+            bt_, bi_ = out[0], out[1]
+            bu_, bv_ = out[-2], out[-1]
+            shape2 = bi_.shape
+            uc_ = jnp.clip(bu_, 0.0, 1.0)
+            vc_ = jnp.clip(bv_, 0.0, 1.0)
+            acc = list(out[2:-2])
+            for w0 in range(0, attr_lanes, _TILE_LANE):
+                changed = (bi_ >= w0) & (bi_ < w0 + _TILE_LANE)
+                lidx = jnp.clip(bi_ - w0, 0, _TILE_LANE - 1)
+
+                def aread(k, w0=w0, lidx=lidx):
+                    return jnp.take_along_axis(
+                        jnp.broadcast_to(
+                            attr_ref[0, k : k + 1, w0 : w0 + _TILE_LANE],
+                            shape2,
+                        ),
+                        lidx,
+                        axis=1,
+                    )
+
+                nxw = aread(6) + uc_ * aread(9) + vc_ * aread(12)
+                nyw = aread(7) + uc_ * aread(10) + vc_ * aread(13)
+                nzw = aread(8) + uc_ * aread(11) + vc_ * aread(14)
+                if shaded:
+                    a0 = aread(16)
+                    a1 = aread(17)
+                    a2 = aread(18)
+                else:
+                    a0 = aread(15)
+                    a1 = aread(0) + uc_ * aread(2) + vc_ * aread(4)
+                    a2 = aread(1) + uc_ * aread(3) + vc_ * aread(5)
+                vals = [a0, a1, a2, nxw, nyw, nzw]
+                if tex_paged:
+                    vals.append(aread(19))
+                for j, vj in enumerate(vals):
+                    acc[j] = jnp.where(changed, vj, acc[j])
+            out = (bt_, bi_) + tuple(acc)
 
         best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = out[:8]
         bdens = out[8] if tex_paged else None
@@ -2530,8 +2723,31 @@ def render_core(
         and _os.environ.get("MRT_ROWSKIP", "1") == "1"
     )
 
+    # Resident deferred-attribute resolve (r3): SMEM-resident sweeps carry
+    # only (t, idx, u, v) and the winner's attributes are gathered once
+    # per tile from a VMEM attr block — ~22 fewer vector ops per triangle
+    # in the inner loop (measured on-chip: see docs/benchmarks.md).
+    # MRT_DEFER_ATTRS=0 restores the at-hit interpolation carries.
+    defer_attrs = (
+        not dma_tris
+        and accel != "mxu"
+        and _os.environ.get("MRT_DEFER_ATTRS", "1") == "1"
+    )
+    # Carry-form sweep unrolling (ILP over the latency-bound per-triangle
+    # carry chain); only meaningful for the (t, idx, u, v)-carry sweeps.
+    sweep_unroll = int(_os.environ.get("MRT_SWEEP_UNROLL", "1"))
+    if not (deferred or defer_attrs):
+        sweep_unroll = 1
+    s_attr_pad = -(-S // _TILE_LANE) * _TILE_LANE
+    attrs = None
     if deferred:
         tris = _pack_tris_split(soup, scene)  # [W, 40, S]
+    elif defer_attrs:
+        split = _pack_tris_split(soup, scene)  # [W, 40, S]
+        tris = split[:, :_N_GEO_ROWS]  # geometry rows → SMEM block
+        attrs = split[:, _N_GEO_ROWS:]  # attr rows → VMEM block
+        if s_attr_pad != S:
+            attrs = jnp.pad(attrs, ((0, 0), (0, 0), (0, s_attr_pad - S)))
     else:
         tris = _pack_tris(soup, scene)  # [W, 32, S]
     cams = _pack_cams(
@@ -2540,7 +2756,14 @@ def render_core(
 
     grid = (WC, n_tiles)
     tri_spec = pl.BlockSpec(
-        (1, _N_TRI_ROWS, S), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
+        (1, _N_GEO_ROWS if defer_attrs else _N_TRI_ROWS, S),
+        lambda wc, r: (wc // C, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    attr_spec = pl.BlockSpec(
+        (1, _N_ATTR_ROWS, s_attr_pad),
+        lambda wc, r: (wc // C, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     cam_spec = pl.BlockSpec(
         (1, 1, _n_cam_cols(int(scene.light_dir.shape[0]))),
@@ -2605,6 +2828,7 @@ def render_core(
             n_lights=int(scene.light_dir.shape[0]), shadows=shadows,
             tiles_x=tiles_x, tex_paged=tex_paged, n_levels=n_levels,
             deferred=deferred, dmxu=dmxu, rowskip=rowskip,
+            defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
         )
         cl_spec = pl.BlockSpec(
             (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
@@ -2678,15 +2902,18 @@ def render_core(
                 pltpu.VMEM((TEX_PAGE_ROWS, _TILE_LANE), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ]
+        attr_specs, attr_inputs = [], ()
+        if defer_attrs:
+            attr_specs, attr_inputs = [attr_spec], (attrs,)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec_used] + extra_in_specs,
+            in_specs=[tri_spec_used] + attr_specs + extra_in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
-        )(tris, *extra_inputs)
+        )(tris, *attr_inputs, *extra_inputs)
     else:
         if tri_block_bytes > SMEM_TRI_BUDGET:
             raise ValueError(
@@ -2699,11 +2926,15 @@ def render_core(
             tex_filter=texture_filter, n_lights=int(scene.light_dir.shape[0]),
             shadows=shadows, tiles_x=tiles_x,
             tex_paged=tex_paged, n_levels=n_levels,
+            defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
         )
+        attr_specs, attr_inputs = [], ()
+        if defer_attrs:
+            attr_specs, attr_inputs = [attr_spec], (attrs,)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec, cam_spec] + tex_in_specs,
+            in_specs=[tri_spec] + attr_specs + [cam_spec] + tex_in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=(
@@ -2711,7 +2942,7 @@ def render_core(
                  pltpu.SemaphoreType.DMA] if tex_paged else []
             ),
             interpret=interpret,
-        )(tris, cams, *tex_inputs)
+        )(tris, *attr_inputs, cams, *tex_inputs)
 
     def unpack(x):
         if tiles_x > 1:
