@@ -2733,9 +2733,15 @@ def render_core(
         and accel != "mxu"
         and _os.environ.get("MRT_DEFER_ATTRS", "1") == "1"
     )
-    # Carry-form sweep unrolling (ILP over the latency-bound per-triangle
-    # carry chain); only meaningful for the (t, idx, u, v)-carry sweeps.
-    sweep_unroll = int(_os.environ.get("MRT_SWEEP_UNROLL", "1"))
+    # Carry-form sweep unrolling (ILP over the per-triangle carry chain);
+    # only meaningful for the (t, idx, u, v)-carry sweeps. Measured on the
+    # 100k-tri 512² terrain: unroll 1/2/4/8 → 64.0/67.9/71.1/70.1 f/s —
+    # default 4 for the DMA-deferred sweep. The resident sweeps measured
+    # FLAT at unroll 2 and -5% at 4 (they are bound by the vector math
+    # volume + per-program floor, not the carry chain) — default 1 there.
+    sweep_unroll = int(
+        _os.environ.get("MRT_SWEEP_UNROLL", "4" if deferred else "1")
+    )
     if not (deferred or defer_attrs):
         sweep_unroll = 1
     s_attr_pad = -(-S // _TILE_LANE) * _TILE_LANE
