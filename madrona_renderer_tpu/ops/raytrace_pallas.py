@@ -470,6 +470,8 @@ def _render_kernel(
     rowskip: bool = False,
     defer_attrs: bool = False,
     sweep_unroll: int = 1,
+    wpp: int = 1,
+    tpp: int = 1,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -535,6 +537,13 @@ def _render_kernel(
     assert sweep_unroll == 1 or not culled or (
         cluster_size % sweep_unroll == 0
     )
+    # Supertiling constraints: excluded paths keep 1×1 programs; folding
+    # worlds requires whole-camera programs (tpp == n_tiles, one camera
+    # per world so consecutive grid rows are consecutive worlds).
+    if wpp > 1 or tpp > 1:
+        assert not (dma_tris or deferred or tex_paged or rowskip)
+        assert n_tiles % tpp == 0
+        assert wpp == 1 or (tpp == n_tiles and num_cams == 1)
 
     def kernel(*refs):
         scratch = sem = tex_scratch = tex_sem = None
@@ -558,7 +567,7 @@ def _render_kernel(
             refs = list(refs)
             attr_ref = refs.pop(1)
             refs = tuple(refs)
-        perm_ref = bin_ref = rows_ref = None
+        cl_ref = perm_ref = bin_ref = rows_ref = None
         if culled and binned:
             tri_ref, cl_ref, bin_ref, *refs2 = refs
         elif culled and ordered:
@@ -576,1593 +585,1637 @@ def _render_kernel(
             mp_ref, pool_ref, *rest = rest
         elif tex_paged:
             mp_ref, fb_ref, pool_hbm_ref, *rest = rest
+        rgb_ref = mat_ref = u_ref = v_ref = nx_ref = ny_ref = nz_ref = None
         if shaded or textured or tex_paged:
             t_ref, z_ref, idx_ref, rgb_ref = rest
         else:
             t_ref, z_ref, idx_ref, mat_ref, u_ref, v_ref, nx_ref, ny_ref, nz_ref = rest
 
-        r = pl.program_id(1)
-        w_idx = pl.program_id(0) // num_cams  # world index (DMA source row)
-
-        # ---- In-kernel ray generation --------------------------------- #
-        ox = cam_ref[0, 0, 0]
-        oy = cam_ref[0, 0, 1]
-        oz = cam_ref[0, 0, 2]
-        rxx = cam_ref[0, 0, 3]
-        rxy = cam_ref[0, 0, 4]
-        rxz = cam_ref[0, 0, 5]
-        fx = cam_ref[0, 0, 6]
-        fy = cam_ref[0, 0, 7]
-        fz = cam_ref[0, 0, 8]
-        ux = cam_ref[0, 0, 9]
-        uy = cam_ref[0, 0, 10]
-        uz = cam_ref[0, 0, 11]
-        tan_x = cam_ref[0, 0, 12]
-        tan_y = cam_ref[0, 0, 13]
-        near = cam_ref[0, 0, 14]  # t-space (rt) or z-space (raster) near
-        far = cam_ref[0, 0, 15]  # t-space search window upper bound
-
-        sub = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 1)
-        if tiles_x > 1:
-            # 2D tile: r = ty·tiles_x + tx owns a (tile_sub × 128) screen
-            # rectangle (bottom tiles may overhang; cropped at unpack).
-            px = (r % tiles_x * _TILE_LANE + lane).astype(jnp.float32)
-            py = (r // tiles_x * tile_sub + sub).astype(jnp.float32)
-        else:
-            p = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
-            px = (p % width).astype(jnp.float32)
-            py = (p // width).astype(jnp.float32)
-        a = ((px + 0.5) * (2.0 / width) - 1.0) * tan_x
-        b = (1.0 - (py + 0.5) * (2.0 / height)) * tan_y
-        dx = a * rxx + fx + b * ux
-        dy = a * rxy + fy + b * uy
-        dz = a * rxz + fz + b * uz
-        inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-        dx = dx * inv_len
-        dy = dy * inv_len
-        dz = dz * inv_len
-        cosf = dx * fx + dy * fy + dz * fz
-        if raster_clip:
-            # z-buffer near-plane semantics: a fragment with z < znear is
-            # clipped BEFORE the depth competition, so the per-pixel
-            # t-space lower bound is exactly znear / cos(angle to forward).
-            t_lo = near / jnp.maximum(cosf, 1e-6)
-        else:
-            t_lo = near
-
-        zero = jnp.zeros((tile_sub, _TILE_LANE), jnp.float32)
-        init = (
-            jnp.full((tile_sub, _TILE_LANE), jnp.inf, jnp.float32),  # best_t
-            jnp.full((tile_sub, _TILE_LANE), -1, jnp.int32),  # best_idx
-            zero,  # mat (as f32)
-            zero,  # uvx
-            zero,  # uvy
-            zero,  # nx
-            zero,  # ny
-            zero,  # nz
-        )
-        if tex_paged:
-            init = init + (zero,)  # texel density (mip level input)
-        if deferred or defer_attrs:
-            init = init + (zero, zero)  # raw winner barycentrics (u, v)
-
-        def make_tri_test(read, idx_base):
-            """Triangle test parametric over the scalar reader: the SMEM
-            path reads the resident block; the DMA path reads the streamed
-            scratch slab with a global index offset for best_idx."""
-
-            def tri_test(i, carry):
-                best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry[:8]
-                gi = i + idx_base
-                v0x = read(0, i)
-                v0y = read(1, i)
-                v0z = read(2, i)
-                e1x = read(3, i)
-                e1y = read(4, i)
-                e1z = read(5, i)
-                e2x = read(6, i)
-                e2y = read(7, i)
-                e2z = read(8, i)
-
-                # Pinhole factorization: ray-independent per-tri scalars.
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                t_num = e2x * qx + e2y * qy + e2z * qz
-
-                if deferred:
-                    # Full factorization (the jnp reference's formulation,
-                    # intersect_bruteforce): every numerator is a dot of
-                    # the ray direction with a per-triangle scalar vector
-                    # — D = e2×e1 (det), A = e2×tvec (u), B = qvec (v).
-                    # ~7 fewer vector ops per triangle, measured NEUTRAL
-                    # on the 512² terrain (62.8 vs 63.2 f/s — the
-                    # deferred sweep is scalar-unit-bound); kept because
-                    # it mirrors the reference's arithmetic exactly. The
-                    # resident kernel keeps the pvec form (measured
-                    # neutral-to-worse there, r2).
-                    ddx = e2y * e1z - e2z * e1y
-                    ddy = e2z * e1x - e2x * e1z
-                    ddz = e2x * e1y - e2y * e1x
-                    aax = e2y * tvz - e2z * tvy
-                    aay = e2z * tvx - e2x * tvz
-                    aaz = e2x * tvy - e2y * tvx
-                    det = dx * ddx + dy * ddy + dz * ddz
-                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-                    u = (dx * aax + dy * aay + dz * aaz) * inv
-                    v = (dx * qx + dy * qy + dz * qz) * inv
-                    t = t_num * inv
+        # Supertiling (wpp worlds × tpp tiles per grid program): the whole
+        # per-tile pipeline below runs inside tile_body, once per (wi, ti)
+        # sub-tile, against 1-world/1-tile `.at` views of the supertile's
+        # blocks — amortizing the per-program floor (block DMA issue,
+        # grid-step overhead, raygen/epilogue bubbles) measured at
+        # 0.5–0.8 µs/program on small scenes. wpp/tpp == 1 traces the
+        # classic one-tile program unchanged.
+        def tile_body(
+            ti, wi,
+            tri_ref=tri_ref, cl_ref=cl_ref, bin_ref=bin_ref,
+            perm_ref=perm_ref, cam_ref=cam_ref, attr_ref=attr_ref,
+            t_ref=t_ref, z_ref=z_ref, idx_ref=idx_ref, rgb_ref=rgb_ref,
+            mat_ref=mat_ref, u_ref=u_ref, v_ref=v_ref,
+            nx_ref=nx_ref, ny_ref=ny_ref, nz_ref=nz_ref,
+        ):
+            if wpp > 1 or tpp > 1:
+                row = slice(wi, wi + 1)
+                tri_ref = tri_ref.at[row]
+                cl_ref = None if cl_ref is None else cl_ref.at[row]
+                bt = wi * tpp + ti
+                bin_ref = (
+                    None if bin_ref is None else bin_ref.at[bt : bt + 1]
+                )
+                perm_ref = None if perm_ref is None else perm_ref.at[row]
+                cam_ref = cam_ref.at[row]
+                attr_ref = None if attr_ref is None else attr_ref.at[row]
+                crop = slice(ti * tile_sub, (ti + 1) * tile_sub)
+                t_ref = t_ref.at[row, crop]
+                z_ref = z_ref.at[row, crop]
+                idx_ref = idx_ref.at[row, crop]
+                if rgb_ref is not None:
+                    rgb_ref = rgb_ref.at[row, crop]
                 else:
-                    px_ = dy * e2z - dz * e2y
-                    py_ = dz * e2x - dx * e2z
-                    pz_ = dx * e2y - dy * e2x
-                    det = e1x * px_ + e1y * py_ + e1z * pz_
-                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-                    u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
-                    v = (dx * qx + dy * qy + dz * qz) * inv
-                    t = t_num * inv
+                    mat_ref = mat_ref.at[row, crop]
+                    u_ref = u_ref.at[row, crop]
+                    v_ref = v_ref.at[row, crop]
+                    nx_ref = nx_ref.at[row, crop]
+                    ny_ref = ny_ref.at[row, crop]
+                    nz_ref = nz_ref.at[row, crop]
+            r = pl.program_id(1) * tpp + ti
+            w_idx = pl.program_id(0) // num_cams  # world idx (DMA source row)
 
-                # No validity / det test needed: invalid or degenerate
-                # triangles produce inv = 0 → t = 0, which fails t > t_lo
-                # (t_lo > 0 always: effective near planes are positive).
-                # Fused hit test — exact-equivalent rewrites:
-                # min(u,v) ≥ -ε  ≡  u ≥ -ε ∧ v ≥ -ε, and
-                # t < min(far, best_t)  ≡  t < far ∧ t < best_t
-                # (no NaNs reach here: degenerate triangles give inv = 0).
-                ok = (
-                    (jnp.minimum(u, v) >= -_EPS_BARY)
-                    & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > t_lo)
-                    & (t < jnp.minimum(far, best_t))
-                )
+            # ---- In-kernel ray generation --------------------------------- #
+            ox = cam_ref[0, 0, 0]
+            oy = cam_ref[0, 0, 1]
+            oz = cam_ref[0, 0, 2]
+            rxx = cam_ref[0, 0, 3]
+            rxy = cam_ref[0, 0, 4]
+            rxz = cam_ref[0, 0, 5]
+            fx = cam_ref[0, 0, 6]
+            fy = cam_ref[0, 0, 7]
+            fz = cam_ref[0, 0, 8]
+            ux = cam_ref[0, 0, 9]
+            uy = cam_ref[0, 0, 10]
+            uz = cam_ref[0, 0, 11]
+            tan_x = cam_ref[0, 0, 12]
+            tan_y = cam_ref[0, 0, 13]
+            near = cam_ref[0, 0, 14]  # t-space (rt) or z-space (raster) near
+            far = cam_ref[0, 0, 15]  # t-space search window upper bound
 
-                if deferred or defer_attrs:
-                    # Carry only (t, idx, u, v); attributes resolve once
-                    # per visited cluster (deferred) or once per tile
-                    # (defer_attrs) from the VMEM attr slab.
-                    return (
-                        jnp.where(ok, t, best_t),
-                        jnp.where(ok, gi, best_idx),
-                    ) + tuple(carry[2:-2]) + (
-                        jnp.where(ok, u, carry[-2]),
-                        jnp.where(ok, v, carry[-1]),
-                    )
+            sub = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 1)
+            if tiles_x > 1:
+                # 2D tile: r = ty·tiles_x + tx owns a (tile_sub × 128) screen
+                # rectangle (bottom tiles may overhang; cropped at unpack).
+                px = (r % tiles_x * _TILE_LANE + lane).astype(jnp.float32)
+                py = (r // tiles_x * tile_sub + sub).astype(jnp.float32)
+            else:
+                p = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
+                px = (p % width).astype(jnp.float32)
+                py = (p // width).astype(jnp.float32)
+            a = ((px + 0.5) * (2.0 / width) - 1.0) * tan_x
+            b = (1.0 - (py + 0.5) * (2.0 / height)) * tan_y
+            dx = a * rxx + fx + b * ux
+            dy = a * rxy + fy + b * uy
+            dz = a * rxz + fz + b * uz
+            inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            dx = dx * inv_len
+            dy = dy * inv_len
+            dz = dz * inv_len
+            cosf = dx * fx + dy * fy + dz * fz
+            if raster_clip:
+                # z-buffer near-plane semantics: a fragment with z < znear is
+                # clipped BEFORE the depth competition, so the per-pixel
+                # t-space lower bound is exactly znear / cos(angle to forward).
+                t_lo = near / jnp.maximum(cosf, 1e-6)
+            else:
+                t_lo = near
 
-                # Attribute interpolation at hit time (clipped barycentrics,
-                # matching the reference-path epilogue).
-                uc = jnp.clip(u, 0.0, 1.0)
-                vc = jnp.clip(v, 0.0, 1.0)
-                n0x = read(16, i)
-                n0y = read(17, i)
-                n0z = read(18, i)
-                dn1x = read(19, i)
-                dn1y = read(20, i)
-                dn1z = read(21, i)
-                dn2x = read(22, i)
-                dn2y = read(23, i)
-                dn2z = read(24, i)
-                nx = n0x + uc * dn1x + vc * dn2x
-                ny = n0y + uc * dn1y + vc * dn2y
-                nz = n0z + uc * dn1z + vc * dn2z
-
-                if shaded:
-                    # Premultiplied material color (rows 26-28): carry color
-                    # instead of (mat, uv) — same carry count, no epilogue.
-                    a0 = read(26, i)
-                    a1 = read(27, i)
-                    a2 = read(28, i)
-                else:
-                    uv0x = read(10, i)
-                    uv0y = read(11, i)
-                    duv1x = read(12, i)
-                    duv1y = read(13, i)
-                    duv2x = read(14, i)
-                    duv2y = read(15, i)
-                    a0 = read(25, i)  # mat id
-                    a1 = uv0x + uc * duv1x + vc * duv2x
-                    a2 = uv0y + uc * duv1y + vc * duv2y
-
-                out = (
-                    jnp.where(ok, t, best_t),
-                    jnp.where(ok, gi, best_idx),
-                    jnp.where(ok, a0, bmat),
-                    jnp.where(ok, a1, buvx),
-                    jnp.where(ok, a2, buvy),
-                    jnp.where(ok, nx, bnx),
-                    jnp.where(ok, ny, bny),
-                    jnp.where(ok, nz, bnz),
-                )
-                if tex_paged:
-                    # Row 29: texels-per-world-unit (mip level input).
-                    out = out + (jnp.where(ok, read(29, i), carry[8]),)
-                return out
-
-            return tri_test
-
-        def make_unrolled_body(read, idx_base):
-            """Carry-form sweep body testing `sweep_unroll` triangles per
-            iteration with independent dependency chains. Each probe is
-            tested against the LOOP-ENTRY best_t (a superset of the
-            sequential candidates), then the probes fold left-to-right
-            keeping the minimum t with strict-< (earliest index wins on
-            exact ties) — bit-exact equal to the sequential sweep. The
-            caller over-sweeps to a multiple of `sweep_unroll`; padding
-            slots are degenerate (zero edges → t = 0 → fails t > t_lo)."""
-
-            def probe(i, best_t):
-                v0x = read(0, i)
-                v0y = read(1, i)
-                v0z = read(2, i)
-                e1x = read(3, i)
-                e1y = read(4, i)
-                e1z = read(5, i)
-                e2x = read(6, i)
-                e2y = read(7, i)
-                e2z = read(8, i)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                t_num = e2x * qx + e2y * qy + e2z * qz
-                if deferred:
-                    ddx = e2y * e1z - e2z * e1y
-                    ddy = e2z * e1x - e2x * e1z
-                    ddz = e2x * e1y - e2y * e1x
-                    aax = e2y * tvz - e2z * tvy
-                    aay = e2z * tvx - e2x * tvz
-                    aaz = e2x * tvy - e2y * tvx
-                    det = dx * ddx + dy * ddy + dz * ddz
-                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-                    u = (dx * aax + dy * aay + dz * aaz) * inv
-                    v = (dx * qx + dy * qy + dz * qz) * inv
-                    t = t_num * inv
-                else:
-                    px_ = dy * e2z - dz * e2y
-                    py_ = dz * e2x - dx * e2z
-                    pz_ = dx * e2y - dy * e2x
-                    det = e1x * px_ + e1y * py_ + e1z * pz_
-                    inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-                    u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
-                    v = (dx * qx + dy * qy + dz * qz) * inv
-                    t = t_num * inv
-                ok = (
-                    (jnp.minimum(u, v) >= -_EPS_BARY)
-                    & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > t_lo)
-                    & (t < jnp.minimum(far, best_t))
-                )
-                return t, u, v, ok
-
-            def body(i0, carry):
-                best_t, best_idx = carry[0], carry[1]
-                cands = [
-                    probe(i0 + j, best_t) for j in range(sweep_unroll)
-                ]
-                wt, wu, wv, wk = cands[0]
-                wg = None
-                for j in range(1, sweep_unroll):
-                    t, u, v, k = cands[j]
-                    take = k & (jnp.logical_not(wk) | (t < wt))
-                    gi_j = i0 + j + idx_base
-                    gi_0 = i0 + idx_base
-                    wg = jnp.where(take, gi_j, gi_0 if wg is None else wg)
-                    wt = jnp.where(take, t, wt)
-                    wu = jnp.where(take, u, wu)
-                    wv = jnp.where(take, v, wv)
-                    wk = wk | k
-                return (
-                    jnp.where(wk, wt, best_t),
-                    jnp.where(wk, wg, best_idx),
-                ) + tuple(carry[2:-2]) + (
-                    jnp.where(wk, wu, carry[-2]),
-                    jnp.where(wk, wv, carry[-1]),
-                )
-
-            return body
-
-        if culled:
-            safe = lambda d: jnp.where(
-                jnp.abs(d) > 1e-20, d, jnp.where(d < 0, -1e-20, 1e-20)
+            zero = jnp.zeros((tile_sub, _TILE_LANE), jnp.float32)
+            init = (
+                jnp.full((tile_sub, _TILE_LANE), jnp.inf, jnp.float32),  # best_t
+                jnp.full((tile_sub, _TILE_LANE), -1, jnp.int32),  # best_idx
+                zero,  # mat (as f32)
+                zero,  # uvx
+                zero,  # uvy
+                zero,  # nx
+                zero,  # ny
+                zero,  # nz
             )
-            ivx = 1.0 / safe(dx)
-            ivy = 1.0 / safe(dy)
-            ivz = 1.0 / safe(dz)
+            if tex_paged:
+                init = init + (zero,)  # texel density (mip level input)
+            if deferred or defer_attrs:
+                init = init + (zero, zero)  # raw winner barycentrics (u, v)
 
-            def visit_cluster(c, carry):
-                best_t = carry[0]
-                lox = cl_ref[0, 0, c]
-                loy = cl_ref[0, 1, c]
-                loz = cl_ref[0, 2, c]
-                hix = cl_ref[0, 3, c]
-                hiy = cl_ref[0, 4, c]
-                hiz = cl_ref[0, 5, c]
-                cvalid = cl_ref[0, 6, c]
-                t1x = (lox - ox) * ivx
-                t2x = (hix - ox) * ivx
-                t1y = (loy - oy) * ivy
-                t2y = (hiy - oy) * ivy
-                t1z = (loz - oz) * ivz
-                t2z = (hiz - oz) * ivz
-                tmin = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                    jnp.minimum(t1z, t2z),
-                )
-                tmax = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                    jnp.maximum(t1z, t2z),
-                )
-                possible = (
-                    (tmax >= tmin) & (tmax > near) & (tmin < far) & (tmin < best_t)
-                )
-                any_hit = jnp.any(possible) & (cvalid > 0.0)
+            def make_tri_test(read, idx_base):
+                """Triangle test parametric over the scalar reader: the SMEM
+                path reads the resident block; the DMA path reads the streamed
+                scratch slab with a global index offset for best_idx."""
 
-                def process(cr):
-                    # Loop only over the cluster's contiguous valid prefix
-                    # (Morton sort puts padding at the tail) — a dynamic
-                    # scalar bound, so padding slots are never swept.
-                    base = c * cluster_size
-                    cnt = cl_ref[0, 7, c].astype(jnp.int32)
-                    if dma_tris:
-                        # Stream this cluster's triangle slab HBM → SMEM.
-                        # DMA lane slices must be 128-aligned; cluster sizes
-                        # are powers of two (bake guarantee), so a window of
-                        # max(cluster_size, 128) starting at the aligned
-                        # base always covers the cluster.
-                        window = max(cluster_size, 128)
-                        aligned = (base // window) * window
-                        off = base - aligned
-                        dma = pltpu.make_async_copy(
-                            tri_ref.at[w_idx, :, pl.ds(aligned, window)],
-                            scratch,
-                            sem,
-                        )
-                        dma.start()
-                        dma.wait()
-                        tri_local = make_tri_test(
-                            lambda k, j: scratch[k, off + j], base
-                        )
-                        return jax.lax.fori_loop(0, cnt, tri_local, cr)
-                    if defer_attrs and sweep_unroll > 1:
-                        ub = make_unrolled_body(
-                            lambda k, j: tri_ref[0, k, j], 0
-                        )
-                        ngroups = (cnt + sweep_unroll - 1) // sweep_unroll
-                        return jax.lax.fori_loop(
-                            0, ngroups,
-                            lambda p, cr2: ub(base + p * sweep_unroll, cr2),
-                            cr,
-                        )
-                    tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
-                    return jax.lax.fori_loop(base, base + cnt, tri_resident, cr)
+                def tri_test(i, carry):
+                    best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry[:8]
+                    gi = i + idx_base
+                    v0x = read(0, i)
+                    v0y = read(1, i)
+                    v0z = read(2, i)
+                    e1x = read(3, i)
+                    e1y = read(4, i)
+                    e1z = read(5, i)
+                    e2x = read(6, i)
+                    e2y = read(7, i)
+                    e2z = read(8, i)
 
-                return jax.lax.cond(any_hit, process, lambda cr: cr, carry)
+                    # Pinhole factorization: ray-independent per-tri scalars.
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    t_num = e2x * qx + e2y * qy + e2z * qz
 
-            def approach_dist2(c):
-                """Squared closest-approach distance, camera → cluster c's
-                AABB (scalar; must lower-bound any hit t in the cluster —
-                the kernel-side twin of _cluster_approach_dist2)."""
-                ax = jnp.maximum(
-                    jnp.maximum(cl_ref[0, 0, c] - ox, ox - cl_ref[0, 3, c]), 0.0
-                )
-                ay = jnp.maximum(
-                    jnp.maximum(cl_ref[0, 1, c] - oy, oy - cl_ref[0, 4, c]), 0.0
-                )
-                az = jnp.maximum(
-                    jnp.maximum(cl_ref[0, 2, c] - oz, oz - cl_ref[0, 5, c]), 0.0
-                )
-                return ax * ax + ay * ay + az * az
-
-            def front_to_back_sweep(n_scalar, cluster_at):
-                """Visit clusters in the (ascending closest-approach)
-                order given by cluster_at, stopping as soon as no pixel's
-                search window can reach the current cluster — every later
-                cluster is at least as far, so nothing downstream can
-                improve any pixel. The 0.998 factor absorbs f32 rounding
-                skew between this scalar distance and the XLA sort key."""
-
-                def cond(carry):
-                    return (carry[0] < n_scalar) & (carry[1] == 0)
-
-                def body(carry):
-                    b, _, *st = carry
-                    c = cluster_at(b)
-                    best_t = st[0]
-                    tf = jnp.minimum(best_t, far)
-                    live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
-                    live = live & (cl_ref[0, 6, c] > 0.0)
-                    st2 = jax.lax.cond(
-                        live,
-                        lambda s: visit_cluster(c, s),
-                        lambda s: s,
-                        tuple(st),
-                    )
-                    done = jnp.where(live, jnp.int32(0), jnp.int32(1))
-                    return (b + 1, done) + st2
-
-                out = jax.lax.while_loop(
-                    cond, body, (jnp.int32(0), jnp.int32(0)) + init
-                )
-                return out[2:]
-
-            if deferred:
-                # Deferred big-mesh sweep: double-buffered geometry DMA
-                # (prefetch bin[b+1] during bin[b]'s sweep), attribute
-                # slab DMA'd to VMEM in parallel with the sweep and
-                # resolved once per visited cluster by lane-gathers over
-                # the winning pixels — attribute interpolation leaves the
-                # per-triangle inner loop entirely.
-                window = max(cluster_size, 128)
-                assert window == _TILE_LANE, "deferred needs 128-lane windows"
-                if binned:
-                    nb = bin_ref[0, 0, 0]
-                    cluster_at = lambda b: bin_ref[0, 0, 1 + b]
-                else:
-                    nb = jnp.int32(n_clusters)
-                    cluster_at = lambda b: perm_ref[0, 0, b].astype(jnp.int32)
-
-                def win_of(c):
-                    # Window INDEX (not byte/lane offset): carried through
-                    # the loop and multiplied by `window` only at the DMA
-                    # slice, so Mosaic can prove 128-divisibility.
-                    return c * cluster_size // window
-
-                def geo_dma(slot, wi):
-                    return pltpu.make_async_copy(
-                        tri_ref.at[
-                            w_idx, pl.ds(0, _N_GEO_ROWS),
-                            pl.ds(wi * window, window),
-                        ],
-                        geo_scratch.at[slot],
-                        geo_sem.at[slot],
-                    )
-
-                @pl.when(nb > 0)
-                def _warm():
-                    geo_dma(
-                        jnp.int32(0), win_of(cluster_at(jnp.int32(0)))
-                    ).start()
-
-                if dmxu:
-                    # --- MXU cluster sweep (deferred-mxu) ---------------- #
-                    # Per-tile rhs: block-diagonal [10, 4·128] per pixel
-                    # row (the _batched_kernel layout — d bands for the
-                    # det/u/v numerators + a ones band broadcasting
-                    # t_num), built ONCE and reused for every visited
-                    # cluster. lhsT [10, K] comes from a vectorized
-                    # per-cluster prepass over the VMEM geometry slab —
-                    # the per-triangle scalar SMEM stream (the deferred
-                    # sweep's bottleneck) disappears entirely.
-                    blk4 = (
-                        jax.lax.broadcasted_iota(
-                            jnp.int32, (1, 4 * _TILE_LANE), 1
-                        )
-                        // _TILE_LANE
-                    )
-                    ones_row = jnp.ones((1, _TILE_LANE), jnp.float32)
-                    rhs_rows = []
-                    for i in range(tile_sub):
-                        d4 = jnp.concatenate(
-                            [dx[i : i + 1], dy[i : i + 1], dz[i : i + 1],
-                             ones_row],
-                            axis=0,
-                        )
-                        dcat = jnp.concatenate([d4] * 4, axis=1)
-                        rws = [
-                            jnp.where(
-                                blk4 == row // 3,
-                                dcat[row % 3 : row % 3 + 1, :],
-                                0.0,
-                            )
-                            for row in range(9)
-                        ]
-                        rws.append(jnp.where(blk4 == 3, 1.0, 0.0))
-                        rhs_rows.append(jnp.concatenate(rws, axis=0))
-                    cs = cluster_size
-                    ltri_cs = jax.lax.broadcasted_iota(
-                        jnp.int32, (cs, _TILE_LANE), 0
-                    )
-
-                    def mxu_cluster_sweep(cr2, slot, off, base, c):
-                        g = jax.lax.cond(
-                            slot == 0,
-                            lambda: geo_scratch[0][...],
-                            lambda: geo_scratch[1][...],
-                        )  # [16, window] — only the correct slot is read
-                        v0x, v0y, v0z = g[0:1], g[1:2], g[2:3]
-                        e1x, e1y, e1z = g[3:4], g[4:5], g[5:6]
-                        e2x, e2y, e2z = g[6:7], g[7:8], g[8:9]
-                        tvx = ox - v0x
-                        tvy = oy - v0y
-                        tvz = oz - v0z
-                        # Same full factorization as the scalar deferred
-                        # sweep: D = e2×e1, A = e2×tvec, B = tvec×e1,
-                        # t_num = e2·B. Padded/invalid lanes have zero
-                        # edges → det = 0 → t = 0 → fail t > t_lo.
+                    if deferred:
+                        # Full factorization (the jnp reference's formulation,
+                        # intersect_bruteforce): every numerator is a dot of
+                        # the ray direction with a per-triangle scalar vector
+                        # — D = e2×e1 (det), A = e2×tvec (u), B = qvec (v).
+                        # ~7 fewer vector ops per triangle, measured NEUTRAL
+                        # on the 512² terrain (62.8 vs 63.2 f/s — the
+                        # deferred sweep is scalar-unit-bound); kept because
+                        # it mirrors the reference's arithmetic exactly. The
+                        # resident kernel keeps the pvec form (measured
+                        # neutral-to-worse there, r2).
                         ddx = e2y * e1z - e2z * e1y
                         ddy = e2z * e1x - e2x * e1z
                         ddz = e2x * e1y - e2y * e1x
                         aax = e2y * tvz - e2z * tvy
                         aay = e2z * tvx - e2x * tvz
                         aaz = e2x * tvy - e2y * tvx
-                        qx = tvy * e1z - tvz * e1y
-                        qy = tvz * e1x - tvx * e1z
-                        qz = tvx * e1y - tvy * e1x
-                        tn = e2x * qx + e2y * qy + e2z * qz
-                        pre = jnp.concatenate(
-                            [ddx, ddy, ddz, aax, aay, aaz, qx, qy, qz, tn],
-                            axis=0,
-                        )  # [10, window]
-                        if window // cs > 1:
-                            lhsT = jax.lax.switch(
-                                off // cs,
-                                [
-                                    (lambda o=o: pre[:, o * cs : (o + 1) * cs])
-                                    for o in range(window // cs)
-                                ],
-                            )
-                        else:
-                            lhsT = pre
-                        best_t_, best_idx_ = cr2[0], cr2[1]
-                        bu, bv = cr2[-2], cr2[-1]
-                        if rowskip:
-                            # Scanline banding: this cluster only touches
-                            # image rows [rlo, rhi] (conservative host
-                            # projection) — skip the others' matmuls.
-                            rlo = rows_ref[0, 0, c]
-                            rhi = rows_ref[0, 1, c]
-                            tile_row0 = (r // tiles_x) * tile_sub
+                        det = dx * ddx + dy * ddy + dz * ddz
+                        inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                        u = (dx * aax + dy * aay + dz * aaz) * inv
+                        v = (dx * qx + dy * qy + dz * qz) * inv
+                        t = t_num * inv
+                    else:
+                        px_ = dy * e2z - dz * e2y
+                        py_ = dz * e2x - dx * e2z
+                        pz_ = dx * e2y - dy * e2x
+                        det = e1x * px_ + e1y * py_ + e1z * pz_
+                        inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                        u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+                        v = (dx * qx + dy * qy + dz * qz) * inv
+                        t = t_num * inv
 
-                        def sweep_row(i):
-                            nums = jax.lax.dot_general(
-                                lhsT,
-                                rhs_rows[i],
-                                dimension_numbers=(((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )  # [cs, 512]
-                            det = nums[:, 0:_TILE_LANE]
-                            un = nums[:, _TILE_LANE : 2 * _TILE_LANE]
-                            vn = nums[:, 2 * _TILE_LANE : 3 * _TILE_LANE]
-                            tnb = nums[:, 3 * _TILE_LANE :]
-                            inv = jnp.where(
-                                jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0
-                            )
-                            u = un * inv
-                            v = vn * inv
-                            t = tnb * inv
-                            tl = t_lo[i : i + 1] if raster_clip else t_lo
-                            ok = (
-                                (jnp.minimum(u, v) >= -_EPS_BARY)
-                                & (u + v <= 1.0 + _EPS_BARY)
-                                & (t > tl)
-                                & (t < far)
-                            )
-                            tm = jnp.where(ok, t, jnp.inf)
-                            cmin = jnp.min(tm, axis=0, keepdims=True)
-                            # First-occurrence tie-break (iota-min), same
-                            # as the scalar fori order.
-                            lidx = jnp.min(
-                                jnp.where(tm == cmin, ltri_cs, cs),
-                                axis=0,
-                                keepdims=True,
-                            )
-                            oh = ltri_cs == lidx
-                            return (
-                                cmin,
-                                lidx,
-                                jnp.sum(jnp.where(oh, u, 0.0), axis=0,
-                                        keepdims=True),
-                                jnp.sum(jnp.where(oh, v, 0.0), axis=0,
-                                        keepdims=True),
-                            )
+                    # No validity / det test needed: invalid or degenerate
+                    # triangles produce inv = 0 → t = 0, which fails t > t_lo
+                    # (t_lo > 0 always: effective near planes are positive).
+                    # Fused hit test — exact-equivalent rewrites:
+                    # min(u,v) ≥ -ε  ≡  u ≥ -ε ∧ v ≥ -ε, and
+                    # t < min(far, best_t)  ≡  t < far ∧ t < best_t
+                    # (no NaNs reach here: degenerate triangles give inv = 0).
+                    ok = (
+                        (jnp.minimum(u, v) >= -_EPS_BARY)
+                        & (u + v <= 1.0 + _EPS_BARY)
+                        & (t > t_lo)
+                        & (t < jnp.minimum(far, best_t))
+                    )
 
-                        inf_row = jnp.full((1, _TILE_LANE), jnp.inf,
-                                           jnp.float32)
-                        cs_row = jnp.full((1, _TILE_LANE), cs, jnp.int32)
-                        zrow = jnp.zeros((1, _TILE_LANE), jnp.float32)
-                        t_rows, i_rows, u_rows, v_rows = [], [], [], []
-                        for i in range(tile_sub):
-                            if rowskip:
-                                row_on = (
-                                    (tile_row0 + i >= rlo)
-                                    & (tile_row0 + i <= rhi)
-                                )
-                                cmin, lidx, ur, vr = jax.lax.cond(
-                                    row_on,
-                                    lambda i=i: sweep_row(i),
-                                    lambda: (inf_row, cs_row, zrow, zrow),
-                                )
-                            else:
-                                cmin, lidx, ur, vr = sweep_row(i)
-                            t_rows.append(cmin)
-                            i_rows.append(lidx)
-                            u_rows.append(ur)
-                            v_rows.append(vr)
-                        ct = jnp.concatenate(t_rows, axis=0)
-                        ci = jnp.concatenate(i_rows, axis=0)
-                        cu = jnp.concatenate(u_rows, axis=0)
-                        cv = jnp.concatenate(v_rows, axis=0)
-                        # Strict < keeps the earlier-visited cluster on
-                        # exact ties — the scalar sweep's semantics.
-                        better = ct < best_t_
+                    if deferred or defer_attrs:
+                        # Carry only (t, idx, u, v); attributes resolve once
+                        # per visited cluster (deferred) or once per tile
+                        # (defer_attrs) from the VMEM attr slab.
                         return (
-                            jnp.where(better, ct, best_t_),
-                            jnp.where(better, base + ci, best_idx_),
-                        ) + tuple(cr2[2:-2]) + (
-                            jnp.where(better, cu, bu),
-                            jnp.where(better, cv, bv),
+                            jnp.where(ok, t, best_t),
+                            jnp.where(ok, gi, best_idx),
+                        ) + tuple(carry[2:-2]) + (
+                            jnp.where(ok, u, carry[-2]),
+                            jnp.where(ok, v, carry[-1]),
                         )
 
-                def resolve(cr, base, aligned, cnt):
-                    best_t_, best_idx_ = cr[0], cr[1]
-                    bu, bv = cr[-2], cr[-1]
-                    changed = (best_idx_ >= base) & (
-                        best_idx_ < base + cnt
-                    )
-                    lidx = jnp.clip(best_idx_ - aligned, 0, window - 1)
-                    shape2 = best_idx_.shape
+                    # Attribute interpolation at hit time (clipped barycentrics,
+                    # matching the reference-path epilogue).
+                    uc = jnp.clip(u, 0.0, 1.0)
+                    vc = jnp.clip(v, 0.0, 1.0)
+                    n0x = read(16, i)
+                    n0y = read(17, i)
+                    n0z = read(18, i)
+                    dn1x = read(19, i)
+                    dn1y = read(20, i)
+                    dn1z = read(21, i)
+                    dn2x = read(22, i)
+                    dn2y = read(23, i)
+                    dn2z = read(24, i)
+                    nx = n0x + uc * dn1x + vc * dn2x
+                    ny = n0y + uc * dn1y + vc * dn2y
+                    nz = n0z + uc * dn1z + vc * dn2z
 
-                    def aread(k):
+                    if shaded:
+                        # Premultiplied material color (rows 26-28): carry color
+                        # instead of (mat, uv) — same carry count, no epilogue.
+                        a0 = read(26, i)
+                        a1 = read(27, i)
+                        a2 = read(28, i)
+                    else:
+                        uv0x = read(10, i)
+                        uv0y = read(11, i)
+                        duv1x = read(12, i)
+                        duv1y = read(13, i)
+                        duv2x = read(14, i)
+                        duv2y = read(15, i)
+                        a0 = read(25, i)  # mat id
+                        a1 = uv0x + uc * duv1x + vc * duv2x
+                        a2 = uv0y + uc * duv1y + vc * duv2y
+
+                    out = (
+                        jnp.where(ok, t, best_t),
+                        jnp.where(ok, gi, best_idx),
+                        jnp.where(ok, a0, bmat),
+                        jnp.where(ok, a1, buvx),
+                        jnp.where(ok, a2, buvy),
+                        jnp.where(ok, nx, bnx),
+                        jnp.where(ok, ny, bny),
+                        jnp.where(ok, nz, bnz),
+                    )
+                    if tex_paged:
+                        # Row 29: texels-per-world-unit (mip level input).
+                        out = out + (jnp.where(ok, read(29, i), carry[8]),)
+                    return out
+
+                return tri_test
+
+            def make_unrolled_body(read, idx_base):
+                """Carry-form sweep body testing `sweep_unroll` triangles per
+                iteration with independent dependency chains. Each probe is
+                tested against the LOOP-ENTRY best_t (a superset of the
+                sequential candidates), then the probes fold left-to-right
+                keeping the minimum t with strict-< (earliest index wins on
+                exact ties) — bit-exact equal to the sequential sweep. The
+                caller over-sweeps to a multiple of `sweep_unroll`; padding
+                slots are degenerate (zero edges → t = 0 → fails t > t_lo)."""
+
+                def probe(i, best_t):
+                    v0x = read(0, i)
+                    v0y = read(1, i)
+                    v0z = read(2, i)
+                    e1x = read(3, i)
+                    e1y = read(4, i)
+                    e1z = read(5, i)
+                    e2x = read(6, i)
+                    e2y = read(7, i)
+                    e2z = read(8, i)
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    t_num = e2x * qx + e2y * qy + e2z * qz
+                    if deferred:
+                        ddx = e2y * e1z - e2z * e1y
+                        ddy = e2z * e1x - e2x * e1z
+                        ddz = e2x * e1y - e2y * e1x
+                        aax = e2y * tvz - e2z * tvy
+                        aay = e2z * tvx - e2x * tvz
+                        aaz = e2x * tvy - e2y * tvx
+                        det = dx * ddx + dy * ddy + dz * ddz
+                        inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                        u = (dx * aax + dy * aay + dz * aaz) * inv
+                        v = (dx * qx + dy * qy + dz * qz) * inv
+                        t = t_num * inv
+                    else:
+                        px_ = dy * e2z - dz * e2y
+                        py_ = dz * e2x - dx * e2z
+                        pz_ = dx * e2y - dy * e2x
+                        det = e1x * px_ + e1y * py_ + e1z * pz_
+                        inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                        u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+                        v = (dx * qx + dy * qy + dz * qz) * inv
+                        t = t_num * inv
+                    ok = (
+                        (jnp.minimum(u, v) >= -_EPS_BARY)
+                        & (u + v <= 1.0 + _EPS_BARY)
+                        & (t > t_lo)
+                        & (t < jnp.minimum(far, best_t))
+                    )
+                    return t, u, v, ok
+
+                def body(i0, carry):
+                    best_t, best_idx = carry[0], carry[1]
+                    cands = [
+                        probe(i0 + j, best_t) for j in range(sweep_unroll)
+                    ]
+                    wt, wu, wv, wk = cands[0]
+                    wg = None
+                    for j in range(1, sweep_unroll):
+                        t, u, v, k = cands[j]
+                        take = k & (jnp.logical_not(wk) | (t < wt))
+                        gi_j = i0 + j + idx_base
+                        gi_0 = i0 + idx_base
+                        wg = jnp.where(take, gi_j, gi_0 if wg is None else wg)
+                        wt = jnp.where(take, t, wt)
+                        wu = jnp.where(take, u, wu)
+                        wv = jnp.where(take, v, wv)
+                        wk = wk | k
+                    return (
+                        jnp.where(wk, wt, best_t),
+                        jnp.where(wk, wg, best_idx),
+                    ) + tuple(carry[2:-2]) + (
+                        jnp.where(wk, wu, carry[-2]),
+                        jnp.where(wk, wv, carry[-1]),
+                    )
+
+                return body
+
+            if culled:
+                safe = lambda d: jnp.where(
+                    jnp.abs(d) > 1e-20, d, jnp.where(d < 0, -1e-20, 1e-20)
+                )
+                ivx = 1.0 / safe(dx)
+                ivy = 1.0 / safe(dy)
+                ivz = 1.0 / safe(dz)
+
+                def visit_cluster(c, carry):
+                    best_t = carry[0]
+                    lox = cl_ref[0, 0, c]
+                    loy = cl_ref[0, 1, c]
+                    loz = cl_ref[0, 2, c]
+                    hix = cl_ref[0, 3, c]
+                    hiy = cl_ref[0, 4, c]
+                    hiz = cl_ref[0, 5, c]
+                    cvalid = cl_ref[0, 6, c]
+                    t1x = (lox - ox) * ivx
+                    t2x = (hix - ox) * ivx
+                    t1y = (loy - oy) * ivy
+                    t2y = (hiy - oy) * ivy
+                    t1z = (loz - oz) * ivz
+                    t2z = (hiz - oz) * ivz
+                    tmin = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                        jnp.minimum(t1z, t2z),
+                    )
+                    tmax = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                        jnp.maximum(t1z, t2z),
+                    )
+                    possible = (
+                        (tmax >= tmin) & (tmax > near) & (tmin < far) & (tmin < best_t)
+                    )
+                    any_hit = jnp.any(possible) & (cvalid > 0.0)
+
+                    def process(cr):
+                        # Loop only over the cluster's contiguous valid prefix
+                        # (Morton sort puts padding at the tail) — a dynamic
+                        # scalar bound, so padding slots are never swept.
+                        base = c * cluster_size
+                        cnt = cl_ref[0, 7, c].astype(jnp.int32)
+                        if dma_tris:
+                            # Stream this cluster's triangle slab HBM → SMEM.
+                            # DMA lane slices must be 128-aligned; cluster sizes
+                            # are powers of two (bake guarantee), so a window of
+                            # max(cluster_size, 128) starting at the aligned
+                            # base always covers the cluster.
+                            window = max(cluster_size, 128)
+                            aligned = (base // window) * window
+                            off = base - aligned
+                            dma = pltpu.make_async_copy(
+                                tri_ref.at[w_idx, :, pl.ds(aligned, window)],
+                                scratch,
+                                sem,
+                            )
+                            dma.start()
+                            dma.wait()
+                            tri_local = make_tri_test(
+                                lambda k, j: scratch[k, off + j], base
+                            )
+                            return jax.lax.fori_loop(0, cnt, tri_local, cr)
+                        if defer_attrs and sweep_unroll > 1:
+                            ub = make_unrolled_body(
+                                lambda k, j: tri_ref[0, k, j], 0
+                            )
+                            ngroups = (cnt + sweep_unroll - 1) // sweep_unroll
+                            return jax.lax.fori_loop(
+                                0, ngroups,
+                                lambda p, cr2: ub(base + p * sweep_unroll, cr2),
+                                cr,
+                            )
+                        tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
+                        return jax.lax.fori_loop(base, base + cnt, tri_resident, cr)
+
+                    return jax.lax.cond(any_hit, process, lambda cr: cr, carry)
+
+                def approach_dist2(c):
+                    """Squared closest-approach distance, camera → cluster c's
+                    AABB (scalar; must lower-bound any hit t in the cluster —
+                    the kernel-side twin of _cluster_approach_dist2)."""
+                    ax = jnp.maximum(
+                        jnp.maximum(cl_ref[0, 0, c] - ox, ox - cl_ref[0, 3, c]), 0.0
+                    )
+                    ay = jnp.maximum(
+                        jnp.maximum(cl_ref[0, 1, c] - oy, oy - cl_ref[0, 4, c]), 0.0
+                    )
+                    az = jnp.maximum(
+                        jnp.maximum(cl_ref[0, 2, c] - oz, oz - cl_ref[0, 5, c]), 0.0
+                    )
+                    return ax * ax + ay * ay + az * az
+
+                def front_to_back_sweep(n_scalar, cluster_at):
+                    """Visit clusters in the (ascending closest-approach)
+                    order given by cluster_at, stopping as soon as no pixel's
+                    search window can reach the current cluster — every later
+                    cluster is at least as far, so nothing downstream can
+                    improve any pixel. The 0.998 factor absorbs f32 rounding
+                    skew between this scalar distance and the XLA sort key."""
+
+                    def cond(carry):
+                        return (carry[0] < n_scalar) & (carry[1] == 0)
+
+                    def body(carry):
+                        b, _, *st = carry
+                        c = cluster_at(b)
+                        best_t = st[0]
+                        tf = jnp.minimum(best_t, far)
+                        live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
+                        live = live & (cl_ref[0, 6, c] > 0.0)
+                        st2 = jax.lax.cond(
+                            live,
+                            lambda s: visit_cluster(c, s),
+                            lambda s: s,
+                            tuple(st),
+                        )
+                        done = jnp.where(live, jnp.int32(0), jnp.int32(1))
+                        return (b + 1, done) + st2
+
+                    out = jax.lax.while_loop(
+                        cond, body, (jnp.int32(0), jnp.int32(0)) + init
+                    )
+                    return out[2:]
+
+                if deferred:
+                    # Deferred big-mesh sweep: double-buffered geometry DMA
+                    # (prefetch bin[b+1] during bin[b]'s sweep), attribute
+                    # slab DMA'd to VMEM in parallel with the sweep and
+                    # resolved once per visited cluster by lane-gathers over
+                    # the winning pixels — attribute interpolation leaves the
+                    # per-triangle inner loop entirely.
+                    window = max(cluster_size, 128)
+                    assert window == _TILE_LANE, "deferred needs 128-lane windows"
+                    if binned:
+                        nb = bin_ref[0, 0, 0]
+                        cluster_at = lambda b: bin_ref[0, 0, 1 + b]
+                    else:
+                        nb = jnp.int32(n_clusters)
+                        cluster_at = lambda b: perm_ref[0, 0, b].astype(jnp.int32)
+
+                    def win_of(c):
+                        # Window INDEX (not byte/lane offset): carried through
+                        # the loop and multiplied by `window` only at the DMA
+                        # slice, so Mosaic can prove 128-divisibility.
+                        return c * cluster_size // window
+
+                    def geo_dma(slot, wi):
+                        return pltpu.make_async_copy(
+                            tri_ref.at[
+                                w_idx, pl.ds(0, _N_GEO_ROWS),
+                                pl.ds(wi * window, window),
+                            ],
+                            geo_scratch.at[slot],
+                            geo_sem.at[slot],
+                        )
+
+                    @pl.when(nb > 0)
+                    def _warm():
+                        geo_dma(
+                            jnp.int32(0), win_of(cluster_at(jnp.int32(0)))
+                        ).start()
+
+                    if dmxu:
+                        # --- MXU cluster sweep (deferred-mxu) ---------------- #
+                        # Per-tile rhs: block-diagonal [10, 4·128] per pixel
+                        # row (the _batched_kernel layout — d bands for the
+                        # det/u/v numerators + a ones band broadcasting
+                        # t_num), built ONCE and reused for every visited
+                        # cluster. lhsT [10, K] comes from a vectorized
+                        # per-cluster prepass over the VMEM geometry slab —
+                        # the per-triangle scalar SMEM stream (the deferred
+                        # sweep's bottleneck) disappears entirely.
+                        blk4 = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (1, 4 * _TILE_LANE), 1
+                            )
+                            // _TILE_LANE
+                        )
+                        ones_row = jnp.ones((1, _TILE_LANE), jnp.float32)
+                        rhs_rows = []
+                        for i in range(tile_sub):
+                            d4 = jnp.concatenate(
+                                [dx[i : i + 1], dy[i : i + 1], dz[i : i + 1],
+                                 ones_row],
+                                axis=0,
+                            )
+                            dcat = jnp.concatenate([d4] * 4, axis=1)
+                            rws = [
+                                jnp.where(
+                                    blk4 == row // 3,
+                                    dcat[row % 3 : row % 3 + 1, :],
+                                    0.0,
+                                )
+                                for row in range(9)
+                            ]
+                            rws.append(jnp.where(blk4 == 3, 1.0, 0.0))
+                            rhs_rows.append(jnp.concatenate(rws, axis=0))
+                        cs = cluster_size
+                        ltri_cs = jax.lax.broadcasted_iota(
+                            jnp.int32, (cs, _TILE_LANE), 0
+                        )
+
+                        def mxu_cluster_sweep(cr2, slot, off, base, c):
+                            g = jax.lax.cond(
+                                slot == 0,
+                                lambda: geo_scratch[0][...],
+                                lambda: geo_scratch[1][...],
+                            )  # [16, window] — only the correct slot is read
+                            v0x, v0y, v0z = g[0:1], g[1:2], g[2:3]
+                            e1x, e1y, e1z = g[3:4], g[4:5], g[5:6]
+                            e2x, e2y, e2z = g[6:7], g[7:8], g[8:9]
+                            tvx = ox - v0x
+                            tvy = oy - v0y
+                            tvz = oz - v0z
+                            # Same full factorization as the scalar deferred
+                            # sweep: D = e2×e1, A = e2×tvec, B = tvec×e1,
+                            # t_num = e2·B. Padded/invalid lanes have zero
+                            # edges → det = 0 → t = 0 → fail t > t_lo.
+                            ddx = e2y * e1z - e2z * e1y
+                            ddy = e2z * e1x - e2x * e1z
+                            ddz = e2x * e1y - e2y * e1x
+                            aax = e2y * tvz - e2z * tvy
+                            aay = e2z * tvx - e2x * tvz
+                            aaz = e2x * tvy - e2y * tvx
+                            qx = tvy * e1z - tvz * e1y
+                            qy = tvz * e1x - tvx * e1z
+                            qz = tvx * e1y - tvy * e1x
+                            tn = e2x * qx + e2y * qy + e2z * qz
+                            pre = jnp.concatenate(
+                                [ddx, ddy, ddz, aax, aay, aaz, qx, qy, qz, tn],
+                                axis=0,
+                            )  # [10, window]
+                            if window // cs > 1:
+                                lhsT = jax.lax.switch(
+                                    off // cs,
+                                    [
+                                        (lambda o=o: pre[:, o * cs : (o + 1) * cs])
+                                        for o in range(window // cs)
+                                    ],
+                                )
+                            else:
+                                lhsT = pre
+                            best_t_, best_idx_ = cr2[0], cr2[1]
+                            bu, bv = cr2[-2], cr2[-1]
+                            if rowskip:
+                                # Scanline banding: this cluster only touches
+                                # image rows [rlo, rhi] (conservative host
+                                # projection) — skip the others' matmuls.
+                                rlo = rows_ref[0, 0, c]
+                                rhi = rows_ref[0, 1, c]
+                                tile_row0 = (r // tiles_x) * tile_sub
+
+                            def sweep_row(i):
+                                nums = jax.lax.dot_general(
+                                    lhsT,
+                                    rhs_rows[i],
+                                    dimension_numbers=(((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                )  # [cs, 512]
+                                det = nums[:, 0:_TILE_LANE]
+                                un = nums[:, _TILE_LANE : 2 * _TILE_LANE]
+                                vn = nums[:, 2 * _TILE_LANE : 3 * _TILE_LANE]
+                                tnb = nums[:, 3 * _TILE_LANE :]
+                                inv = jnp.where(
+                                    jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0
+                                )
+                                u = un * inv
+                                v = vn * inv
+                                t = tnb * inv
+                                tl = t_lo[i : i + 1] if raster_clip else t_lo
+                                ok = (
+                                    (jnp.minimum(u, v) >= -_EPS_BARY)
+                                    & (u + v <= 1.0 + _EPS_BARY)
+                                    & (t > tl)
+                                    & (t < far)
+                                )
+                                tm = jnp.where(ok, t, jnp.inf)
+                                cmin = jnp.min(tm, axis=0, keepdims=True)
+                                # First-occurrence tie-break (iota-min), same
+                                # as the scalar fori order.
+                                lidx = jnp.min(
+                                    jnp.where(tm == cmin, ltri_cs, cs),
+                                    axis=0,
+                                    keepdims=True,
+                                )
+                                oh = ltri_cs == lidx
+                                return (
+                                    cmin,
+                                    lidx,
+                                    jnp.sum(jnp.where(oh, u, 0.0), axis=0,
+                                            keepdims=True),
+                                    jnp.sum(jnp.where(oh, v, 0.0), axis=0,
+                                            keepdims=True),
+                                )
+
+                            inf_row = jnp.full((1, _TILE_LANE), jnp.inf,
+                                               jnp.float32)
+                            cs_row = jnp.full((1, _TILE_LANE), cs, jnp.int32)
+                            zrow = jnp.zeros((1, _TILE_LANE), jnp.float32)
+                            t_rows, i_rows, u_rows, v_rows = [], [], [], []
+                            for i in range(tile_sub):
+                                if rowskip:
+                                    row_on = (
+                                        (tile_row0 + i >= rlo)
+                                        & (tile_row0 + i <= rhi)
+                                    )
+                                    cmin, lidx, ur, vr = jax.lax.cond(
+                                        row_on,
+                                        lambda i=i: sweep_row(i),
+                                        lambda: (inf_row, cs_row, zrow, zrow),
+                                    )
+                                else:
+                                    cmin, lidx, ur, vr = sweep_row(i)
+                                t_rows.append(cmin)
+                                i_rows.append(lidx)
+                                u_rows.append(ur)
+                                v_rows.append(vr)
+                            ct = jnp.concatenate(t_rows, axis=0)
+                            ci = jnp.concatenate(i_rows, axis=0)
+                            cu = jnp.concatenate(u_rows, axis=0)
+                            cv = jnp.concatenate(v_rows, axis=0)
+                            # Strict < keeps the earlier-visited cluster on
+                            # exact ties — the scalar sweep's semantics.
+                            better = ct < best_t_
+                            return (
+                                jnp.where(better, ct, best_t_),
+                                jnp.where(better, base + ci, best_idx_),
+                            ) + tuple(cr2[2:-2]) + (
+                                jnp.where(better, cu, bu),
+                                jnp.where(better, cv, bv),
+                            )
+
+                    def resolve(cr, base, aligned, cnt):
+                        best_t_, best_idx_ = cr[0], cr[1]
+                        bu, bv = cr[-2], cr[-1]
+                        changed = (best_idx_ >= base) & (
+                            best_idx_ < base + cnt
+                        )
+                        lidx = jnp.clip(best_idx_ - aligned, 0, window - 1)
+                        shape2 = best_idx_.shape
+
+                        def aread(k):
+                            return jnp.take_along_axis(
+                                jnp.broadcast_to(
+                                    attr_scratch[k : k + 1, :], shape2
+                                ),
+                                lidx,
+                                axis=1,
+                            )
+
+                        uc = jnp.clip(bu, 0.0, 1.0)
+                        vc = jnp.clip(bv, 0.0, 1.0)
+                        nx = aread(6) + uc * aread(9) + vc * aread(12)
+                        ny = aread(7) + uc * aread(10) + vc * aread(13)
+                        nz = aread(8) + uc * aread(11) + vc * aread(14)
+                        if shaded:
+                            a0 = aread(16)
+                            a1 = aread(17)
+                            a2 = aread(18)
+                        else:
+                            a0 = aread(15)
+                            a1 = aread(0) + uc * aread(2) + vc * aread(4)
+                            a2 = aread(1) + uc * aread(3) + vc * aread(5)
+                        upd = [
+                            best_t_, best_idx_,
+                            jnp.where(changed, a0, cr[2]),
+                            jnp.where(changed, a1, cr[3]),
+                            jnp.where(changed, a2, cr[4]),
+                            jnp.where(changed, nx, cr[5]),
+                            jnp.where(changed, ny, cr[6]),
+                            jnp.where(changed, nz, cr[7]),
+                        ]
+                        if tex_paged:
+                            upd.append(jnp.where(changed, aread(19), cr[8]))
+                        upd += [bu, bv]
+                        return tuple(upd)
+
+                    def cond(carry):
+                        return (carry[0] < nb) & (carry[1] == 0)
+
+                    def body(carry):
+                        b, _, cur0, cur_a0, pf_a0, *st = carry
+                        c = cluster_at(b)
+                        w_c = win_of(c)
+                        # Window reuse: the 128-lane slab holds
+                        # window/cluster_size consecutive clusters, and the
+                        # front-to-back visit order (Morton-clustered AABBs)
+                        # often visits same-window clusters back-to-back —
+                        # only a window SWITCH waits on (and consumes) the
+                        # in-flight prefetch. Invariant: whenever
+                        # w_c != cur_w, the previous iteration (or warm-up)
+                        # prefetched exactly window w_c into slot 1-cur.
+                        switch = w_c != cur_a0
+
+                        def do_switch(cu, _ca, _pa):
+                            geo_dma(1 - cu, w_c).wait()
+                            return 1 - cu, w_c, jnp.int32(-1)
+
+                        cur, cur_a, pf_a = jax.lax.cond(
+                            switch,
+                            do_switch,
+                            lambda cu, ca, pa: (cu, ca, pa),
+                            cur0, cur_a0, pf_a0,
+                        )
+                        slot = cur
+                        best_t = st[0]
+                        tf = jnp.minimum(best_t, far)
+                        live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
+                        live = live & (cl_ref[0, 6, c] > 0.0)
+
+                        # Arm the prefetch for the NEXT different window (at
+                        # most one in flight; a_n == cur_a arms nothing, so
+                        # same-window runs skip the DMA entirely).
+                        w_n = win_of(cluster_at(jnp.minimum(b + 1, nb - 1)))
+                        arm = (
+                            live & (b + 1 < nb) & (pf_a == -1) & (w_n != cur_a)
+                        )
+
+                        @pl.when(arm)
+                        def _prefetch():
+                            geo_dma(1 - slot, w_n).start()
+
+                        pf_a = jnp.where(arm, w_n, pf_a)
+
+                        def visit(cr):
+                            lox = cl_ref[0, 0, c]
+                            loy = cl_ref[0, 1, c]
+                            loz = cl_ref[0, 2, c]
+                            hix = cl_ref[0, 3, c]
+                            hiy = cl_ref[0, 4, c]
+                            hiz = cl_ref[0, 5, c]
+                            t1x = (lox - ox) * ivx
+                            t2x = (hix - ox) * ivx
+                            t1y = (loy - oy) * ivy
+                            t2y = (hiy - oy) * ivy
+                            t1z = (loz - oz) * ivz
+                            t2z = (hiz - oz) * ivz
+                            tmin = jnp.maximum(
+                                jnp.maximum(
+                                    jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)
+                                ),
+                                jnp.minimum(t1z, t2z),
+                            )
+                            tmax = jnp.minimum(
+                                jnp.minimum(
+                                    jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)
+                                ),
+                                jnp.maximum(t1z, t2z),
+                            )
+                            possible = (
+                                (tmax >= tmin) & (tmax > near) & (tmin < far)
+                                & (tmin < cr[0])
+                            )
+                            any_hit = jnp.any(possible)
+
+                            def process(cr2):
+                                base = c * cluster_size
+                                aligned = (base // window) * window
+                                off = base - aligned
+                                cnt = cl_ref[0, 7, c].astype(jnp.int32)
+                                attr_dma = pltpu.make_async_copy(
+                                    tri_ref.at[
+                                        w_idx,
+                                        pl.ds(_N_GEO_ROWS, _N_ATTR_ROWS),
+                                        pl.ds(aligned, window),
+                                    ],
+                                    attr_scratch,
+                                    attr_sem,
+                                )
+                                attr_dma.start()
+                                if dmxu:
+                                    cr3 = mxu_cluster_sweep(cr2, slot, off, base, c)
+                                elif sweep_unroll > 1:
+                                    ub = make_unrolled_body(
+                                        lambda k, j: geo_scratch[slot, k, off + j],
+                                        base,
+                                    )
+                                    ngroups = (
+                                        cnt + sweep_unroll - 1
+                                    ) // sweep_unroll
+                                    cr3 = jax.lax.fori_loop(
+                                        0, ngroups,
+                                        lambda p, c2: ub(p * sweep_unroll, c2),
+                                        cr2,
+                                    )
+                                else:
+                                    tri_local = make_tri_test(
+                                        lambda k, j: geo_scratch[slot, k, off + j],
+                                        base,
+                                    )
+                                    cr3 = jax.lax.fori_loop(
+                                        0, cnt, tri_local, cr2
+                                    )
+                                attr_dma.wait()
+                                return resolve(cr3, base, aligned, cnt)
+
+                            return jax.lax.cond(
+                                any_hit, process, lambda x: x, cr
+                            )
+
+                        st2 = jax.lax.cond(live, visit, lambda s: s, tuple(st))
+                        done = jnp.where(live, jnp.int32(0), jnp.int32(1))
+                        return (b + 1, done, cur, cur_a, pf_a) + st2
+
+                    # Control carry: cur slot (1 so warm-up slot 0 is "the
+                    # prefetch"), resident window base (-1: none yet),
+                    # in-flight prefetch base (-1: none).
+                    pf0 = jnp.where(
+                        nb > 0,
+                        win_of(cluster_at(jnp.int32(0))),
+                        jnp.int32(-1),
+                    )
+                    out = jax.lax.while_loop(
+                        cond,
+                        body,
+                        (jnp.int32(0), jnp.int32(0), jnp.int32(1),
+                         jnp.int32(-1), pf0) + init,
+                    )
+                    # Occlusion early-exit can leave one prefetch in flight;
+                    # drain it so the semaphore is balanced for the shadow
+                    # sweep / the next grid program.
+                    cur_f, pf_f = out[2], out[4]
+
+                    @pl.when(pf_f >= 0)
+                    def _drain():
+                        geo_dma(1 - cur_f, pf_f).wait()
+
+                    out = out[5:-2]  # drop control and the (u, v) carries
+                elif binned:
+                    # Tile-binned pass: sweep only this tile's bin (already
+                    # front-to-back — see band_cluster_bins). The O(clusters)
+                    # per-tile AABB scan disappears; the slab test still runs
+                    # per binned cluster for the best_t occlusion bound, and
+                    # the sweep exits early once the tile is fully covered
+                    # nearer than every remaining cluster.
+                    nb = bin_ref[0, 0, 0]
+                    out = front_to_back_sweep(
+                        nb, lambda b: bin_ref[0, 0, 1 + b]
+                    )
+                elif ordered:
+                    # Front-to-back visit order (per camera) with the same
+                    # occlusion early-exit; invalid clusters sort to the back
+                    # (inf key), so the exit also skips the padding tail.
+                    out = front_to_back_sweep(
+                        n_clusters,
+                        lambda b: perm_ref[0, 0, b].astype(jnp.int32),
+                    )
+                else:
+
+                    def cluster_body(ci, carry):
+                        return visit_cluster(ci, carry)
+
+                    out = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
+            else:
+                tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
+                if defer_attrs and sweep_unroll > 1:
+                    ub = make_unrolled_body(lambda k, j: tri_ref[0, k, j], 0)
+                    n_main = s_pad // sweep_unroll
+                    out = jax.lax.fori_loop(
+                        0, n_main,
+                        lambda p, cr: ub(p * sweep_unroll, cr),
+                        init,
+                    )
+                    for i in range(n_main * sweep_unroll, s_pad):
+                        out = tri_resident(i, out)
+                else:
+                    out = jax.lax.fori_loop(0, s_pad, tri_resident, init)
+
+            if defer_attrs:
+                # Winner-attribute resolve — the resident twin of the deferred
+                # path's per-cluster resolve: one pass per 128-lane window of
+                # the VMEM attr block, lane-gathering the winning triangle's
+                # attribute rows for the pixels it won (best_idx is the global
+                # triangle index == attr lane index). Miss pixels (idx = -1)
+                # match no window and keep the zero init, exactly like the
+                # per-triangle merge they replace.
+                bt_, bi_ = out[0], out[1]
+                bu_, bv_ = out[-2], out[-1]
+                shape2 = bi_.shape
+                uc_ = jnp.clip(bu_, 0.0, 1.0)
+                vc_ = jnp.clip(bv_, 0.0, 1.0)
+                acc = list(out[2:-2])
+                for w0 in range(0, attr_lanes, _TILE_LANE):
+                    changed = (bi_ >= w0) & (bi_ < w0 + _TILE_LANE)
+                    lidx = jnp.clip(bi_ - w0, 0, _TILE_LANE - 1)
+
+                    def aread(k, w0=w0, lidx=lidx):
                         return jnp.take_along_axis(
                             jnp.broadcast_to(
-                                attr_scratch[k : k + 1, :], shape2
+                                attr_ref[0, k : k + 1, w0 : w0 + _TILE_LANE],
+                                shape2,
                             ),
                             lidx,
                             axis=1,
                         )
 
-                    uc = jnp.clip(bu, 0.0, 1.0)
-                    vc = jnp.clip(bv, 0.0, 1.0)
-                    nx = aread(6) + uc * aread(9) + vc * aread(12)
-                    ny = aread(7) + uc * aread(10) + vc * aread(13)
-                    nz = aread(8) + uc * aread(11) + vc * aread(14)
+                    nxw = aread(6) + uc_ * aread(9) + vc_ * aread(12)
+                    nyw = aread(7) + uc_ * aread(10) + vc_ * aread(13)
+                    nzw = aread(8) + uc_ * aread(11) + vc_ * aread(14)
                     if shaded:
                         a0 = aread(16)
                         a1 = aread(17)
                         a2 = aread(18)
                     else:
                         a0 = aread(15)
-                        a1 = aread(0) + uc * aread(2) + vc * aread(4)
-                        a2 = aread(1) + uc * aread(3) + vc * aread(5)
-                    upd = [
-                        best_t_, best_idx_,
-                        jnp.where(changed, a0, cr[2]),
-                        jnp.where(changed, a1, cr[3]),
-                        jnp.where(changed, a2, cr[4]),
-                        jnp.where(changed, nx, cr[5]),
-                        jnp.where(changed, ny, cr[6]),
-                        jnp.where(changed, nz, cr[7]),
-                    ]
+                        a1 = aread(0) + uc_ * aread(2) + vc_ * aread(4)
+                        a2 = aread(1) + uc_ * aread(3) + vc_ * aread(5)
+                    vals = [a0, a1, a2, nxw, nyw, nzw]
                     if tex_paged:
-                        upd.append(jnp.where(changed, aread(19), cr[8]))
-                    upd += [bu, bv]
-                    return tuple(upd)
+                        vals.append(aread(19))
+                    for j, vj in enumerate(vals):
+                        acc[j] = jnp.where(changed, vj, acc[j])
+                out = (bt_, bi_) + tuple(acc)
 
-                def cond(carry):
-                    return (carry[0] < nb) & (carry[1] == 0)
+            best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = out[:8]
+            bdens = out[8] if tex_paged else None
 
-                def body(carry):
-                    b, _, cur0, cur_a0, pf_a0, *st = carry
-                    c = cluster_at(b)
-                    w_c = win_of(c)
-                    # Window reuse: the 128-lane slab holds
-                    # window/cluster_size consecutive clusters, and the
-                    # front-to-back visit order (Morton-clustered AABBs)
-                    # often visits same-window clusters back-to-back —
-                    # only a window SWITCH waits on (and consumes) the
-                    # in-flight prefetch. Invariant: whenever
-                    # w_c != cur_w, the previous iteration (or warm-up)
-                    # prefetched exactly window w_c into slot 1-cur.
-                    switch = w_c != cur_a0
+            # Flip the normal toward the viewer (two-sided shading) in-kernel,
+            # where the ray direction still exists.
+            ndotd = bnx * dx + bny * dy + bnz * dz
+            flip = jnp.where(ndotd > 0, -1.0, 1.0)
+            bnx = bnx * flip
+            bny = bny * flip
+            bnz = bnz * flip
 
-                    def do_switch(cu, _ca, _pa):
-                        geo_dma(1 - cu, w_c).wait()
-                        return 1 - cu, w_c, jnp.int32(-1)
+            best_t = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+            z = best_t * cosf
 
-                    cur, cur_a, pf_a = jax.lax.cond(
-                        switch,
-                        do_switch,
-                        lambda cu, ca, pa: (cu, ca, pa),
-                        cur0, cur_a0, pf_a0,
-                    )
-                    slot = cur
-                    best_t = st[0]
-                    tf = jnp.minimum(best_t, far)
-                    live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
-                    live = live & (cl_ref[0, 6, c] > 0.0)
+            t_ref[0] = best_t
+            z_ref[0] = z
+            idx_ref[0] = best_idx
 
-                    # Arm the prefetch for the NEXT different window (at
-                    # most one in flight; a_n == cur_a arms nothing, so
-                    # same-window runs skip the DMA entirely).
-                    w_n = win_of(cluster_at(jnp.minimum(b + 1, nb - 1)))
-                    arm = (
-                        live & (b + 1 < nb) & (pf_a == -1) & (w_n != cur_a)
-                    )
+            # ---- Shadow rays (beyond-reference; opt-in) -------------------- #
+            # One any-hit sweep per light from the primary hit points. The
+            # shadow *direction* is shared (directional light), so pvec, det,
+            # and 1/det stay per-triangle scalars — only tvec/qvec go vector.
+            # Miss pixels sweep from the camera origin (best_t = 0); their
+            # occlusion result is dead (shading masks on hit). In the 9-output
+            # mode nothing consumes the sweep (occlusion is recomputed by
+            # compute_lit in the XLA epilogue) — skip building it rather than
+            # relying on DCE.
+            occs = []
+            if shadows and (shaded or textured or tex_paged):
+                from .raytrace_ref import SHADOW_EPS
 
-                    @pl.when(arm)
-                    def _prefetch():
-                        geo_dma(1 - slot, w_n).start()
+                px_w = ox + best_t * dx
+                py_w = oy + best_t * dy
+                pz_w = oz + best_t * dz
+                eps_sh = SHADOW_EPS * (1.0 + best_t)
+                for li in range(n_lights):
+                    c0 = _CAM_LIGHT0 + 6 * li
+                    sdx = -cam_ref[0, 0, c0]
+                    sdy = -cam_ref[0, 0, c0 + 1]
+                    sdz = -cam_ref[0, 0, c0 + 2]
 
-                    pf_a = jnp.where(arm, w_n, pf_a)
+                    def make_sh_body(read, sdx=sdx, sdy=sdy, sdz=sdz):
+                        """Shadow any-hit test parametric over the scalar
+                        reader (resident SMEM block vs DMA-streamed scratch
+                        slab — same split as make_tri_test)."""
 
-                    def visit(cr):
-                        lox = cl_ref[0, 0, c]
-                        loy = cl_ref[0, 1, c]
-                        loz = cl_ref[0, 2, c]
-                        hix = cl_ref[0, 3, c]
-                        hiy = cl_ref[0, 4, c]
-                        hiz = cl_ref[0, 5, c]
-                        t1x = (lox - ox) * ivx
-                        t2x = (hix - ox) * ivx
-                        t1y = (loy - oy) * ivy
-                        t2y = (hiy - oy) * ivy
-                        t1z = (loz - oz) * ivz
-                        t2z = (hiz - oz) * ivz
-                        tmin = jnp.maximum(
-                            jnp.maximum(
-                                jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)
-                            ),
-                            jnp.minimum(t1z, t2z),
-                        )
-                        tmax = jnp.minimum(
-                            jnp.minimum(
-                                jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)
-                            ),
-                            jnp.maximum(t1z, t2z),
-                        )
-                        possible = (
-                            (tmax >= tmin) & (tmax > near) & (tmin < far)
-                            & (tmin < cr[0])
-                        )
-                        any_hit = jnp.any(possible)
-
-                        def process(cr2):
-                            base = c * cluster_size
-                            aligned = (base // window) * window
-                            off = base - aligned
-                            cnt = cl_ref[0, 7, c].astype(jnp.int32)
-                            attr_dma = pltpu.make_async_copy(
-                                tri_ref.at[
-                                    w_idx,
-                                    pl.ds(_N_GEO_ROWS, _N_ATTR_ROWS),
-                                    pl.ds(aligned, window),
-                                ],
-                                attr_scratch,
-                                attr_sem,
+                        def sh_body(i, occ):
+                            v0x = read(0, i)
+                            v0y = read(1, i)
+                            v0z = read(2, i)
+                            e1x = read(3, i)
+                            e1y = read(4, i)
+                            e1z = read(5, i)
+                            e2x = read(6, i)
+                            e2y = read(7, i)
+                            e2z = read(8, i)
+                            pvx = sdy * e2z - sdz * e2y
+                            pvy = sdz * e2x - sdx * e2z
+                            pvz = sdx * e2y - sdy * e2x
+                            det = e1x * pvx + e1y * pvy + e1z * pvz
+                            inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                            tvx = px_w - v0x
+                            tvy = py_w - v0y
+                            tvz = pz_w - v0z
+                            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                            qx = tvy * e1z - tvz * e1y
+                            qy = tvz * e1x - tvx * e1z
+                            qz = tvx * e1y - tvy * e1x
+                            v = (sdx * qx + sdy * qy + sdz * qz) * inv
+                            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                            ok = (
+                                (jnp.minimum(u, v) >= -_EPS_BARY)
+                                & (u + v <= 1.0 + _EPS_BARY)
+                                & (t > eps_sh)
                             )
-                            attr_dma.start()
-                            if dmxu:
-                                cr3 = mxu_cluster_sweep(cr2, slot, off, base, c)
-                            elif sweep_unroll > 1:
-                                ub = make_unrolled_body(
-                                    lambda k, j: geo_scratch[slot, k, off + j],
-                                    base,
-                                )
-                                ngroups = (
-                                    cnt + sweep_unroll - 1
-                                ) // sweep_unroll
-                                cr3 = jax.lax.fori_loop(
-                                    0, ngroups,
-                                    lambda p, c2: ub(p * sweep_unroll, c2),
-                                    cr2,
-                                )
-                            else:
-                                tri_local = make_tri_test(
-                                    lambda k, j: geo_scratch[slot, k, off + j],
-                                    base,
-                                )
-                                cr3 = jax.lax.fori_loop(
-                                    0, cnt, tri_local, cr2
-                                )
-                            attr_dma.wait()
-                            return resolve(cr3, base, aligned, cnt)
+                            # i32 carry: Mosaic miscompiles vmask (i1) fori_loop
+                            # carries (layout desync in arith.ori).
+                            return occ | ok.astype(jnp.int32)
 
-                        return jax.lax.cond(
-                            any_hit, process, lambda x: x, cr
+                        return sh_body
+
+                    sh_body = make_sh_body(lambda k, j: tri_ref[0, k, j])
+                    occ0 = jnp.zeros(best_t.shape, jnp.int32)
+                    if culled:
+                        # Cluster-culled shadow sweep: slab-test each cluster
+                        # AABB against the tile's shadow rays (shared scalar
+                        # direction → scalar reciprocals) and sweep only the
+                        # valid prefix of passing clusters. Pixels already
+                        # occluded drop out of the any() so fully-shadowed
+                        # tiles stop visiting clusters.
+                        eps_s = 1e-20
+                        ivsx = 1.0 / jnp.where(
+                            jnp.abs(sdx) > eps_s, sdx,
+                            jnp.where(sdx < 0, -eps_s, eps_s))
+                        ivsy = 1.0 / jnp.where(
+                            jnp.abs(sdy) > eps_s, sdy,
+                            jnp.where(sdy < 0, -eps_s, eps_s))
+                        ivsz = 1.0 / jnp.where(
+                            jnp.abs(sdz) > eps_s, sdz,
+                            jnp.where(sdz < 0, -eps_s, eps_s))
+
+                        def sh_cluster(c, occ):
+                            t1x = (cl_ref[0, 0, c] - px_w) * ivsx
+                            t2x = (cl_ref[0, 3, c] - px_w) * ivsx
+                            t1y = (cl_ref[0, 1, c] - py_w) * ivsy
+                            t2y = (cl_ref[0, 4, c] - py_w) * ivsy
+                            t1z = (cl_ref[0, 2, c] - pz_w) * ivsz
+                            t2z = (cl_ref[0, 5, c] - pz_w) * ivsz
+                            tmin = jnp.maximum(
+                                jnp.maximum(jnp.minimum(t1x, t2x),
+                                            jnp.minimum(t1y, t2y)),
+                                jnp.minimum(t1z, t2z),
+                            )
+                            tmax = jnp.minimum(
+                                jnp.minimum(jnp.maximum(t1x, t2x),
+                                            jnp.maximum(t1y, t2y)),
+                                jnp.maximum(t1z, t2z),
+                            )
+                            possible = (tmax >= tmin) & (tmax > 0.0) & (occ == 0)
+                            go = jnp.any(possible) & (cl_ref[0, 6, c] > 0.0)
+
+                            def sweep(o):
+                                base = c * cluster_size
+                                cnt = cl_ref[0, 7, c].astype(jnp.int32)
+                                if dma_tris:
+                                    # Stream the cluster's slab HBM → SMEM,
+                                    # exactly like the primary sweep (shadow
+                                    # clusters differ from primary clusters,
+                                    # so each sweep pages its own slabs).
+                                    window = max(cluster_size, 128)
+                                    aligned = (base // window) * window
+                                    off = base - aligned
+                                    if deferred:
+                                        # Geometry rows only, slot 0 of the
+                                        # double-buffer (primary sweep done;
+                                        # all its DMAs are balanced).
+                                        dma = pltpu.make_async_copy(
+                                            tri_ref.at[
+                                                w_idx, pl.ds(0, _N_GEO_ROWS),
+                                                pl.ds(aligned, window),
+                                            ],
+                                            scratch.at[0],
+                                            sem.at[0],
+                                        )
+                                        reader = (
+                                            lambda k, j: scratch[0, k, off + j]
+                                        )
+                                    else:
+                                        dma = pltpu.make_async_copy(
+                                            tri_ref.at[
+                                                w_idx, :, pl.ds(aligned, window)
+                                            ],
+                                            scratch,
+                                            sem,
+                                        )
+                                        reader = lambda k, j: scratch[k, off + j]
+                                    dma.start()
+                                    dma.wait()
+                                    body = make_sh_body(reader)
+                                    return jax.lax.fori_loop(0, cnt, body, o)
+                                return jax.lax.fori_loop(
+                                    base, base + cnt, sh_body, o
+                                )
+
+                            return jax.lax.cond(go, sweep, lambda o: o, occ)
+
+                        occs.append(
+                            jax.lax.fori_loop(0, n_clusters, sh_cluster, occ0)
                         )
+                    else:
+                        occs.append(jax.lax.fori_loop(0, s_pad, sh_body, occ0))
 
-                    st2 = jax.lax.cond(live, visit, lambda s: s, tuple(st))
-                    done = jnp.where(live, jnp.int32(0), jnp.int32(1))
-                    return (b + 1, done, cur, cur_a, pf_a) + st2
+            if shaded:
+                from .shade import AMBIENT
 
-                # Control carry: cur slot (1 so warm-up slot 0 is "the
-                # prefetch"), resident window base (-1: none yet),
-                # in-flight prefetch base (-1: none).
-                pf0 = jnp.where(
-                    nb > 0,
-                    win_of(cluster_at(jnp.int32(0))),
-                    jnp.int32(-1),
+                n_inv = jax.lax.rsqrt(
+                    jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
                 )
-                out = jax.lax.while_loop(
-                    cond,
-                    body,
-                    (jnp.int32(0), jnp.int32(0), jnp.int32(1),
-                     jnp.int32(-1), pf0) + init,
-                )
-                # Occlusion early-exit can leave one prefetch in flight;
-                # drain it so the semaphore is balanced for the shadow
-                # sweep / the next grid program.
-                cur_f, pf_f = out[2], out[4]
+                # Sum the clamped lambert terms over the L directional lights
+                # (cam cols _CAM_LIGHT0 + 6·li: dir(3) + color(3) per light).
+                sr = sg = sb = jnp.float32(0.0)
+                for li in range(n_lights):
+                    c0 = _CAM_LIGHT0 + 6 * li
+                    nd = jnp.maximum(
+                        0.0,
+                        -(bnx * cam_ref[0, 0, c0]
+                          + bny * cam_ref[0, 0, c0 + 1]
+                          + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
+                    )
+                    if shadows:
+                        # nd·lit with lit ∈ {0, 1} == select (bit-exact).
+                        nd = jnp.where(occs[li] != 0, 0.0, nd)
+                    sr = sr + nd * cam_ref[0, 0, c0 + 3]
+                    sg = sg + nd * cam_ref[0, 0, c0 + 4]
+                    sb = sb + nd * cam_ref[0, 0, c0 + 5]
+                hit = best_idx >= 0
+                if raster_clip:
+                    # Far clip in z (near is exact via t_lo in the sweep).
+                    hit = hit & (z < cam_ref[0, 0, 16])
 
-                @pl.when(pf_f >= 0)
-                def _drain():
-                    geo_dma(1 - cur_f, pf_f).wait()
+                def chan(base, s):
+                    c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0)
+                    c = jnp.where(hit, c, 0.0)
+                    # Mosaic supports f32→i32 but not f32→u32; pack signed and
+                    # bitcast to u32 outside the kernel.
+                    return (c * 255.0 + 0.5).astype(jnp.int32)
 
-                out = out[5:-2]  # drop control and the (u, v) carries
-            elif binned:
-                # Tile-binned pass: sweep only this tile's bin (already
-                # front-to-back — see band_cluster_bins). The O(clusters)
-                # per-tile AABB scan disappears; the slab test still runs
-                # per binned cluster for the best_t occlusion bound, and
-                # the sweep exits early once the tile is fully covered
-                # nearer than every remaining cluster.
-                nb = bin_ref[0, 0, 0]
-                out = front_to_back_sweep(
-                    nb, lambda b: bin_ref[0, 0, 1 + b]
-                )
-            elif ordered:
-                # Front-to-back visit order (per camera) with the same
-                # occlusion early-exit; invalid clusters sort to the back
-                # (inf key), so the exit also skips the padding tail.
-                out = front_to_back_sweep(
-                    n_clusters,
-                    lambda b: perm_ref[0, 0, b].astype(jnp.int32),
-                )
-            else:
+                alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
+                packed = chan(bmat, sr) | (chan(buvx, sg) << 8) | (chan(buvy, sb) << 16) | alpha
+                rgb_ref[0] = packed
+            elif textured:
+                # ---- In-kernel nearest-filter texture sampling + shading.
+                # Per-pixel material params come from [8, 128] lane-gathers by
+                # mat id (lanes = materials); the texel itself from a
+                # row-select sweep over the [3*tex_rows, 128] channel-planar
+                # pool — exact f32 texels, so results match the XLA epilogue
+                # (shade_lambert_planar) to the bit.
+                from .shade import AMBIENT
 
-                def cluster_body(ci, carry):
-                    return visit_cluster(ci, carry)
+                matv = bmat.astype(jnp.int32)
 
-                out = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
-        else:
-            tri_resident = make_tri_test(lambda k, j: tri_ref[0, k, j], 0)
-            if defer_attrs and sweep_unroll > 1:
-                ub = make_unrolled_body(lambda k, j: tri_ref[0, k, j], 0)
-                n_main = s_pad // sweep_unroll
-                out = jax.lax.fori_loop(
-                    0, n_main,
-                    lambda p, cr: ub(p * sweep_unroll, cr),
-                    init,
-                )
-                for i in range(n_main * sweep_unroll, s_pad):
-                    out = tri_resident(i, out)
-            else:
-                out = jax.lax.fori_loop(0, s_pad, tri_resident, init)
-
-        if defer_attrs:
-            # Winner-attribute resolve — the resident twin of the deferred
-            # path's per-cluster resolve: one pass per 128-lane window of
-            # the VMEM attr block, lane-gathering the winning triangle's
-            # attribute rows for the pixels it won (best_idx is the global
-            # triangle index == attr lane index). Miss pixels (idx = -1)
-            # match no window and keep the zero init, exactly like the
-            # per-triangle merge they replace.
-            bt_, bi_ = out[0], out[1]
-            bu_, bv_ = out[-2], out[-1]
-            shape2 = bi_.shape
-            uc_ = jnp.clip(bu_, 0.0, 1.0)
-            vc_ = jnp.clip(bv_, 0.0, 1.0)
-            acc = list(out[2:-2])
-            for w0 in range(0, attr_lanes, _TILE_LANE):
-                changed = (bi_ >= w0) & (bi_ < w0 + _TILE_LANE)
-                lidx = jnp.clip(bi_ - w0, 0, _TILE_LANE - 1)
-
-                def aread(k, w0=w0, lidx=lidx):
+                def mparam(row):
                     return jnp.take_along_axis(
-                        jnp.broadcast_to(
-                            attr_ref[0, k : k + 1, w0 : w0 + _TILE_LANE],
-                            shape2,
-                        ),
-                        lidx,
+                        jnp.broadcast_to(mp_ref[row : row + 1, :], matv.shape),
+                        matv,
                         axis=1,
                     )
 
-                nxw = aread(6) + uc_ * aread(9) + vc_ * aread(12)
-                nyw = aread(7) + uc_ * aread(10) + vc_ * aread(13)
-                nzw = aread(8) + uc_ * aread(11) + vc_ * aread(14)
-                if shaded:
-                    a0 = aread(16)
-                    a1 = aread(17)
-                    a2 = aread(18)
-                else:
-                    a0 = aread(15)
-                    a1 = aread(0) + uc_ * aread(2) + vc_ * aread(4)
-                    a2 = aread(1) + uc_ * aread(3) + vc_ * aread(5)
-                vals = [a0, a1, a2, nxw, nyw, nzw]
-                if tex_paged:
-                    vals.append(aread(19))
-                for j, vj in enumerate(vals):
-                    acc[j] = jnp.where(changed, vj, acc[j])
-            out = (bt_, bi_) + tuple(acc)
-
-        best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = out[:8]
-        bdens = out[8] if tex_paged else None
-
-        # Flip the normal toward the viewer (two-sided shading) in-kernel,
-        # where the ray direction still exists.
-        ndotd = bnx * dx + bny * dy + bnz * dz
-        flip = jnp.where(ndotd > 0, -1.0, 1.0)
-        bnx = bnx * flip
-        bny = bny * flip
-        bnz = bnz * flip
-
-        best_t = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
-        z = best_t * cosf
-
-        t_ref[0] = best_t
-        z_ref[0] = z
-        idx_ref[0] = best_idx
-
-        # ---- Shadow rays (beyond-reference; opt-in) -------------------- #
-        # One any-hit sweep per light from the primary hit points. The
-        # shadow *direction* is shared (directional light), so pvec, det,
-        # and 1/det stay per-triangle scalars — only tvec/qvec go vector.
-        # Miss pixels sweep from the camera origin (best_t = 0); their
-        # occlusion result is dead (shading masks on hit). In the 9-output
-        # mode nothing consumes the sweep (occlusion is recomputed by
-        # compute_lit in the XLA epilogue) — skip building it rather than
-        # relying on DCE.
-        occs = []
-        if shadows and (shaded or textured or tex_paged):
-            from .raytrace_ref import SHADOW_EPS
-
-            px_w = ox + best_t * dx
-            py_w = oy + best_t * dy
-            pz_w = oz + best_t * dz
-            eps_sh = SHADOW_EPS * (1.0 + best_t)
-            for li in range(n_lights):
-                c0 = _CAM_LIGHT0 + 6 * li
-                sdx = -cam_ref[0, 0, c0]
-                sdy = -cam_ref[0, 0, c0 + 1]
-                sdz = -cam_ref[0, 0, c0 + 2]
-
-                def make_sh_body(read, sdx=sdx, sdy=sdy, sdz=sdz):
-                    """Shadow any-hit test parametric over the scalar
-                    reader (resident SMEM block vs DMA-streamed scratch
-                    slab — same split as make_tri_test)."""
-
-                    def sh_body(i, occ):
-                        v0x = read(0, i)
-                        v0y = read(1, i)
-                        v0z = read(2, i)
-                        e1x = read(3, i)
-                        e1y = read(4, i)
-                        e1z = read(5, i)
-                        e2x = read(6, i)
-                        e2y = read(7, i)
-                        e2z = read(8, i)
-                        pvx = sdy * e2z - sdz * e2y
-                        pvy = sdz * e2x - sdx * e2z
-                        pvz = sdx * e2y - sdy * e2x
-                        det = e1x * pvx + e1y * pvy + e1z * pvz
-                        inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
-                        tvx = px_w - v0x
-                        tvy = py_w - v0y
-                        tvz = pz_w - v0z
-                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                        qx = tvy * e1z - tvz * e1y
-                        qy = tvz * e1x - tvx * e1z
-                        qz = tvx * e1y - tvy * e1x
-                        v = (sdx * qx + sdy * qy + sdz * qz) * inv
-                        t = (e2x * qx + e2y * qy + e2z * qz) * inv
-                        ok = (
-                            (jnp.minimum(u, v) >= -_EPS_BARY)
-                            & (u + v <= 1.0 + _EPS_BARY)
-                            & (t > eps_sh)
-                        )
-                        # i32 carry: Mosaic miscompiles vmask (i1) fori_loop
-                        # carries (layout desync in arith.ori).
-                        return occ | ok.astype(jnp.int32)
-
-                    return sh_body
-
-                sh_body = make_sh_body(lambda k, j: tri_ref[0, k, j])
-                occ0 = jnp.zeros(best_t.shape, jnp.int32)
-                if culled:
-                    # Cluster-culled shadow sweep: slab-test each cluster
-                    # AABB against the tile's shadow rays (shared scalar
-                    # direction → scalar reciprocals) and sweep only the
-                    # valid prefix of passing clusters. Pixels already
-                    # occluded drop out of the any() so fully-shadowed
-                    # tiles stop visiting clusters.
-                    eps_s = 1e-20
-                    ivsx = 1.0 / jnp.where(
-                        jnp.abs(sdx) > eps_s, sdx,
-                        jnp.where(sdx < 0, -eps_s, eps_s))
-                    ivsy = 1.0 / jnp.where(
-                        jnp.abs(sdy) > eps_s, sdy,
-                        jnp.where(sdy < 0, -eps_s, eps_s))
-                    ivsz = 1.0 / jnp.where(
-                        jnp.abs(sdz) > eps_s, sdz,
-                        jnp.where(sdz < 0, -eps_s, eps_s))
-
-                    def sh_cluster(c, occ):
-                        t1x = (cl_ref[0, 0, c] - px_w) * ivsx
-                        t2x = (cl_ref[0, 3, c] - px_w) * ivsx
-                        t1y = (cl_ref[0, 1, c] - py_w) * ivsy
-                        t2y = (cl_ref[0, 4, c] - py_w) * ivsy
-                        t1z = (cl_ref[0, 2, c] - pz_w) * ivsz
-                        t2z = (cl_ref[0, 5, c] - pz_w) * ivsz
-                        tmin = jnp.maximum(
-                            jnp.maximum(jnp.minimum(t1x, t2x),
-                                        jnp.minimum(t1y, t2y)),
-                            jnp.minimum(t1z, t2z),
-                        )
-                        tmax = jnp.minimum(
-                            jnp.minimum(jnp.maximum(t1x, t2x),
-                                        jnp.maximum(t1y, t2y)),
-                            jnp.maximum(t1z, t2z),
-                        )
-                        possible = (tmax >= tmin) & (tmax > 0.0) & (occ == 0)
-                        go = jnp.any(possible) & (cl_ref[0, 6, c] > 0.0)
-
-                        def sweep(o):
-                            base = c * cluster_size
-                            cnt = cl_ref[0, 7, c].astype(jnp.int32)
-                            if dma_tris:
-                                # Stream the cluster's slab HBM → SMEM,
-                                # exactly like the primary sweep (shadow
-                                # clusters differ from primary clusters,
-                                # so each sweep pages its own slabs).
-                                window = max(cluster_size, 128)
-                                aligned = (base // window) * window
-                                off = base - aligned
-                                if deferred:
-                                    # Geometry rows only, slot 0 of the
-                                    # double-buffer (primary sweep done;
-                                    # all its DMAs are balanced).
-                                    dma = pltpu.make_async_copy(
-                                        tri_ref.at[
-                                            w_idx, pl.ds(0, _N_GEO_ROWS),
-                                            pl.ds(aligned, window),
-                                        ],
-                                        scratch.at[0],
-                                        sem.at[0],
-                                    )
-                                    reader = (
-                                        lambda k, j: scratch[0, k, off + j]
-                                    )
-                                else:
-                                    dma = pltpu.make_async_copy(
-                                        tri_ref.at[
-                                            w_idx, :, pl.ds(aligned, window)
-                                        ],
-                                        scratch,
-                                        sem,
-                                    )
-                                    reader = lambda k, j: scratch[k, off + j]
-                                dma.start()
-                                dma.wait()
-                                body = make_sh_body(reader)
-                                return jax.lax.fori_loop(0, cnt, body, o)
-                            return jax.lax.fori_loop(
-                                base, base + cnt, sh_body, o
-                            )
-
-                        return jax.lax.cond(go, sweep, lambda o: o, occ)
-
-                    occs.append(
-                        jax.lax.fori_loop(0, n_clusters, sh_cluster, occ0)
-                    )
-                else:
-                    occs.append(jax.lax.fori_loop(0, s_pad, sh_body, occ0))
-
-        if shaded:
-            from .shade import AMBIENT
-
-            n_inv = jax.lax.rsqrt(
-                jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
-            )
-            # Sum the clamped lambert terms over the L directional lights
-            # (cam cols _CAM_LIGHT0 + 6·li: dir(3) + color(3) per light).
-            sr = sg = sb = jnp.float32(0.0)
-            for li in range(n_lights):
-                c0 = _CAM_LIGHT0 + 6 * li
-                nd = jnp.maximum(
-                    0.0,
-                    -(bnx * cam_ref[0, 0, c0]
-                      + bny * cam_ref[0, 0, c0 + 1]
-                      + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
-                )
-                if shadows:
-                    # nd·lit with lit ∈ {0, 1} == select (bit-exact).
-                    nd = jnp.where(occs[li] != 0, 0.0, nd)
-                sr = sr + nd * cam_ref[0, 0, c0 + 3]
-                sg = sg + nd * cam_ref[0, 0, c0 + 4]
-                sb = sb + nd * cam_ref[0, 0, c0 + 5]
-            hit = best_idx >= 0
-            if raster_clip:
-                # Far clip in z (near is exact via t_lo in the sweep).
-                hit = hit & (z < cam_ref[0, 0, 16])
-
-            def chan(base, s):
-                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0)
-                c = jnp.where(hit, c, 0.0)
-                # Mosaic supports f32→i32 but not f32→u32; pack signed and
-                # bitcast to u32 outside the kernel.
-                return (c * 255.0 + 0.5).astype(jnp.int32)
-
-            alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
-            packed = chan(bmat, sr) | (chan(buvx, sg) << 8) | (chan(buvy, sb) << 16) | alpha
-            rgb_ref[0] = packed
-        elif textured:
-            # ---- In-kernel nearest-filter texture sampling + shading.
-            # Per-pixel material params come from [8, 128] lane-gathers by
-            # mat id (lanes = materials); the texel itself from a
-            # row-select sweep over the [3*tex_rows, 128] channel-planar
-            # pool — exact f32 texels, so results match the XLA epilogue
-            # (shade_lambert_planar) to the bit.
-            from .shade import AMBIENT
-
-            matv = bmat.astype(jnp.int32)
-
-            def mparam(row):
-                return jnp.take_along_axis(
-                    jnp.broadcast_to(mp_ref[row : row + 1, :], matv.shape),
-                    matv,
-                    axis=1,
-                )
-
-            base_r = mparam(0)
-            base_g = mparam(1)
-            base_b = mparam(2)
-            off_f = mparam(3)
-            wf = mparam(4)
-            hf = mparam(5)
-            w_i = wf.astype(jnp.int32)
-            h_i = hf.astype(jnp.int32)
-            uu = buvx - jnp.floor(buvx)  # repeat wrap
-            vv = buvy - jnp.floor(buvy)
-            off_i = off_f.astype(jnp.int32)
-            shape2 = uu.shape
-
-            def fetch(flat):
-                # Row-select sweep over the u32-packed pool: one gather/row.
-                texel = jnp.zeros_like(flat)
-                sub_row = flat // _TILE_LANE
-                lane_i = flat % _TILE_LANE
-                for rr in range(tex_rows):
-                    g = jnp.take_along_axis(
-                        jnp.broadcast_to(pool_ref[rr : rr + 1, :], shape2),
-                        lane_i,
-                        axis=1,
-                    )
-                    texel = jnp.where(sub_row == rr, g, texel)
-                return texel
-
-            # Exact u8 → f32 dequant via the k/255 LUT in mp rows 6-7
-            # (Mosaic f32 divide misrounds; the LUT is host-exact; the
-            # exact-split trick k/255 = (k&127)/255 + 128/255 misrounds for
-            # 32 of 256 k — verified — so two rows it is). k & 127 indexes
-            # both rows: the hi gather's result is dead when k < 128.
-            lut_lo = jnp.broadcast_to(mp_ref[6:7, :], shape2)
-            lut_hi = jnp.broadcast_to(mp_ref[7:8, :], shape2)
-
-            def dequant(k):
-                k7 = k & (_TILE_LANE - 1)
-                lo = jnp.take_along_axis(lut_lo, k7, axis=1)
-                hi = jnp.take_along_axis(lut_hi, k7, axis=1)
-                return jnp.where(k < _TILE_LANE, lo, hi)
-
-            if tex_filter == "nearest":
-                # OBJ/GL convention: v grows upward; texel row 0 = image
-                # top (matches shade.sample_texture_nearest exactly).
-                tx = jnp.clip((uu * wf).astype(jnp.int32), 0, w_i - 1)
-                ty = jnp.clip(((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1)
-                texel = fetch(off_i + ty * w_i + tx)
-                base_r = base_r * dequant(texel & 255)
-                base_g = base_g * dequant((texel >> 8) & 255)
-                base_b = base_b * dequant((texel >> 16) & 255)
-            else:
-                # Bilinear (texel centers at half-integers, repeat wrap) —
-                # matches shade_lambert_planar's bilinear branch exactly.
-                fx = uu * wf - 0.5
-                fy = (1.0 - vv) * hf - 0.5
-                x0f = jnp.floor(fx)
-                y0f = jnp.floor(fy)
-                ax = fx - x0f
-                ay = fy - y0f
-                x0 = x0f.astype(jnp.int32)
-                y0 = y0f.astype(jnp.int32)
-
-                def wrap(i, n):
-                    # i ∈ [-1, n] by construction — a floored modulo needs
-                    # only the two boundary fixes (Mosaic irem truncates).
-                    i = jnp.where(i < 0, i + n, i)
-                    return jnp.where(i >= n, i - n, i)
-
-                def texel_at(xi, yi):
-                    return fetch(
-                        off_i + wrap(yi, h_i) * w_i + wrap(xi, w_i)
-                    )
-
-                t00 = texel_at(x0, y0)
-                t10 = texel_at(x0 + 1, y0)
-                t01 = texel_at(x0, y0 + 1)
-                t11 = texel_at(x0 + 1, y0 + 1)
-
-                def lerp_ch(shift):
-                    c00 = dequant((t00 >> shift) & 255)
-                    c10 = dequant((t10 >> shift) & 255)
-                    c01 = dequant((t01 >> shift) & 255)
-                    c11 = dequant((t11 >> shift) & 255)
-                    top = c00 * (1 - ax) + c10 * ax
-                    bot = c01 * (1 - ax) + c11 * ax
-                    return top * (1 - ay) + bot * ay
-
-                base_r = base_r * lerp_ch(0)
-                base_g = base_g * lerp_ch(8)
-                base_b = base_b * lerp_ch(16)
-
-            n_inv = jax.lax.rsqrt(
-                jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
-            )
-            sr = sg = sb = jnp.float32(0.0)
-            for li in range(n_lights):
-                c0 = _CAM_LIGHT0 + 6 * li
-                nd = jnp.maximum(
-                    0.0,
-                    -(bnx * cam_ref[0, 0, c0]
-                      + bny * cam_ref[0, 0, c0 + 1]
-                      + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
-                )
-                if shadows:
-                    nd = jnp.where(occs[li] != 0, 0.0, nd)
-                sr = sr + nd * cam_ref[0, 0, c0 + 3]
-                sg = sg + nd * cam_ref[0, 0, c0 + 4]
-                sb = sb + nd * cam_ref[0, 0, c0 + 5]
-            hit = best_idx >= 0
-            if raster_clip:
-                hit = hit & (z < cam_ref[0, 0, 16])
-
-            def chan_t(base, s):
-                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0)
-                c = jnp.where(hit, c, 0.0)
-                return (c * 255.0 + 0.5).astype(jnp.int32)
-
-            alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
-            packed = (
-                chan_t(base_r, sr)
-                | (chan_t(base_g, sg) << 8)
-                | (chan_t(base_b, sb) << 16)
-                | alpha
-            )
-            rgb_ref[0] = packed
-        elif tex_paged:
-            # ---- Paged mip-aware texture sampling (round 3; design in
-            # ops/mips.py). The texel pool exceeds the resident budget:
-            # the coarse fallback region ([0, TEX_FB_ROWS) rows, every
-            # texture's coarse chain) is resident in VMEM, and one
-            # TEX_PAGE_ROWS window of the fine pool is DMA'd per tile,
-            # covering the tile's texel rows at each pixel's mip level.
-            # Tiles whose fine rows overflow one window clamp to the
-            # coarse chains (tile-adaptive mip clamp — the jnp reference
-            # reproduces the identical integer test).
-            from ..core.scene import TEX_FB_ROWS, TEX_PAGE_ROWS
-            from .shade import AMBIENT
-
-            matv = bmat.astype(jnp.int32)
-            shape2 = matv.shape
-
-            def mparam(row):
-                return jnp.take_along_axis(
-                    jnp.broadcast_to(mp_ref[row : row + 1, :], shape2),
-                    matv,
-                    axis=1,
-                )
-
-            base_r = mparam(0)
-            base_g = mparam(1)
-            base_b = mparam(2)
-            fitl = mparam(3).astype(jnp.int32)
-
-            # Mip level: footprint = t·(2·tan_y/height)·density; level =
-            # Σ_l [fp ≥ 2^l] — exact f32 compares (ops/mips.py twin).
-            fp = best_t * (2.0 / height) * tan_y * bdens
-            lvl = jnp.zeros(shape2, jnp.int32)
-            for l in range(1, n_levels):
-                lvl = lvl + (fp >= jnp.float32(2.0**l)).astype(jnp.int32)
-
-            hitm = best_idx >= 0
-            # Overhang pixels (2D bottom tiles / flattened tail) must not
-            # widen the window — the jnp reference only sees real pixels.
-            if tiles_x > 1:
-                in_img = (r // tiles_x * tile_sub + sub) < height
-            else:
-                p_i = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
-                in_img = p_i < (height * width)
-            hit_w = hitm & in_img
-
-            uu = buvx - jnp.floor(buvx)
-            vv = buvy - jnp.floor(buvy)
-
-            zero2 = jnp.zeros(shape2, jnp.float32)
-
-            trilinear = tex_filter == "trilinear"
-
-            def taps_for(lvl, filt):
-                """→ tuple (tap flats..., ax, ay); ax/ay zero for nearest
-                (tuple-shaped so lax.cond can select between passes)."""
-                off = jnp.zeros(shape2, jnp.float32)
-                wf = jnp.ones(shape2, jnp.float32)
-                hf = jnp.ones(shape2, jnp.float32)
-                for l in range(n_levels):
-                    sel = lvl == l
-                    off = jnp.where(sel, mparam(4 + 3 * l), off)
-                    wf = jnp.where(sel, mparam(5 + 3 * l), wf)
-                    hf = jnp.where(sel, mparam(6 + 3 * l), hf)
+                base_r = mparam(0)
+                base_g = mparam(1)
+                base_b = mparam(2)
+                off_f = mparam(3)
+                wf = mparam(4)
+                hf = mparam(5)
                 w_i = wf.astype(jnp.int32)
                 h_i = hf.astype(jnp.int32)
-                off_i = off.astype(jnp.int32)
-                if filt == "nearest":
+                uu = buvx - jnp.floor(buvx)  # repeat wrap
+                vv = buvy - jnp.floor(buvy)
+                off_i = off_f.astype(jnp.int32)
+                shape2 = uu.shape
+
+                def fetch(flat):
+                    # Row-select sweep over the u32-packed pool: one gather/row.
+                    texel = jnp.zeros_like(flat)
+                    sub_row = flat // _TILE_LANE
+                    lane_i = flat % _TILE_LANE
+                    for rr in range(tex_rows):
+                        g = jnp.take_along_axis(
+                            jnp.broadcast_to(pool_ref[rr : rr + 1, :], shape2),
+                            lane_i,
+                            axis=1,
+                        )
+                        texel = jnp.where(sub_row == rr, g, texel)
+                    return texel
+
+                # Exact u8 → f32 dequant via the k/255 LUT in mp rows 6-7
+                # (Mosaic f32 divide misrounds; the LUT is host-exact; the
+                # exact-split trick k/255 = (k&127)/255 + 128/255 misrounds for
+                # 32 of 256 k — verified — so two rows it is). k & 127 indexes
+                # both rows: the hi gather's result is dead when k < 128.
+                lut_lo = jnp.broadcast_to(mp_ref[6:7, :], shape2)
+                lut_hi = jnp.broadcast_to(mp_ref[7:8, :], shape2)
+
+                def dequant(k):
+                    k7 = k & (_TILE_LANE - 1)
+                    lo = jnp.take_along_axis(lut_lo, k7, axis=1)
+                    hi = jnp.take_along_axis(lut_hi, k7, axis=1)
+                    return jnp.where(k < _TILE_LANE, lo, hi)
+
+                if tex_filter == "nearest":
+                    # OBJ/GL convention: v grows upward; texel row 0 = image
+                    # top (matches shade.sample_texture_nearest exactly).
                     tx = jnp.clip((uu * wf).astype(jnp.int32), 0, w_i - 1)
-                    ty = jnp.clip(
-                        ((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1
-                    )
-                    return (off_i + ty * w_i + tx, zero2, zero2)
-                fx = uu * wf - 0.5
-                fy = (1.0 - vv) * hf - 0.5
-                x0f = jnp.floor(fx)
-                y0f = jnp.floor(fy)
-                ax = fx - x0f
-                ay = fy - y0f
-                x0 = x0f.astype(jnp.int32)
-                y0 = y0f.astype(jnp.int32)
+                    ty = jnp.clip(((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1)
+                    texel = fetch(off_i + ty * w_i + tx)
+                    base_r = base_r * dequant(texel & 255)
+                    base_g = base_g * dequant((texel >> 8) & 255)
+                    base_b = base_b * dequant((texel >> 16) & 255)
+                else:
+                    # Bilinear (texel centers at half-integers, repeat wrap) —
+                    # matches shade_lambert_planar's bilinear branch exactly.
+                    fx = uu * wf - 0.5
+                    fy = (1.0 - vv) * hf - 0.5
+                    x0f = jnp.floor(fx)
+                    y0f = jnp.floor(fy)
+                    ax = fx - x0f
+                    ay = fy - y0f
+                    x0 = x0f.astype(jnp.int32)
+                    y0 = y0f.astype(jnp.int32)
 
-                def wrap(i, n):
-                    i = jnp.where(i < 0, i + n, i)
-                    return jnp.where(i >= n, i - n, i)
+                    def wrap(i, n):
+                        # i ∈ [-1, n] by construction — a floored modulo needs
+                        # only the two boundary fixes (Mosaic irem truncates).
+                        i = jnp.where(i < 0, i + n, i)
+                        return jnp.where(i >= n, i - n, i)
 
-                flats = tuple(
-                    off_i + wrap(y0 + dy, h_i) * w_i + wrap(x0 + dx, w_i)
-                    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1))
+                    def texel_at(xi, yi):
+                        return fetch(
+                            off_i + wrap(yi, h_i) * w_i + wrap(xi, w_i)
+                        )
+
+                    t00 = texel_at(x0, y0)
+                    t10 = texel_at(x0 + 1, y0)
+                    t01 = texel_at(x0, y0 + 1)
+                    t11 = texel_at(x0 + 1, y0 + 1)
+
+                    def lerp_ch(shift):
+                        c00 = dequant((t00 >> shift) & 255)
+                        c10 = dequant((t10 >> shift) & 255)
+                        c01 = dequant((t01 >> shift) & 255)
+                        c11 = dequant((t11 >> shift) & 255)
+                        top = c00 * (1 - ax) + c10 * ax
+                        bot = c01 * (1 - ax) + c11 * ax
+                        return top * (1 - ay) + bot * ay
+
+                    base_r = base_r * lerp_ch(0)
+                    base_g = base_g * lerp_ch(8)
+                    base_b = base_b * lerp_ch(16)
+
+                n_inv = jax.lax.rsqrt(
+                    jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
                 )
-                return flats + (ax, ay)
-
-            def all_taps(lvl):
-                """Trilinear = both blended levels' bilinear taps
-                (ops/mips.py mip_tap_rows union semantics)."""
-                if trilinear:
-                    l1 = jnp.minimum(lvl + 1, n_levels - 1)
-                    return taps_for(lvl, "bilinear") + taps_for(
-                        l1, "bilinear"
+                sr = sg = sb = jnp.float32(0.0)
+                for li in range(n_lights):
+                    c0 = _CAM_LIGHT0 + 6 * li
+                    nd = jnp.maximum(
+                        0.0,
+                        -(bnx * cam_ref[0, 0, c0]
+                          + bny * cam_ref[0, 0, c0 + 1]
+                          + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
                     )
-                return taps_for(lvl, tex_filter)
+                    if shadows:
+                        nd = jnp.where(occs[li] != 0, 0.0, nd)
+                    sr = sr + nd * cam_ref[0, 0, c0 + 3]
+                    sg = sg + nd * cam_ref[0, 0, c0 + 4]
+                    sb = sb + nd * cam_ref[0, 0, c0 + 5]
+                hit = best_idx >= 0
+                if raster_clip:
+                    hit = hit & (z < cam_ref[0, 0, 16])
 
-            def tap_flats(taps):
-                if trilinear:
-                    return taps[0:4] + taps[6:10]
-                return taps[:-2]
+                def chan_t(base, s):
+                    c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0)
+                    c = jnp.where(hit, c, 0.0)
+                    return (c * 255.0 + 0.5).astype(jnp.int32)
 
-            # Window pass at the unclamped level, then the per-pixel
-            # window clamp (ops/mips.py window_base/clamp_levels twin):
-            # ONE PAGE_ROWS window per tile, anchored at the magnified
-            # (level-0) pixels' PRIMARY-level spans when any exist.
-            # Three-tier degradation: primary taps in window → sample as
-            # requested; primary in but trilinear secondary out → kill
-            # the blend (bilinear at the primary level); primary out →
-            # coarse (resident) chain.
-            taps0 = all_taps(lvl)
-            flats0 = tap_flats(taps0)
-            prim0 = flats0[0:4] if trilinear else flats0
-            row_lo = prim0[0] // _TILE_LANE
-            row_hi = row_lo
-            for f in prim0[1:]:
-                rv = f // _TILE_LANE
-                row_lo = jnp.minimum(row_lo, rv)
-                row_hi = jnp.maximum(row_hi, rv)
-            fine = hit_w & (row_hi >= TEX_FB_ROWS)
-            big = jnp.int32(1 << 30)
-            # Seam-wrap pixels whose own span can never fit one window
-            # must not drag the anchor (ops/mips.py window_base twin).
-            anchor_ok = fine & ((row_hi - row_lo) < TEX_PAGE_ROWS)
-            pref = jnp.min(jnp.where(anchor_ok & (lvl == 0), row_lo, big))
-            anyf = jnp.min(jnp.where(anchor_ok, row_lo, big))
-            r0 = jnp.where(pref < big, pref, anyf)
-            r0 = jnp.where(r0 < big, r0, 0)
-            base_row = (r0 // 8) * 8
-            in_window = (row_lo >= base_row) & (
-                row_hi < base_row + TEX_PAGE_ROWS
-            )
-            bump = fine & jnp.logical_not(in_window)
-            any_bump = jnp.any(bump)
-            need_page = jnp.any(fine & in_window)
-            if trilinear:
-                # Blend-kill mask (ops/mips.py clamp_levels twin): only
-                # pixels actually blending (w > 0 at the UNCLAMPED
-                # level) need their secondary taps; those whose
-                # secondary span is neither resident nor in the window
-                # degrade to bilinear at the primary level.
-                pw0 = jnp.ones(shape2, jnp.float32)
+                alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
+                packed = (
+                    chan_t(base_r, sr)
+                    | (chan_t(base_g, sg) << 8)
+                    | (chan_t(base_b, sb) << 16)
+                    | alpha
+                )
+                rgb_ref[0] = packed
+            elif tex_paged:
+                # ---- Paged mip-aware texture sampling (round 3; design in
+                # ops/mips.py). The texel pool exceeds the resident budget:
+                # the coarse fallback region ([0, TEX_FB_ROWS) rows, every
+                # texture's coarse chain) is resident in VMEM, and one
+                # TEX_PAGE_ROWS window of the fine pool is DMA'd per tile,
+                # covering the tile's texel rows at each pixel's mip level.
+                # Tiles whose fine rows overflow one window clamp to the
+                # coarse chains (tile-adaptive mip clamp — the jnp reference
+                # reproduces the identical integer test).
+                from ..core.scene import TEX_FB_ROWS, TEX_PAGE_ROWS
+                from .shade import AMBIENT
+
+                matv = bmat.astype(jnp.int32)
+                shape2 = matv.shape
+
+                def mparam(row):
+                    return jnp.take_along_axis(
+                        jnp.broadcast_to(mp_ref[row : row + 1, :], shape2),
+                        matv,
+                        axis=1,
+                    )
+
+                base_r = mparam(0)
+                base_g = mparam(1)
+                base_b = mparam(2)
+                fitl = mparam(3).astype(jnp.int32)
+
+                # Mip level: footprint = t·(2·tan_y/height)·density; level =
+                # Σ_l [fp ≥ 2^l] — exact f32 compares (ops/mips.py twin).
+                fp = best_t * (2.0 / height) * tan_y * bdens
+                lvl = jnp.zeros(shape2, jnp.int32)
                 for l in range(1, n_levels):
-                    pw0 = jnp.where(lvl == l, jnp.float32(2.0**l), pw0)
-                w_live = (fp / pw0 - 1.0) > 0.0
-                slo = flats0[4] // _TILE_LANE
-                shi = slo
-                for f in flats0[5:8]:
+                    lvl = lvl + (fp >= jnp.float32(2.0**l)).astype(jnp.int32)
+
+                hitm = best_idx >= 0
+                # Overhang pixels (2D bottom tiles / flattened tail) must not
+                # widen the window — the jnp reference only sees real pixels.
+                if tiles_x > 1:
+                    in_img = (r // tiles_x * tile_sub + sub) < height
+                else:
+                    p_i = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
+                    in_img = p_i < (height * width)
+                hit_w = hitm & in_img
+
+                uu = buvx - jnp.floor(buvx)
+                vv = buvy - jnp.floor(buvy)
+
+                zero2 = jnp.zeros(shape2, jnp.float32)
+
+                trilinear = tex_filter == "trilinear"
+
+                def taps_for(lvl, filt):
+                    """→ tuple (tap flats..., ax, ay); ax/ay zero for nearest
+                    (tuple-shaped so lax.cond can select between passes)."""
+                    off = jnp.zeros(shape2, jnp.float32)
+                    wf = jnp.ones(shape2, jnp.float32)
+                    hf = jnp.ones(shape2, jnp.float32)
+                    for l in range(n_levels):
+                        sel = lvl == l
+                        off = jnp.where(sel, mparam(4 + 3 * l), off)
+                        wf = jnp.where(sel, mparam(5 + 3 * l), wf)
+                        hf = jnp.where(sel, mparam(6 + 3 * l), hf)
+                    w_i = wf.astype(jnp.int32)
+                    h_i = hf.astype(jnp.int32)
+                    off_i = off.astype(jnp.int32)
+                    if filt == "nearest":
+                        tx = jnp.clip((uu * wf).astype(jnp.int32), 0, w_i - 1)
+                        ty = jnp.clip(
+                            ((1.0 - vv) * hf).astype(jnp.int32), 0, h_i - 1
+                        )
+                        return (off_i + ty * w_i + tx, zero2, zero2)
+                    fx = uu * wf - 0.5
+                    fy = (1.0 - vv) * hf - 0.5
+                    x0f = jnp.floor(fx)
+                    y0f = jnp.floor(fy)
+                    ax = fx - x0f
+                    ay = fy - y0f
+                    x0 = x0f.astype(jnp.int32)
+                    y0 = y0f.astype(jnp.int32)
+
+                    def wrap(i, n):
+                        i = jnp.where(i < 0, i + n, i)
+                        return jnp.where(i >= n, i - n, i)
+
+                    flats = tuple(
+                        off_i + wrap(y0 + dy, h_i) * w_i + wrap(x0 + dx, w_i)
+                        for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1))
+                    )
+                    return flats + (ax, ay)
+
+                def all_taps(lvl):
+                    """Trilinear = both blended levels' bilinear taps
+                    (ops/mips.py mip_tap_rows union semantics)."""
+                    if trilinear:
+                        l1 = jnp.minimum(lvl + 1, n_levels - 1)
+                        return taps_for(lvl, "bilinear") + taps_for(
+                            l1, "bilinear"
+                        )
+                    return taps_for(lvl, tex_filter)
+
+                def tap_flats(taps):
+                    if trilinear:
+                        return taps[0:4] + taps[6:10]
+                    return taps[:-2]
+
+                # Window pass at the unclamped level, then the per-pixel
+                # window clamp (ops/mips.py window_base/clamp_levels twin):
+                # ONE PAGE_ROWS window per tile, anchored at the magnified
+                # (level-0) pixels' PRIMARY-level spans when any exist.
+                # Three-tier degradation: primary taps in window → sample as
+                # requested; primary in but trilinear secondary out → kill
+                # the blend (bilinear at the primary level); primary out →
+                # coarse (resident) chain.
+                taps0 = all_taps(lvl)
+                flats0 = tap_flats(taps0)
+                prim0 = flats0[0:4] if trilinear else flats0
+                row_lo = prim0[0] // _TILE_LANE
+                row_hi = row_lo
+                for f in prim0[1:]:
                     rv = f // _TILE_LANE
-                    slo = jnp.minimum(slo, rv)
-                    shi = jnp.maximum(shi, rv)
-                sec_ok = (
-                    jnp.logical_not(w_live)
-                    | (shi < TEX_FB_ROWS)
-                    | ((slo >= base_row) & (shi < base_row + TEX_PAGE_ROWS))
+                    row_lo = jnp.minimum(row_lo, rv)
+                    row_hi = jnp.maximum(row_hi, rv)
+                fine = hit_w & (row_hi >= TEX_FB_ROWS)
+                big = jnp.int32(1 << 30)
+                # Seam-wrap pixels whose own span can never fit one window
+                # must not drag the anchor (ops/mips.py window_base twin).
+                anchor_ok = fine & ((row_hi - row_lo) < TEX_PAGE_ROWS)
+                pref = jnp.min(jnp.where(anchor_ok & (lvl == 0), row_lo, big))
+                anyf = jnp.min(jnp.where(anchor_ok, row_lo, big))
+                r0 = jnp.where(pref < big, pref, anyf)
+                r0 = jnp.where(r0 < big, r0, 0)
+                base_row = (r0 // 8) * 8
+                in_window = (row_lo >= base_row) & (
+                    row_hi < base_row + TEX_PAGE_ROWS
                 )
-                blend_kill = fine & in_window & jnp.logical_not(sec_ok)
+                bump = fine & jnp.logical_not(in_window)
+                any_bump = jnp.any(bump)
+                need_page = jnp.any(fine & in_window)
+                if trilinear:
+                    # Blend-kill mask (ops/mips.py clamp_levels twin): only
+                    # pixels actually blending (w > 0 at the UNCLAMPED
+                    # level) need their secondary taps; those whose
+                    # secondary span is neither resident nor in the window
+                    # degrade to bilinear at the primary level.
+                    pw0 = jnp.ones(shape2, jnp.float32)
+                    for l in range(1, n_levels):
+                        pw0 = jnp.where(lvl == l, jnp.float32(2.0**l), pw0)
+                    w_live = (fp / pw0 - 1.0) > 0.0
+                    slo = flats0[4] // _TILE_LANE
+                    shi = slo
+                    for f in flats0[5:8]:
+                        rv = f // _TILE_LANE
+                        slo = jnp.minimum(slo, rv)
+                        shi = jnp.maximum(shi, rv)
+                    sec_ok = (
+                        jnp.logical_not(w_live)
+                        | (shi < TEX_FB_ROWS)
+                        | ((slo >= base_row) & (shi < base_row + TEX_PAGE_ROWS))
+                    )
+                    blend_kill = fine & in_window & jnp.logical_not(sec_ok)
 
-            # Start the page DMA before the (conditional) tap recompute
-            # so the transfer overlaps it.
-            dmac = pltpu.make_async_copy(
-                pool_hbm_ref.at[pl.ds(base_row, TEX_PAGE_ROWS), :],
-                tex_scratch,
-                tex_sem,
-            )
+                # Start the page DMA before the (conditional) tap recompute
+                # so the transfer overlaps it.
+                dmac = pltpu.make_async_copy(
+                    pool_hbm_ref.at[pl.ds(base_row, TEX_PAGE_ROWS), :],
+                    tex_scratch,
+                    tex_sem,
+                )
 
-            @pl.when(need_page)
-            def _page_start():
-                dmac.start()
+                @pl.when(need_page)
+                def _page_start():
+                    dmac.start()
 
-            lvl_f = jnp.where(bump, jnp.maximum(lvl, fitl), lvl)
-            taps = jax.lax.cond(
-                any_bump,
-                lambda: all_taps(lvl_f),
-                lambda: taps0,
-            )
-            flats = tap_flats(taps)
+                lvl_f = jnp.where(bump, jnp.maximum(lvl, fitl), lvl)
+                taps = jax.lax.cond(
+                    any_bump,
+                    lambda: all_taps(lvl_f),
+                    lambda: taps0,
+                )
+                flats = tap_flats(taps)
 
-            @pl.when(need_page)
-            def _page_wait():
-                dmac.wait()
+                @pl.when(need_page)
+                def _page_wait():
+                    dmac.wait()
 
-            # Fetch sweeps are scalar-gated: all-fine tiles skip the
-            # 64-row fallback sweep, all-coarse (or overflowed) tiles
-            # skip the 128-row page sweep.
-            row_lo_f = flats[0] // _TILE_LANE
-            for f in flats[1:]:
-                row_lo_f = jnp.minimum(row_lo_f, f // _TILE_LANE)
-            any_coarse = jnp.any(hit_w & (row_lo_f < TEX_FB_ROWS))
+                # Fetch sweeps are scalar-gated: all-fine tiles skip the
+                # 64-row fallback sweep, all-coarse (or overflowed) tiles
+                # skip the 128-row page sweep.
+                row_lo_f = flats[0] // _TILE_LANE
+                for f in flats[1:]:
+                    row_lo_f = jnp.minimum(row_lo_f, f // _TILE_LANE)
+                any_coarse = jnp.any(hit_w & (row_lo_f < TEX_FB_ROWS))
 
-            def fetch(flat):
-                rowv = flat // _TILE_LANE
-                lane_i = flat % _TILE_LANE
+                def fetch(flat):
+                    rowv = flat // _TILE_LANE
+                    lane_i = flat % _TILE_LANE
 
-                def fb_sweep(texel):
-                    for rr in range(TEX_FB_ROWS):
-                        g = jnp.take_along_axis(
-                            jnp.broadcast_to(
-                                fb_ref[rr : rr + 1, :], shape2
-                            ),
-                            lane_i,
-                            axis=1,
-                        )
-                        texel = jnp.where(rowv == rr, g, texel)
+                    def fb_sweep(texel):
+                        for rr in range(TEX_FB_ROWS):
+                            g = jnp.take_along_axis(
+                                jnp.broadcast_to(
+                                    fb_ref[rr : rr + 1, :], shape2
+                                ),
+                                lane_i,
+                                axis=1,
+                            )
+                            texel = jnp.where(rowv == rr, g, texel)
+                        return texel
+
+                    def page_sweep(texel):
+                        local = rowv - base_row
+                        is_fine = rowv >= TEX_FB_ROWS
+                        for rr in range(TEX_PAGE_ROWS):
+                            g = jnp.take_along_axis(
+                                jnp.broadcast_to(
+                                    tex_scratch[rr : rr + 1, :], shape2
+                                ),
+                                lane_i,
+                                axis=1,
+                            )
+                            texel = jnp.where(is_fine & (local == rr), g, texel)
+                        return texel
+
+                    texel = jnp.zeros(shape2, jnp.int32)
+                    texel = jax.lax.cond(
+                        any_coarse, fb_sweep, lambda t: t, texel
+                    )
+                    texel = jax.lax.cond(
+                        need_page, page_sweep, lambda t: t, texel
+                    )
                     return texel
 
-                def page_sweep(texel):
-                    local = rowv - base_row
-                    is_fine = rowv >= TEX_FB_ROWS
-                    for rr in range(TEX_PAGE_ROWS):
-                        g = jnp.take_along_axis(
-                            jnp.broadcast_to(
-                                tex_scratch[rr : rr + 1, :], shape2
-                            ),
-                            lane_i,
-                            axis=1,
-                        )
-                        texel = jnp.where(is_fine & (local == rr), g, texel)
-                    return texel
-
-                texel = jnp.zeros(shape2, jnp.int32)
-                texel = jax.lax.cond(
-                    any_coarse, fb_sweep, lambda t: t, texel
+                lut_lo = jnp.broadcast_to(
+                    mp_ref[4 + 3 * n_levels : 5 + 3 * n_levels, :], shape2
                 )
-                texel = jax.lax.cond(
-                    need_page, page_sweep, lambda t: t, texel
+                lut_hi = jnp.broadcast_to(
+                    mp_ref[5 + 3 * n_levels : 6 + 3 * n_levels, :], shape2
                 )
-                return texel
 
-            lut_lo = jnp.broadcast_to(
-                mp_ref[4 + 3 * n_levels : 5 + 3 * n_levels, :], shape2
-            )
-            lut_hi = jnp.broadcast_to(
-                mp_ref[5 + 3 * n_levels : 6 + 3 * n_levels, :], shape2
-            )
+                def dequant(k):
+                    k7 = k & (_TILE_LANE - 1)
+                    lo = jnp.take_along_axis(lut_lo, k7, axis=1)
+                    hi = jnp.take_along_axis(lut_hi, k7, axis=1)
+                    return jnp.where(k < _TILE_LANE, lo, hi)
 
-            def dequant(k):
-                k7 = k & (_TILE_LANE - 1)
-                lo = jnp.take_along_axis(lut_lo, k7, axis=1)
-                hi = jnp.take_along_axis(lut_hi, k7, axis=1)
-                return jnp.where(k < _TILE_LANE, lo, hi)
+                def bilerp(f4, ax, ay):
+                    t00 = fetch(f4[0])
+                    t10 = fetch(f4[1])
+                    t01 = fetch(f4[2])
+                    t11 = fetch(f4[3])
 
-            def bilerp(f4, ax, ay):
-                t00 = fetch(f4[0])
-                t10 = fetch(f4[1])
-                t01 = fetch(f4[2])
-                t11 = fetch(f4[3])
+                    def lerp_ch(shift):
+                        c00 = dequant((t00 >> shift) & 255)
+                        c10 = dequant((t10 >> shift) & 255)
+                        c01 = dequant((t01 >> shift) & 255)
+                        c11 = dequant((t11 >> shift) & 255)
+                        top = c00 * (1 - ax) + c10 * ax
+                        bot = c01 * (1 - ax) + c11 * ax
+                        return top * (1 - ay) + bot * ay
 
-                def lerp_ch(shift):
-                    c00 = dequant((t00 >> shift) & 255)
-                    c10 = dequant((t10 >> shift) & 255)
-                    c01 = dequant((t01 >> shift) & 255)
-                    c11 = dequant((t11 >> shift) & 255)
-                    top = c00 * (1 - ax) + c10 * ax
-                    bot = c01 * (1 - ax) + c11 * ax
-                    return top * (1 - ay) + bot * ay
+                    return lerp_ch(0), lerp_ch(8), lerp_ch(16)
 
-                return lerp_ch(0), lerp_ch(8), lerp_ch(16)
+                if tex_filter == "nearest":
+                    texel = fetch(flats[0])
+                    base_r = base_r * dequant(texel & 255)
+                    base_g = base_g * dequant((texel >> 8) & 255)
+                    base_b = base_b * dequant((texel >> 16) & 255)
+                elif trilinear:
+                    # Blend weight from the clamped level (ops/mips.py
+                    # mip_blend_weight twin): w = clamp(fp/2^lvl − 1, 0, 1);
+                    # 2^lvl by the same per-level select chain (exact).
+                    pw = jnp.ones(shape2, jnp.float32)
+                    for l in range(1, n_levels):
+                        pw = jnp.where(lvl_f == l, jnp.float32(2.0**l), pw)
+                    wgt = jnp.clip(fp / pw - 1.0, 0.0, 1.0)
+                    wgt = jnp.where(blend_kill, 0.0, wgt)
+                    r0c, g0c, b0c = bilerp(taps[0:4], taps[4], taps[5])
+                    r1c, g1c, b1c = bilerp(taps[6:10], taps[10], taps[11])
+                    base_r = base_r * (r0c * (1 - wgt) + r1c * wgt)
+                    base_g = base_g * (g0c * (1 - wgt) + g1c * wgt)
+                    base_b = base_b * (b0c * (1 - wgt) + b1c * wgt)
+                else:
+                    ax, ay = taps[-2], taps[-1]
+                    cr, cg, cb = bilerp(flats, ax, ay)
+                    base_r = base_r * cr
+                    base_g = base_g * cg
+                    base_b = base_b * cb
 
-            if tex_filter == "nearest":
-                texel = fetch(flats[0])
-                base_r = base_r * dequant(texel & 255)
-                base_g = base_g * dequant((texel >> 8) & 255)
-                base_b = base_b * dequant((texel >> 16) & 255)
-            elif trilinear:
-                # Blend weight from the clamped level (ops/mips.py
-                # mip_blend_weight twin): w = clamp(fp/2^lvl − 1, 0, 1);
-                # 2^lvl by the same per-level select chain (exact).
-                pw = jnp.ones(shape2, jnp.float32)
-                for l in range(1, n_levels):
-                    pw = jnp.where(lvl_f == l, jnp.float32(2.0**l), pw)
-                wgt = jnp.clip(fp / pw - 1.0, 0.0, 1.0)
-                wgt = jnp.where(blend_kill, 0.0, wgt)
-                r0c, g0c, b0c = bilerp(taps[0:4], taps[4], taps[5])
-                r1c, g1c, b1c = bilerp(taps[6:10], taps[10], taps[11])
-                base_r = base_r * (r0c * (1 - wgt) + r1c * wgt)
-                base_g = base_g * (g0c * (1 - wgt) + g1c * wgt)
-                base_b = base_b * (b0c * (1 - wgt) + b1c * wgt)
+                n_inv = jax.lax.rsqrt(
+                    jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
+                )
+                sr = sg = sb = jnp.float32(0.0)
+                for li in range(n_lights):
+                    c0 = _CAM_LIGHT0 + 6 * li
+                    nd = jnp.maximum(
+                        0.0,
+                        -(bnx * cam_ref[0, 0, c0]
+                          + bny * cam_ref[0, 0, c0 + 1]
+                          + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
+                    )
+                    if shadows:
+                        nd = jnp.where(occs[li] != 0, 0.0, nd)
+                    sr = sr + nd * cam_ref[0, 0, c0 + 3]
+                    sg = sg + nd * cam_ref[0, 0, c0 + 4]
+                    sb = sb + nd * cam_ref[0, 0, c0 + 5]
+                hit = best_idx >= 0
+                if raster_clip:
+                    hit = hit & (z < cam_ref[0, 0, 16])
+
+                def chan_p(base, s):
+                    c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0)
+                    c = jnp.where(hit, c, 0.0)
+                    return (c * 255.0 + 0.5).astype(jnp.int32)
+
+                alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
+                packed = (
+                    chan_p(base_r, sr)
+                    | (chan_p(base_g, sg) << 8)
+                    | (chan_p(base_b, sb) << 16)
+                    | alpha
+                )
+                rgb_ref[0] = packed
             else:
-                ax, ay = taps[-2], taps[-1]
-                cr, cg, cb = bilerp(flats, ax, ay)
-                base_r = base_r * cr
-                base_g = base_g * cg
-                base_b = base_b * cb
+                mat_ref[0] = bmat.astype(jnp.int32)
+                u_ref[0] = buvx
+                v_ref[0] = buvy
+                nx_ref[0] = bnx
+                ny_ref[0] = bny
+                nz_ref[0] = bnz
 
-            n_inv = jax.lax.rsqrt(
-                jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
-            )
-            sr = sg = sb = jnp.float32(0.0)
-            for li in range(n_lights):
-                c0 = _CAM_LIGHT0 + 6 * li
-                nd = jnp.maximum(
-                    0.0,
-                    -(bnx * cam_ref[0, 0, c0]
-                      + bny * cam_ref[0, 0, c0 + 1]
-                      + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
-                )
-                if shadows:
-                    nd = jnp.where(occs[li] != 0, 0.0, nd)
-                sr = sr + nd * cam_ref[0, 0, c0 + 3]
-                sg = sg + nd * cam_ref[0, 0, c0 + 4]
-                sb = sb + nd * cam_ref[0, 0, c0 + 5]
-            hit = best_idx >= 0
-            if raster_clip:
-                hit = hit & (z < cam_ref[0, 0, 16])
-
-            def chan_p(base, s):
-                c = jnp.clip(base * (AMBIENT + (1.0 - AMBIENT) * s), 0.0, 1.0)
-                c = jnp.where(hit, c, 0.0)
-                return (c * 255.0 + 0.5).astype(jnp.int32)
-
-            alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
-            packed = (
-                chan_p(base_r, sr)
-                | (chan_p(base_g, sg) << 8)
-                | (chan_p(base_b, sb) << 16)
-                | alpha
-            )
-            rgb_ref[0] = packed
-        else:
-            mat_ref[0] = bmat.astype(jnp.int32)
-            u_ref[0] = buvx
-            v_ref[0] = buvy
-            nx_ref[0] = bnx
-            ny_ref[0] = bny
-            nz_ref[0] = bnz
+        for _wi in range(wpp):
+            for _ti in range(tpp):
+                tile_body(_ti, _wi)
 
     return kernel
 
@@ -2744,6 +2797,29 @@ def render_core(
     )
     if not (deferred or defer_attrs):
         sweep_unroll = 1
+    # Supertiling: fold wpp worlds × tpp tiles into one grid program to
+    # amortize the per-program floor (block-DMA issue + grid-step
+    # overhead, measured 0.5–0.8 µs/program on small resident scenes —
+    # 40-72%% of the whole step there). MRT_SUPERTILE caps sub-tiles per
+    # program (1 disables). Tiles fold first (whole-camera programs),
+    # then worlds when every tile of a camera already fits.
+    super_budget = int(_os.environ.get("MRT_SUPERTILE", "4"))
+    wpp = tpp = 1
+    if (
+        super_budget > 1
+        and accel != "mxu"
+        and not (dma_tris or tex_paged or rowskip)
+    ):
+        for d in range(min(super_budget, n_tiles), 0, -1):
+            if n_tiles % d == 0:
+                tpp = d
+                break
+        if tpp == n_tiles and C == 1:
+            rem = super_budget // tpp
+            for d in range(min(rem, WC), 0, -1):
+                if WC % d == 0:
+                    wpp = d
+                    break
     s_attr_pad = -(-S // _TILE_LANE) * _TILE_LANE
     attrs = None
     if deferred:
@@ -2760,24 +2836,48 @@ def render_core(
         state, scene, width, height, eff_fov, eff_near, far_t, far_z
     )  # [WC, 1, 24]
 
-    grid = (WC, n_tiles)
+    grid = (WC // wpp, n_tiles // tpp)
+    # With wpp > 1 the leading block dim spans wpp worlds (C == 1, so the
+    # grid row IS the world-block index); with wpp == 1 the original
+    # wc // C world lookup applies.
+    world_map = lambda wc, r: ((wc // C) if wpp == 1 else wc, 0, 0)
+
+    def _lane_pad(arr):
+        # Supertile blocks are sliced per sub-tile with leading-dim `.at`
+        # views; Mosaic requires the sliced lane dim to be 128-aligned,
+        # so pad the SMEM input lanes (zero padding is semantically inert:
+        # every loop is bounded by the unpadded static/dynamic counts).
+        L = int(arr.shape[-1])
+        Lp = -(-L // _TILE_LANE) * _TILE_LANE
+        if Lp != L:
+            arr = jnp.pad(
+                arr, [(0, 0)] * (arr.ndim - 1) + [(0, Lp - L)]
+            )
+        return arr
+
+    if wpp > 1 or tpp > 1:
+        tris = _lane_pad(tris)
+        cams = _lane_pad(cams)
     tri_spec = pl.BlockSpec(
-        (1, _N_GEO_ROWS if defer_attrs else _N_TRI_ROWS, S),
-        lambda wc, r: (wc // C, 0, 0),
+        (wpp, _N_GEO_ROWS if defer_attrs else _N_TRI_ROWS,
+         int(tris.shape[2])),
+        world_map,
         memory_space=pltpu.SMEM,
     )
     attr_spec = pl.BlockSpec(
-        (1, _N_ATTR_ROWS, s_attr_pad),
-        lambda wc, r: (wc // C, 0, 0),
+        (wpp, _N_ATTR_ROWS, s_attr_pad),
+        world_map,
         memory_space=pltpu.VMEM,
     )
     cam_spec = pl.BlockSpec(
-        (1, 1, _n_cam_cols(int(scene.light_dir.shape[0]))),
+        (wpp, 1, int(cams.shape[2])),
         lambda wc, r: (wc, 0, 0),
         memory_space=pltpu.SMEM,
     )
     out_spec = pl.BlockSpec(
-        (1, tile_sub, _TILE_LANE), lambda wc, r: (wc, r, 0), memory_space=pltpu.VMEM
+        (wpp, tpp * tile_sub, _TILE_LANE),
+        lambda wc, r: (wc, r, 0),
+        memory_space=pltpu.VMEM,
     )
     f32 = jax.ShapeDtypeStruct((WC, n_tiles * tile_sub, _TILE_LANE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((WC, n_tiles * tile_sub, _TILE_LANE), jnp.int32)
@@ -2835,19 +2935,33 @@ def render_core(
             tiles_x=tiles_x, tex_paged=tex_paged, n_levels=n_levels,
             deferred=deferred, dmxu=dmxu, rowskip=rowskip,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
+            wpp=wpp, tpp=tpp,
         )
+        if wpp > 1 or tpp > 1:
+            cl = _lane_pad(cl)
         cl_spec = pl.BlockSpec(
-            (1, 8, cc), lambda wc, r: (wc // C, 0, 0), memory_space=pltpu.SMEM
+            (wpp, 8, int(cl.shape[2])), world_map, memory_space=pltpu.SMEM
+        )
+        cc_lanes = (
+            -(-cc // _TILE_LANE) * _TILE_LANE if wpp > 1 or tpp > 1 else cc
         )
         perm_spec = pl.BlockSpec(
-            (1, 1, cc), lambda wc, r: (wc, 0, 0), memory_space=pltpu.SMEM
+            (wpp, 1, cc_lanes),
+            lambda wc, r: (wc, 0, 0),
+            memory_space=pltpu.SMEM,
         )
         # Bins flattened to [WC*T, 1, CC+1]: SMEM block shapes require the
         # sublane dim to equal the array dim, so the (wc, tile) pair is
-        # folded into the leading dim and picked by the index map.
+        # folded into the leading dim and picked by the index map. A
+        # supertile block covers its wpp×tpp (world, tile) rows, which are
+        # contiguous because wpp > 1 requires tpp == n_tiles.
+        bin_lanes = (
+            -(-(cc + 1) // _TILE_LANE) * _TILE_LANE
+            if wpp > 1 or tpp > 1 else cc + 1
+        )
         bin_spec = pl.BlockSpec(
-            (1, 1, cc + 1),
-            lambda wc, r: (wc * n_tiles + r, 0, 0),
+            (wpp * tpp, 1, bin_lanes),
+            lambda wc, r: (wc * (n_tiles // tpp) + r, 0, 0),
             memory_space=pltpu.SMEM,
         )
         rows_specs, rows_inputs = [], ()
@@ -2866,12 +2980,16 @@ def render_core(
                 height, width, n_tiles, tile_pix=tile_pix,
                 tiles_x=tiles_x, tile_sub=tile_sub,
             ).reshape(WC * n_tiles, 1, cc + 1)
+            if wpp > 1 or tpp > 1:
+                bins = _lane_pad(bins)
             extra_in_specs = (
                 [cl_spec, bin_spec] + rows_specs + [cam_spec] + tex_in_specs
             )
             extra_inputs = (cl, bins) + rows_inputs + (cams,) + tex_inputs
         elif ordered:
             perm = camera_cluster_order(cl_lo, cl_hi, cl_valid, state.camera_pos)
+            if wpp > 1 or tpp > 1:
+                perm = _lane_pad(perm)
             extra_in_specs = (
                 [cl_spec, perm_spec] + rows_specs + [cam_spec] + tex_in_specs
             )
@@ -2933,6 +3051,7 @@ def render_core(
             shadows=shadows, tiles_x=tiles_x,
             tex_paged=tex_paged, n_levels=n_levels,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
+            wpp=wpp, tpp=tpp,
         )
         attr_specs, attr_inputs = [], ()
         if defer_attrs:
