@@ -131,20 +131,57 @@ _N_ATTR_ROWS = 24  # deferred split: attribute block rows (20 used)
 _N_SPLIT_ROWS = _N_GEO_ROWS + _N_ATTR_ROWS  # 40
 
 
-def _pack_tris_split(soup, scene: SceneData) -> jnp.ndarray:
+def _pack_tris_split(soup, scene: SceneData, cam_pos=None) -> jnp.ndarray:
     """Soup → split-layout SoA [W, 40, S] for the deferred big-mesh
     kernel: rows 0-8 geometry (the only rows the per-triangle sweep
     reads, DMA'd to SMEM), rows 16-35 hit attributes (DMA'd to VMEM and
     lane-gathered ONCE per visited cluster for the winning pixels —
-    attribute interpolation leaves the inner loop entirely)."""
+    attribute interpolation leaves the inner loop entirely).
+
+    With ``cam_pos`` ([W, 3], one camera per world, shadows off — the
+    caller gates both), the geometry block instead carries the ten
+    camera-origin-factored Möller–Trumbore numerator constants
+    D = e2×e1, A = e2×tv, Q = tv×e1, t_num = e2·Q (tv = origin − v0),
+    computed here in one fused XLA elementwise pass per step. The sweep's
+    per-triangle scalar work collapses to ten SMEM reads — zero scalar
+    ALU — because det/u/v numerators are just ray-direction dots with
+    these rows. Expressions mirror the kernel's scalar form term-for-term
+    so the streamed constants are bitwise what the kernel used to
+    compute in-loop."""
     val = soup.valid
     col = scene.mat_color[soup.mat]
     zero = jnp.zeros_like(soup.valid)
-    rows = [
-        soup.v0[..., 0], soup.v0[..., 1], soup.v0[..., 2],
-        soup.e1[..., 0] * val, soup.e1[..., 1] * val, soup.e1[..., 2] * val,
-        soup.e2[..., 0] * val, soup.e2[..., 1] * val, soup.e2[..., 2] * val,
-        zero, zero, zero, zero, zero, zero, zero,  # rows 9-15 pad
+    if cam_pos is not None:
+        e1x, e1y, e1z = (soup.e1[..., k] * val for k in range(3))
+        e2x, e2y, e2z = (soup.e2[..., k] * val for k in range(3))
+        o = cam_pos[:, None, :]  # [W, 1, 3] broadcasts over triangles
+        tvx = o[..., 0] - soup.v0[..., 0]
+        tvy = o[..., 1] - soup.v0[..., 1]
+        tvz = o[..., 2] - soup.v0[..., 2]
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        geo_rows = [
+            e2y * e1z - e2z * e1y,  # D
+            e2z * e1x - e2x * e1z,
+            e2x * e1y - e2y * e1x,
+            e2y * tvz - e2z * tvy,  # A
+            e2z * tvx - e2x * tvz,
+            e2x * tvy - e2y * tvx,
+            qx, qy, qz,             # Q
+            e2x * qx + e2y * qy + e2z * qz,  # t_num
+            zero, zero, zero, zero, zero, zero,  # rows 10-15 pad
+        ]
+    else:
+        geo_rows = [
+            soup.v0[..., 0], soup.v0[..., 1], soup.v0[..., 2],
+            soup.e1[..., 0] * val, soup.e1[..., 1] * val,
+            soup.e1[..., 2] * val,
+            soup.e2[..., 0] * val, soup.e2[..., 1] * val,
+            soup.e2[..., 2] * val,
+            zero, zero, zero, zero, zero, zero, zero,  # rows 9-15 pad
+        ]
+    rows = geo_rows + [
         # Attribute block (slab-relative rows 0-19):
         soup.uv0[..., 0], soup.uv0[..., 1],
         soup.duv1[..., 0], soup.duv1[..., 1],
@@ -466,6 +503,7 @@ def _render_kernel(
     tex_paged: bool = False,
     n_levels: int = 1,
     deferred: bool = False,
+    prep: bool = False,
     dmxu: bool = False,
     rowskip: bool = False,
     defer_attrs: bool = False,
@@ -505,6 +543,13 @@ def _render_kernel(
     # visited cluster by lane-gathers over the winning pixels instead of
     # per triangle.
     assert not deferred or (dma_tris and (binned or ordered))
+    # prep (prep-streamed deferred sweep): the geometry block carries the
+    # pack-time D/A/Q/t_num rows (_pack_tris_split cam_pos form) instead
+    # of raw v0/e1/e2 — the per-triangle inner loop does ten SMEM reads
+    # and no scalar ALU. Requires one camera per world (the constants
+    # bake in the camera origin) and no shadows (the shadow sweep needs
+    # raw geometry rows).
+    assert not prep or (deferred and not shadows and num_cams == 1)
     # dmxu: deferred visits intersect their cluster on the MXU (geometry
     # slab lands in VMEM; per-cluster D/A/B/t_num prepass is vectorized;
     # one [10, K] x [10, 512] dot per pixel row replaces the per-triangle
@@ -704,6 +749,37 @@ def _render_kernel(
                 def tri_test(i, carry):
                     best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry[:8]
                     gi = i + idx_base
+                    if prep:
+                        # Prep-streamed: rows 0-9 are the pack-time
+                        # D/A/Q/t_num constants — no scalar ALU at all.
+                        ddx = read(0, i)
+                        ddy = read(1, i)
+                        ddz = read(2, i)
+                        aax = read(3, i)
+                        aay = read(4, i)
+                        aaz = read(5, i)
+                        qx = read(6, i)
+                        qy = read(7, i)
+                        qz = read(8, i)
+                        t_num = read(9, i)
+                        det = dx * ddx + dy * ddy + dz * ddz
+                        inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                        u = (dx * aax + dy * aay + dz * aaz) * inv
+                        v = (dx * qx + dy * qy + dz * qz) * inv
+                        t = t_num * inv
+                        ok = (
+                            (jnp.minimum(u, v) >= -_EPS_BARY)
+                            & (u + v <= 1.0 + _EPS_BARY)
+                            & (t > t_lo)
+                            & (t < jnp.minimum(far, best_t))
+                        )
+                        return (
+                            jnp.where(ok, t, best_t),
+                            jnp.where(ok, gi, best_idx),
+                        ) + tuple(carry[2:-2]) + (
+                            jnp.where(ok, u, carry[-2]),
+                            jnp.where(ok, v, carry[-1]),
+                        )
                     v0x = read(0, i)
                     v0y = read(1, i)
                     v0z = read(2, i)
@@ -843,6 +919,29 @@ def _render_kernel(
                 slots are degenerate (zero edges → t = 0 → fails t > t_lo)."""
 
                 def probe(i, best_t):
+                    if prep:
+                        ddx = read(0, i)
+                        ddy = read(1, i)
+                        ddz = read(2, i)
+                        aax = read(3, i)
+                        aay = read(4, i)
+                        aaz = read(5, i)
+                        qx = read(6, i)
+                        qy = read(7, i)
+                        qz = read(8, i)
+                        t_num = read(9, i)
+                        det = dx * ddx + dy * ddy + dz * ddz
+                        inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+                        u = (dx * aax + dy * aay + dz * aaz) * inv
+                        v = (dx * qx + dy * qy + dz * qz) * inv
+                        t = t_num * inv
+                        ok = (
+                            (jnp.minimum(u, v) >= -_EPS_BARY)
+                            & (u + v <= 1.0 + _EPS_BARY)
+                            & (t > t_lo)
+                            & (t < jnp.minimum(far, best_t))
+                        )
+                        return t, u, v, ok
                     v0x = read(0, i)
                     v0y = read(1, i)
                     v0z = read(2, i)
@@ -1123,30 +1222,38 @@ def _render_kernel(
                                 lambda: geo_scratch[0][...],
                                 lambda: geo_scratch[1][...],
                             )  # [16, window] — only the correct slot is read
-                            v0x, v0y, v0z = g[0:1], g[1:2], g[2:3]
-                            e1x, e1y, e1z = g[3:4], g[4:5], g[5:6]
-                            e2x, e2y, e2z = g[6:7], g[7:8], g[8:9]
-                            tvx = ox - v0x
-                            tvy = oy - v0y
-                            tvz = oz - v0z
-                            # Same full factorization as the scalar deferred
-                            # sweep: D = e2×e1, A = e2×tvec, B = tvec×e1,
-                            # t_num = e2·B. Padded/invalid lanes have zero
-                            # edges → det = 0 → t = 0 → fail t > t_lo.
-                            ddx = e2y * e1z - e2z * e1y
-                            ddy = e2z * e1x - e2x * e1z
-                            ddz = e2x * e1y - e2y * e1x
-                            aax = e2y * tvz - e2z * tvy
-                            aay = e2z * tvx - e2x * tvz
-                            aaz = e2x * tvy - e2y * tvx
-                            qx = tvy * e1z - tvz * e1y
-                            qy = tvz * e1x - tvx * e1z
-                            qz = tvx * e1y - tvy * e1x
-                            tn = e2x * qx + e2y * qy + e2z * qz
-                            pre = jnp.concatenate(
-                                [ddx, ddy, ddz, aax, aay, aaz, qx, qy, qz, tn],
-                                axis=0,
-                            )  # [10, window]
+                            if prep:
+                                # Prep-streamed slab: rows 0-9 already ARE
+                                # [D, A, Q, t_num] — the vectorized prepass
+                                # below is pack-time work now.
+                                pre = g[0:10]
+                            else:
+                                v0x, v0y, v0z = g[0:1], g[1:2], g[2:3]
+                                e1x, e1y, e1z = g[3:4], g[4:5], g[5:6]
+                                e2x, e2y, e2z = g[6:7], g[7:8], g[8:9]
+                                tvx = ox - v0x
+                                tvy = oy - v0y
+                                tvz = oz - v0z
+                                # Same full factorization as the scalar
+                                # deferred sweep: D = e2×e1, A = e2×tvec,
+                                # B = tvec×e1, t_num = e2·B. Padded/invalid
+                                # lanes have zero edges → det = 0 → t = 0 →
+                                # fail t > t_lo.
+                                ddx = e2y * e1z - e2z * e1y
+                                ddy = e2z * e1x - e2x * e1z
+                                ddz = e2x * e1y - e2y * e1x
+                                aax = e2y * tvz - e2z * tvy
+                                aay = e2z * tvx - e2x * tvz
+                                aaz = e2x * tvy - e2y * tvx
+                                qx = tvy * e1z - tvz * e1y
+                                qy = tvz * e1x - tvx * e1z
+                                qz = tvx * e1y - tvy * e1x
+                                tn = e2x * qx + e2y * qy + e2z * qz
+                                pre = jnp.concatenate(
+                                    [ddx, ddy, ddz, aax, aay, aaz,
+                                     qx, qy, qz, tn],
+                                    axis=0,
+                                )  # [10, window]
                             if window // cs > 1:
                                 lhsT = jax.lax.switch(
                                     off // cs,
@@ -2770,6 +2877,18 @@ def render_core(
         and not shadows
         and _os.environ.get("MRT_DEFERRED_MXU", "0") == "1"
     )
+    # Prep-streamed deferred sweep (r3): the geometry DMA block carries
+    # pack-time D/A/Q/t_num rows, emptying the inner loop's scalar unit
+    # (ten SMEM reads, zero scalar ALU per triangle). Needs one camera
+    # per world (the constants bake in the camera origin) and no shadows
+    # (the shadow sweep reads raw v0/e1/e2 from the same slab).
+    # MRT_PREP_STREAM=0 restores the raw-geometry stream for A/B.
+    prep_stream = (
+        deferred
+        and not shadows
+        and C == 1
+        and _os.environ.get("MRT_PREP_STREAM", "1") == "1"
+    )
     # Scanline-banded sweep (requires 2D tiles: sublane == image row).
     rowskip = (
         dmxu and tiles_x > 1
@@ -2823,7 +2942,10 @@ def render_core(
     s_attr_pad = -(-S // _TILE_LANE) * _TILE_LANE
     attrs = None
     if deferred:
-        tris = _pack_tris_split(soup, scene)  # [W, 40, S]
+        tris = _pack_tris_split(
+            soup, scene,
+            cam_pos=state.camera_pos[:, 0, :] if prep_stream else None,
+        )  # [W, 40, S]
     elif defer_attrs:
         split = _pack_tris_split(soup, scene)  # [W, 40, S]
         tris = split[:, :_N_GEO_ROWS]  # geometry rows → SMEM block
@@ -2933,7 +3055,7 @@ def render_core(
             tex_filter=texture_filter, binned=binned,
             n_lights=int(scene.light_dir.shape[0]), shadows=shadows,
             tiles_x=tiles_x, tex_paged=tex_paged, n_levels=n_levels,
-            deferred=deferred, dmxu=dmxu, rowskip=rowskip,
+            deferred=deferred, prep=prep_stream, dmxu=dmxu, rowskip=rowskip,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
             wpp=wpp, tpp=tpp,
         )

@@ -102,6 +102,19 @@ def main() -> int:
             pass  # 18 % 4 != 0 — the even helper must refuse, not lie
         assert with_even is None
 
+        # Establish the CPU (gloo) collective context NOW, while the
+        # fleet is still in lockstep: the render below compiles for
+        # per-process shapes (uneven world counts), and on a loaded
+        # machine the compile-time skew can exceed gloo's fixed 30 s
+        # context-initialization deadline if the first collective only
+        # happens afterwards.
+        from jax.experimental import multihost_utils
+
+        warm = multihost_utils.process_allgather(
+            np.asarray([pid], np.int32)
+        )
+        assert sorted(np.asarray(warm).ravel()) == list(range(nproc))
+
         # Each process renders its own slice with the real render path
         # (worlds-DP: zero cross-host traffic in the step itself).
         from madrona_renderer_tpu.config import (
@@ -128,8 +141,6 @@ def main() -> int:
         assert (np.asarray(frames.segmask) >= 0).any()
 
         # DCN cross-check: the fleet's world counts must tile [0, 18).
-        from jax.experimental import multihost_utils
-
         all_counts = multihost_utils.process_allgather(
             np.asarray([sl.start, sl.stop], np.int32)
         )
