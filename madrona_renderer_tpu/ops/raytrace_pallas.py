@@ -543,13 +543,17 @@ def _render_kernel(
     # visited cluster by lane-gathers over the winning pixels instead of
     # per triangle.
     assert not deferred or (dma_tris and (binned or ordered))
-    # prep (prep-streamed deferred sweep): the geometry block carries the
-    # pack-time D/A/Q/t_num rows (_pack_tris_split cam_pos form) instead
-    # of raw v0/e1/e2 — the per-triangle inner loop does ten SMEM reads
-    # and no scalar ALU. Requires one camera per world (the constants
-    # bake in the camera origin) and no shadows (the shadow sweep needs
-    # raw geometry rows).
-    assert not prep or (deferred and not shadows and num_cams == 1)
+    # prep (prep-streamed sweep, deferred or resident defer_attrs): the
+    # geometry block carries the pack-time D/A/Q/t_num rows
+    # (_pack_tris_split cam_pos form) instead of raw v0/e1/e2 — the
+    # per-triangle inner loop does ten SMEM reads and no scalar ALU, and
+    # the dot-with-scalars vector form needs ~9 fewer vector ops per
+    # triangle than the resident pvec form. Requires one camera per world
+    # (the constants bake in the camera origin) and no shadows (the
+    # shadow sweep needs raw geometry rows).
+    assert not prep or (
+        (deferred or defer_attrs) and not shadows and num_cams == 1
+    )
     # dmxu: deferred visits intersect their cluster on the MXU (geometry
     # slab lands in VMEM; per-cluster D/A/B/t_num prepass is vectorized;
     # one [10, K] x [10, 512] dot per pixel row replaces the per-triangle
@@ -584,9 +588,12 @@ def _render_kernel(
     )
     # Supertiling constraints: excluded paths keep 1×1 programs; folding
     # worlds requires whole-camera programs (tpp == n_tiles, one camera
-    # per world so consecutive grid rows are consecutive worlds).
+    # per world so consecutive grid rows are consecutive worlds). DMA
+    # paths fold tiles only (wpp == 1): the HBM triangle ref is indexed
+    # by the global w_idx, not block-sliced.
     if wpp > 1 or tpp > 1:
-        assert not (dma_tris or deferred or tex_paged or rowskip)
+        assert not (tex_paged or rowskip)
+        assert wpp == 1 or not dma_tris
         assert n_tiles % tpp == 0
         assert wpp == 1 or (tpp == n_tiles and num_cams == 1)
 
@@ -653,7 +660,10 @@ def _render_kernel(
         ):
             if wpp > 1 or tpp > 1:
                 row = slice(wi, wi + 1)
-                tri_ref = tri_ref.at[row]
+                if not dma_tris:
+                    # DMA paths keep the full HBM ref: the async copies
+                    # index it by the global w_idx (wpp == 1 asserted).
+                    tri_ref = tri_ref.at[row]
                 cl_ref = None if cl_ref is None else cl_ref.at[row]
                 bt = wi * tpp + ti
                 bin_ref = (
@@ -2905,6 +2915,21 @@ def render_core(
         and accel != "mxu"
         and _os.environ.get("MRT_DEFER_ATTRS", "1") == "1"
     )
+    # Resident twin of prep_stream (r3): the defer_attrs SMEM geometry
+    # block carries the same pack-time constants. This unblocks the
+    # r2-rejected "full factorization on resident sweeps" trade: that
+    # experiment moved the cross products from vector to scalar ALU
+    # (neutral-to-worse); pack time removes them from the kernel entirely
+    # — the dot-with-scalars form needs ~9 fewer vector ops per triangle
+    # than the pvec form AND zero scalar ALU. Same gates as prep_stream
+    # (origin-baked, shadows read raw v0/e1/e2). MRT_PREP_RESIDENT=0
+    # for A/B.
+    prep_resident = (
+        defer_attrs
+        and not shadows
+        and C == 1
+        and _os.environ.get("MRT_PREP_RESIDENT", "1") == "1"
+    )
     # Carry-form sweep unrolling (ILP over the per-triangle carry chain);
     # only meaningful for the (t, idx, u, v)-carry sweeps. Measured on the
     # 100k-tri 512² terrain: unroll 1/2/4/8 → 64.0/67.9/71.1/70.1 f/s —
@@ -2927,13 +2952,13 @@ def render_core(
     if (
         super_budget > 1
         and accel != "mxu"
-        and not (dma_tris or tex_paged or rowskip)
+        and not (tex_paged or rowskip)
     ):
         for d in range(min(super_budget, n_tiles), 0, -1):
             if n_tiles % d == 0:
                 tpp = d
                 break
-        if tpp == n_tiles and C == 1:
+        if tpp == n_tiles and C == 1 and not dma_tris:
             rem = super_budget // tpp
             for d in range(min(rem, WC), 0, -1):
                 if WC % d == 0:
@@ -2947,7 +2972,10 @@ def render_core(
             cam_pos=state.camera_pos[:, 0, :] if prep_stream else None,
         )  # [W, 40, S]
     elif defer_attrs:
-        split = _pack_tris_split(soup, scene)  # [W, 40, S]
+        split = _pack_tris_split(
+            soup, scene,
+            cam_pos=state.camera_pos[:, 0, :] if prep_resident else None,
+        )  # [W, 40, S]
         tris = split[:, :_N_GEO_ROWS]  # geometry rows → SMEM block
         attrs = split[:, _N_GEO_ROWS:]  # attr rows → VMEM block
         if s_attr_pad != S:
@@ -3055,7 +3083,8 @@ def render_core(
             tex_filter=texture_filter, binned=binned,
             n_lights=int(scene.light_dir.shape[0]), shadows=shadows,
             tiles_x=tiles_x, tex_paged=tex_paged, n_levels=n_levels,
-            deferred=deferred, prep=prep_stream, dmxu=dmxu, rowskip=rowskip,
+            deferred=deferred, prep=prep_stream or prep_resident,
+            dmxu=dmxu, rowskip=rowskip,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
             wpp=wpp, tpp=tpp,
         )
@@ -3172,6 +3201,7 @@ def render_core(
             tex_filter=texture_filter, n_lights=int(scene.light_dir.shape[0]),
             shadows=shadows, tiles_x=tiles_x,
             tex_paged=tex_paged, n_levels=n_levels,
+            prep=prep_resident,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
             wpp=wpp, tpp=tpp,
         )

@@ -738,3 +738,45 @@ def test_parity_deferred_mxu_rowskip(monkeypatch):
     np.testing.assert_array_equal(np.asarray(pal.rgb), np.asarray(pal2.rgb))
     np.testing.assert_array_equal(np.asarray(pal.segmask),
                                   np.asarray(pal2.segmask))
+
+
+def test_parity_prep_stream_matches_raw(monkeypatch):
+    """Prep-streamed deferred sweep (pack-time D/A/Q/t_num rows,
+    MRT_PREP_STREAM) vs the raw-geometry stream: the streamed constants
+    are computed with term-for-term the same f32 expressions the kernel
+    used in-loop, so the two must be exactly equal in interpret mode."""
+    state, scene = _dense_field_scene(seed=61)
+    a = rt_pal(state, scene, height=16, width=16, interpret=True,
+               accel="binned")
+    monkeypatch.setenv("MRT_PREP_STREAM", "0")
+    b = rt_pal(state, scene, height=16, width=16, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.segmask),
+                                  np.asarray(b.segmask))
+
+
+def test_parity_prep_resident_matches_raw(monkeypatch):
+    """Resident prep twin (MRT_PREP_RESIDENT): the defer_attrs sweep with
+    pack-time constants (dot-with-scalars numerators) vs the pvec-form
+    raw-geometry sweep. These use DIFFERENT factorizations, so the
+    contract is reference parity for both plus near-equality between
+    them, not bitwise equality."""
+    state, scene = build(
+        [quad_xz(half=100.0, y=0.0)],
+        [
+            ImportedInstance(position=[0, 10, 0], rotation=[1, 0, 0, 0],
+                             scale=[1, 1, 1], object_id=0),
+            ImportedInstance(position=[0, 5, 0], rotation=[1, 0, 0, 0],
+                             scale=[0.05, 1, 0.05], object_id=0),
+        ],
+        [cam_at_origin_looking_plus_y()],
+    )
+    ref = rt_ref(state, scene, height=64, width=64)
+    a = rt_pal(state, scene, height=64, width=64, interpret=True)
+    _assert_frames_equal(ref, a)
+    monkeypatch.setenv("MRT_PREP_RESIDENT", "0")
+    b = rt_pal(state, scene, height=64, width=64, interpret=True)
+    _assert_frames_equal(ref, b)
+    _assert_frames_equal(a, b)
