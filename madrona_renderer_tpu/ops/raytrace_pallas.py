@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os as _osmod
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1888,7 +1890,16 @@ def _render_kernel(
                 shape2 = uu.shape
 
                 def fetch(flat):
-                    # Row-select sweep over the u32-packed pool: one gather/row.
+                    # Row-select sweep over the u32-packed pool: one
+                    # gather/row. Static on purpose: a dynamic-bound row
+                    # loop (the paged path's r3 win) LOSES here — resident
+                    # single-level pools serve wrapped/repeating UVs whose
+                    # per-tile row span is the whole pool, so the bound
+                    # reductions + per-row loop overhead buy nothing
+                    # (measured: 182k vs 349k f/s on a 32-row pool; -23%
+                    # on an 8-row pool). The paged path wins because mip
+                    # windows + per-pixel clamps make spans genuinely
+                    # narrow.
                     texel = jnp.zeros_like(flat)
                     sub_row = flat // _TILE_LANE
                     lane_i = flat % _TILE_LANE
@@ -2193,44 +2204,146 @@ def _render_kernel(
                     row_lo_f = jnp.minimum(row_lo_f, f // _TILE_LANE)
                 any_coarse = jnp.any(hit_w & (row_lo_f < TEX_FB_ROWS))
 
-                def fetch(flat):
-                    rowv = flat // _TILE_LANE
-                    lane_i = flat % _TILE_LANE
+                def fetch_many_static(flat_list, live=None):
+                    """The r3 mid-round fetch: per tap, a static unrolled
+                    row-select sweep over the 64-row fb region + the
+                    128-row page window (`live` is a bounds-only hint —
+                    unused here). Kept for A/B (MRT_DYN_FETCH=0)."""
+                    out = []
+                    for flat in flat_list:
+                        rowv = flat // _TILE_LANE
+                        lane_i = flat % _TILE_LANE
 
-                    def fb_sweep(texel):
-                        for rr in range(TEX_FB_ROWS):
-                            g = jnp.take_along_axis(
-                                jnp.broadcast_to(
-                                    fb_ref[rr : rr + 1, :], shape2
-                                ),
-                                lane_i,
-                                axis=1,
+                        def fb_sweep(texel, rowv=rowv, lane_i=lane_i):
+                            for rr in range(TEX_FB_ROWS):
+                                g = jnp.take_along_axis(
+                                    jnp.broadcast_to(
+                                        fb_ref[rr : rr + 1, :], shape2
+                                    ),
+                                    lane_i,
+                                    axis=1,
+                                )
+                                texel = jnp.where(rowv == rr, g, texel)
+                            return texel
+
+                        def page_sweep(texel, rowv=rowv, lane_i=lane_i):
+                            local = rowv - base_row
+                            is_fine = rowv >= TEX_FB_ROWS
+                            for rr in range(TEX_PAGE_ROWS):
+                                g = jnp.take_along_axis(
+                                    jnp.broadcast_to(
+                                        tex_scratch[rr : rr + 1, :], shape2
+                                    ),
+                                    lane_i,
+                                    axis=1,
+                                )
+                                texel = jnp.where(
+                                    is_fine & (local == rr), g, texel
+                                )
+                            return texel
+
+                        texel = jnp.zeros(shape2, jnp.int32)
+                        texel = jax.lax.cond(
+                            any_coarse, fb_sweep, lambda t: t, texel
+                        )
+                        texel = jax.lax.cond(
+                            need_page, page_sweep, lambda t: t, texel
+                        )
+                        out.append(texel)
+                    return out
+
+                def fetch_many(flat_list, live=None):
+                    """All taps fetched through ONE pair of dynamic-bound
+                    row loops (fb region + page window) instead of a
+                    static 64+128-row unrolled select sweep per tap: the
+                    loop bounds are the min/max rows any output-affecting
+                    (hit, in-image, `live`) pixel requests, unioned across
+                    taps, and each visited row is sliced once (dynamic
+                    sublane start) and gathered per tap. Rows requested
+                    only by masked-out pixels may be skipped — their
+                    texels reach the output with weight 0 (or behind the
+                    hit mask), so the cropped outputs are bitwise
+                    identical to the static sweep. Typical magnified
+                    tiles touch a handful of rows; the static sweep paid
+                    all 192 every tap."""
+                    rows = [f // _TILE_LANE for f in flat_list]
+                    lanes = [f % _TILE_LANE for f in flat_list]
+                    big = jnp.int32(1 << 30)
+                    care = hit_w if live is None else hit_w & live
+
+                    def bounds(pairs):
+                        lo, hi = big, jnp.int32(-1)
+                        for rv, m in pairs:
+                            lo = jnp.minimum(
+                                lo, jnp.min(jnp.where(m, rv, big))
                             )
-                            texel = jnp.where(rowv == rr, g, texel)
-                        return texel
-
-                    def page_sweep(texel):
-                        local = rowv - base_row
-                        is_fine = rowv >= TEX_FB_ROWS
-                        for rr in range(TEX_PAGE_ROWS):
-                            g = jnp.take_along_axis(
-                                jnp.broadcast_to(
-                                    tex_scratch[rr : rr + 1, :], shape2
-                                ),
-                                lane_i,
-                                axis=1,
+                            hi = jnp.maximum(
+                                hi, jnp.max(jnp.where(m, rv, -1))
                             )
-                            texel = jnp.where(is_fine & (local == rr), g, texel)
-                        return texel
+                        return lo, hi + 1
 
-                    texel = jnp.zeros(shape2, jnp.int32)
-                    texel = jax.lax.cond(
-                        any_coarse, fb_sweep, lambda t: t, texel
+                    flo, fend = bounds(
+                        [(rv, care & (rv < TEX_FB_ROWS)) for rv in rows]
                     )
-                    texel = jax.lax.cond(
-                        need_page, page_sweep, lambda t: t, texel
+
+                    def fb_body(rr, tx):
+                        g0 = jnp.broadcast_to(
+                            fb_ref[pl.ds(rr, 1), :], shape2
+                        )
+                        return tuple(
+                            jnp.where(
+                                rv == rr,
+                                jnp.take_along_axis(g0, ln, axis=1),
+                                t,
+                            )
+                            for rv, ln, t in zip(rows, lanes, tx)
+                        )
+
+                    texels = tuple(
+                        jnp.zeros(shape2, jnp.int32) for _ in flat_list
                     )
-                    return texel
+                    texels = jax.lax.cond(
+                        any_coarse,
+                        lambda tx: jax.lax.fori_loop(flo, fend, fb_body, tx),
+                        lambda tx: tx,
+                        texels,
+                    )
+
+                    locs = [rv - base_row for rv in rows]
+                    fines = [rv >= TEX_FB_ROWS for rv in rows]
+                    plo, pend = bounds(
+                        [(lc, care & fi) for lc, fi in zip(locs, fines)]
+                    )
+                    # Out-of-window taps (blend-killed secondaries; their
+                    # texels are consumed with weight 0) must not drag the
+                    # loop outside the scratch: clamp to the window. The
+                    # static sweep's [0, PAGE_ROWS) selects did the same.
+                    plo = jnp.maximum(plo, 0)
+                    pend = jnp.minimum(pend, TEX_PAGE_ROWS)
+
+                    def pg_body(rr, tx):
+                        g0 = jnp.broadcast_to(
+                            tex_scratch[pl.ds(rr, 1), :], shape2
+                        )
+                        return tuple(
+                            jnp.where(
+                                fi & (lc == rr),
+                                jnp.take_along_axis(g0, ln, axis=1),
+                                t,
+                            )
+                            for lc, fi, ln, t in zip(locs, fines, lanes, tx)
+                        )
+
+                    texels = jax.lax.cond(
+                        need_page,
+                        lambda tx: jax.lax.fori_loop(plo, pend, pg_body, tx),
+                        lambda tx: tx,
+                        texels,
+                    )
+                    return list(texels)
+
+                if _osmod.environ.get("MRT_DYN_FETCH", "1") != "1":
+                    fetch_many = fetch_many_static
 
                 lut_lo = jnp.broadcast_to(
                     mp_ref[4 + 3 * n_levels : 5 + 3 * n_levels, :], shape2
@@ -2245,11 +2358,8 @@ def _render_kernel(
                     hi = jnp.take_along_axis(lut_hi, k7, axis=1)
                     return jnp.where(k < _TILE_LANE, lo, hi)
 
-                def bilerp(f4, ax, ay):
-                    t00 = fetch(f4[0])
-                    t10 = fetch(f4[1])
-                    t01 = fetch(f4[2])
-                    t11 = fetch(f4[3])
+                def bilerp_t(t4, ax, ay):
+                    t00, t10, t01, t11 = t4
 
                     def lerp_ch(shift):
                         c00 = dequant((t00 >> shift) & 255)
@@ -2263,7 +2373,7 @@ def _render_kernel(
                     return lerp_ch(0), lerp_ch(8), lerp_ch(16)
 
                 if tex_filter == "nearest":
-                    texel = fetch(flats[0])
+                    (texel,) = fetch_many([flats[0]])
                     base_r = base_r * dequant(texel & 255)
                     base_g = base_g * dequant((texel >> 8) & 255)
                     base_b = base_b * dequant((texel >> 16) & 255)
@@ -2276,14 +2386,25 @@ def _render_kernel(
                         pw = jnp.where(lvl_f == l, jnp.float32(2.0**l), pw)
                     wgt = jnp.clip(fp / pw - 1.0, 0.0, 1.0)
                     wgt = jnp.where(blend_kill, 0.0, wgt)
-                    r0c, g0c, b0c = bilerp(taps[0:4], taps[4], taps[5])
-                    r1c, g1c, b1c = bilerp(taps[6:10], taps[10], taps[11])
+                    # Two fetch groups, one per blended level: a single
+                    # union loop would span the whole pool region BETWEEN
+                    # the two levels' rows, erasing the dynamic-bound win.
+                    t4a = fetch_many(list(taps[0:4]))
+                    # Secondary taps only matter where the blend weight is
+                    # nonzero (w_live and not blend-killed) — weight-0
+                    # texels cannot reach the output.
+                    t4b = fetch_many(
+                        list(taps[6:10]),
+                        live=w_live & jnp.logical_not(blend_kill),
+                    )
+                    r0c, g0c, b0c = bilerp_t(t4a, taps[4], taps[5])
+                    r1c, g1c, b1c = bilerp_t(t4b, taps[10], taps[11])
                     base_r = base_r * (r0c * (1 - wgt) + r1c * wgt)
                     base_g = base_g * (g0c * (1 - wgt) + g1c * wgt)
                     base_b = base_b * (b0c * (1 - wgt) + b1c * wgt)
                 else:
                     ax, ay = taps[-2], taps[-1]
-                    cr, cg, cb = bilerp(flats, ax, ay)
+                    cr, cg, cb = bilerp_t(fetch_many(list(flats)), ax, ay)
                     base_r = base_r * cr
                     base_g = base_g * cg
                     base_b = base_b * cb
