@@ -510,6 +510,7 @@ def _render_kernel(
     rowskip: bool = False,
     defer_attrs: bool = False,
     sweep_unroll: int = 1,
+    sweep_bands: int = 1,
     wpp: int = 1,
     tpp: int = 1,
 ):
@@ -587,6 +588,14 @@ def _render_kernel(
     # cluster's (degenerate-padded) slots.
     assert sweep_unroll == 1 or not culled or (
         cluster_size % sweep_unroll == 0
+    )
+    # sweep_bands > 1: the deferred sweep runs per row band of the tile
+    # against per-band carries, gated by the band's own slab test — one
+    # shared bin walk (the sub-tile supertiling experiment's 2x loss was
+    # the duplicated visit loops). Prep-only (the re-read per band costs
+    # 10 scalar loads, not the raw path's ~53 ALU) and scalar-sweep-only.
+    assert sweep_bands == 1 or (
+        deferred and prep and not dmxu and tile_sub % sweep_bands == 0
     )
     # Supertiling constraints: excluded paths keep 1×1 programs; folding
     # worlds requires whole-camera programs (tpp == n_tiles, one camera
@@ -753,10 +762,13 @@ def _render_kernel(
             if deferred or defer_attrs:
                 init = init + (zero, zero)  # raw winner barycentrics (u, v)
 
-            def make_tri_test(read, idx_base):
+            def make_tri_test(read, idx_base, dx=dx, dy=dy, dz=dz,
+                              t_lo=t_lo):
                 """Triangle test parametric over the scalar reader: the SMEM
                 path reads the resident block; the DMA path reads the streamed
-                scratch slab with a global index offset for best_idx."""
+                scratch slab with a global index offset for best_idx. The
+                ray-direction/t_lo overrides let the banded deferred sweep
+                test one row band's rays against a per-band carry."""
 
                 def tri_test(i, carry):
                     best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry[:8]
@@ -920,7 +932,8 @@ def _render_kernel(
 
                 return tri_test
 
-            def make_unrolled_body(read, idx_base):
+            def make_unrolled_body(read, idx_base, dx=dx, dy=dy, dz=dz,
+                                   t_lo=t_lo):
                 """Carry-form sweep body testing `sweep_unroll` triangles per
                 iteration with independent dependency chains. Each probe is
                 tested against the LOOP-ENTRY best_t (a superset of the
@@ -1538,6 +1551,202 @@ def _render_kernel(
                         done = jnp.where(live, jnp.int32(0), jnp.int32(1))
                         return (b + 1, done, cur, cur_a, pf_a) + st2
 
+                    if sweep_bands > 1:
+                        # Banded deferred sweep: same window-reuse DMA walk
+                        # and occlusion early-exit, but carries, slab tests
+                        # and triangle sweeps split into `sweep_bands` row
+                        # bands — a cluster covering a few image rows sweeps
+                        # only the bands its AABB projects into.
+                        bh = tile_sub // sweep_bands
+                        n_car = len(init)
+                        Q = sweep_bands
+
+                        def bsl(a, q):
+                            return a[q * bh : (q + 1) * bh]
+
+                        b_dx = [bsl(dx, q) for q in range(Q)]
+                        b_dy = [bsl(dy, q) for q in range(Q)]
+                        b_dz = [bsl(dz, q) for q in range(Q)]
+                        b_ivx = [bsl(ivx, q) for q in range(Q)]
+                        b_ivy = [bsl(ivy, q) for q in range(Q)]
+                        b_ivz = [bsl(ivz, q) for q in range(Q)]
+                        b_tlo = (
+                            [bsl(t_lo, q) for q in range(Q)]
+                            if raster_clip else [t_lo] * Q
+                        )
+                        init_b = tuple(
+                            bsl(x, q) for q in range(Q) for x in init
+                        )
+
+                        def body_banded(carry):
+                            b, _, cur0, cur_a0, pf_a0, *st = carry
+                            c = cluster_at(b)
+                            w_c = win_of(c)
+                            switch = w_c != cur_a0
+
+                            def do_switch(cu, _ca, _pa):
+                                geo_dma(1 - cu, w_c).wait()
+                                return 1 - cu, w_c, jnp.int32(-1)
+
+                            cur, cur_a, pf_a = jax.lax.cond(
+                                switch,
+                                do_switch,
+                                lambda cu, ca, pa: (cu, ca, pa),
+                                cur0, cur_a0, pf_a0,
+                            )
+                            slot = cur
+                            app2 = approach_dist2(c) * 0.998
+                            any_live = None
+                            for q in range(Q):
+                                tf = jnp.minimum(st[q * n_car], far)
+                                lq = jnp.any(tf * tf > app2)
+                                any_live = (
+                                    lq if any_live is None else any_live | lq
+                                )
+                            live = any_live & (cl_ref[0, 6, c] > 0.0)
+
+                            w_n = win_of(
+                                cluster_at(jnp.minimum(b + 1, nb - 1))
+                            )
+                            arm = (
+                                live & (b + 1 < nb) & (pf_a == -1)
+                                & (w_n != cur_a)
+                            )
+
+                            @pl.when(arm)
+                            def _prefetch():
+                                geo_dma(1 - slot, w_n).start()
+
+                            pf_a = jnp.where(arm, w_n, pf_a)
+
+                            def visit(st_flat):
+                                crs = [
+                                    tuple(st_flat[q * n_car:(q + 1) * n_car])
+                                    for q in range(Q)
+                                ]
+                                lox = cl_ref[0, 0, c]
+                                loy = cl_ref[0, 1, c]
+                                loz = cl_ref[0, 2, c]
+                                hix = cl_ref[0, 3, c]
+                                hiy = cl_ref[0, 4, c]
+                                hiz = cl_ref[0, 5, c]
+                                anys = []
+                                for q in range(Q):
+                                    t1x = (lox - ox) * b_ivx[q]
+                                    t2x = (hix - ox) * b_ivx[q]
+                                    t1y = (loy - oy) * b_ivy[q]
+                                    t2y = (hiy - oy) * b_ivy[q]
+                                    t1z = (loz - oz) * b_ivz[q]
+                                    t2z = (hiz - oz) * b_ivz[q]
+                                    tmin = jnp.maximum(
+                                        jnp.maximum(
+                                            jnp.minimum(t1x, t2x),
+                                            jnp.minimum(t1y, t2y),
+                                        ),
+                                        jnp.minimum(t1z, t2z),
+                                    )
+                                    tmax = jnp.minimum(
+                                        jnp.minimum(
+                                            jnp.maximum(t1x, t2x),
+                                            jnp.maximum(t1y, t2y),
+                                        ),
+                                        jnp.maximum(t1z, t2z),
+                                    )
+                                    possible = (
+                                        (tmax >= tmin) & (tmax > near)
+                                        & (tmin < far) & (tmin < crs[q][0])
+                                    )
+                                    anys.append(jnp.any(possible))
+                                any_hit = anys[0]
+                                for aq in anys[1:]:
+                                    any_hit = any_hit | aq
+
+                                def process(st2_flat):
+                                    crs2 = [
+                                        tuple(
+                                            st2_flat[q * n_car:(q + 1) * n_car]
+                                        )
+                                        for q in range(Q)
+                                    ]
+                                    base = c * cluster_size
+                                    aligned = (base // window) * window
+                                    off = base - aligned
+                                    cnt = cl_ref[0, 7, c].astype(jnp.int32)
+                                    attr_dma = pltpu.make_async_copy(
+                                        tri_ref.at[
+                                            w_idx,
+                                            pl.ds(_N_GEO_ROWS, _N_ATTR_ROWS),
+                                            pl.ds(aligned, window),
+                                        ],
+                                        attr_scratch,
+                                        attr_sem,
+                                    )
+                                    attr_dma.start()
+                                    read = (
+                                        lambda k, j: geo_scratch[slot, k,
+                                                                 off + j]
+                                    )
+                                    swept = []
+                                    for q in range(Q):
+                                        def sweep_q(cr2, q=q):
+                                            if sweep_unroll > 1:
+                                                ub = make_unrolled_body(
+                                                    read, base,
+                                                    dx=b_dx[q], dy=b_dy[q],
+                                                    dz=b_dz[q], t_lo=b_tlo[q],
+                                                )
+                                                ngroups = (
+                                                    cnt + sweep_unroll - 1
+                                                ) // sweep_unroll
+                                                return jax.lax.fori_loop(
+                                                    0, ngroups,
+                                                    lambda p, c2: ub(
+                                                        p * sweep_unroll, c2
+                                                    ),
+                                                    cr2,
+                                                )
+                                            tt = make_tri_test(
+                                                read, base,
+                                                dx=b_dx[q], dy=b_dy[q],
+                                                dz=b_dz[q], t_lo=b_tlo[q],
+                                            )
+                                            return jax.lax.fori_loop(
+                                                0, cnt, tt, cr2
+                                            )
+
+                                        swept.append(jax.lax.cond(
+                                            anys[q], sweep_q,
+                                            lambda x: x, crs2[q],
+                                        ))
+                                    attr_dma.wait()
+                                    res = []
+                                    for q in range(Q):
+                                        res.append(jax.lax.cond(
+                                            anys[q],
+                                            lambda cr3: resolve(
+                                                cr3, base, aligned, cnt
+                                            ),
+                                            lambda x: x,
+                                            swept[q],
+                                        ))
+                                    return tuple(
+                                        v for t in res for v in t
+                                    )
+
+                                return jax.lax.cond(
+                                    any_hit, process, lambda x: x, st_flat
+                                )
+
+                            st2 = jax.lax.cond(
+                                live, visit, lambda s: s, tuple(st)
+                            )
+                            done = jnp.where(live, jnp.int32(0), jnp.int32(1))
+                            return (b + 1, done, cur, cur_a, pf_a) + st2
+
+                        run_body, init_run = body_banded, init_b
+                    else:
+                        run_body, init_run = body, init
+
                     # Control carry: cur slot (1 so warm-up slot 0 is "the
                     # prefetch"), resident window base (-1: none yet),
                     # in-flight prefetch base (-1: none).
@@ -1548,9 +1757,9 @@ def _render_kernel(
                     )
                     out = jax.lax.while_loop(
                         cond,
-                        body,
+                        run_body,
                         (jnp.int32(0), jnp.int32(0), jnp.int32(1),
-                         jnp.int32(-1), pf0) + init,
+                         jnp.int32(-1), pf0) + init_run,
                     )
                     # Occlusion early-exit can leave one prefetch in flight;
                     # drain it so the semaphore is balanced for the shadow
@@ -1561,7 +1770,19 @@ def _render_kernel(
                     def _drain():
                         geo_dma(1 - cur_f, pf_f).wait()
 
-                    out = out[5:-2]  # drop control and the (u, v) carries
+                    if sweep_bands > 1:
+                        st_f = out[5:]
+                        n_car = len(init)
+                        out = tuple(
+                            jnp.concatenate(
+                                [st_f[q * n_car + k]
+                                 for q in range(sweep_bands)],
+                                axis=0,
+                            )
+                            for k in range(n_car)
+                        )[:-2]
+                    else:
+                        out = out[5:-2]  # drop control and the (u, v) carries
                 elif binned:
                     # Tile-binned pass: sweep only this tile's bin (already
                     # front-to-back — see band_cluster_bins). The O(clusters)
@@ -3062,6 +3283,15 @@ def render_core(
     )
     if not (deferred or defer_attrs):
         sweep_unroll = 1
+    # Banded deferred sweep (MRT_SWEEP_BANDS): split the tile into row
+    # bands with per-band carries/slab gates inside ONE bin walk. Only
+    # meaningful on the prep-streamed scalar deferred path.
+    sweep_bands = int(_os.environ.get("MRT_SWEEP_BANDS", "1"))
+    if not (
+        deferred and prep_stream and not dmxu
+        and sweep_bands > 1 and tile_sub % sweep_bands == 0
+    ):
+        sweep_bands = 1
     # Supertiling: fold wpp worlds × tpp tiles into one grid program to
     # amortize the per-program floor (block-DMA issue + grid-step
     # overhead, measured 0.5–0.8 µs/program on small resident scenes —
@@ -3207,6 +3437,7 @@ def render_core(
             deferred=deferred, prep=prep_stream or prep_resident,
             dmxu=dmxu, rowskip=rowskip,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
+            sweep_bands=sweep_bands,
             wpp=wpp, tpp=tpp,
         )
         if wpp > 1 or tpp > 1:

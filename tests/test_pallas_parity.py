@@ -780,3 +780,21 @@ def test_parity_prep_resident_matches_raw(monkeypatch):
     b = rt_pal(state, scene, height=64, width=64, interpret=True)
     _assert_frames_equal(ref, b)
     _assert_frames_equal(a, b)
+
+
+def test_parity_banded_deferred_matches_unbanded(monkeypatch):
+    """MRT_SWEEP_BANDS splits the deferred sweep into row bands with
+    per-band slab gates; per-pixel arithmetic is unchanged, so banded
+    and unbanded traces must be exactly equal (and both match ref)."""
+    state, scene = _dense_field_scene(seed=67)
+    ref = rt_ref(state, scene, height=64, width=256)
+    a = rt_pal(state, scene, height=64, width=256, interpret=True,
+               accel="binned")
+    _assert_frames_equal(ref, a)
+    monkeypatch.setenv("MRT_SWEEP_BANDS", "4")
+    b = rt_pal(state, scene, height=64, width=256, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.segmask),
+                                  np.asarray(b.segmask))
