@@ -3285,8 +3285,11 @@ def render_core(
         sweep_unroll = 1
     # Banded deferred sweep (MRT_SWEEP_BANDS): split the tile into row
     # bands with per-band carries/slab gates inside ONE bin walk. Only
-    # meaningful on the prep-streamed scalar deferred path.
-    sweep_bands = int(_os.environ.get("MRT_SWEEP_BANDS", "1"))
+    # meaningful on the prep-streamed scalar deferred path. Measured on
+    # the 100k-tri 512² terrain: bands 1/2/4 → 75.8/86.1/74.0 f/s —
+    # two bands halve most clusters' swept pixels; four pay more in
+    # per-band conds + any() syncs than the extra halving saves.
+    sweep_bands = int(_os.environ.get("MRT_SWEEP_BANDS", "2"))
     if not (
         deferred and prep_stream and not dmxu
         and sweep_bands > 1 and tile_sub % sweep_bands == 0
