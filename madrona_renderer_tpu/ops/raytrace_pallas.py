@@ -511,6 +511,7 @@ def _render_kernel(
     defer_attrs: bool = False,
     sweep_unroll: int = 1,
     sweep_bands: int = 1,
+    band_gates: bool = False,
     wpp: int = 1,
     tpp: int = 1,
 ):
@@ -597,6 +598,19 @@ def _render_kernel(
     assert sweep_bands == 1 or (
         deferred and prep and not dmxu and tile_sub % sweep_bands == 0
     )
+    # band_gates: replace the banded sweep's per-(cluster, band) VECTOR
+    # gates (slab test + jnp.any occlusion check — each a vector→scalar
+    # sync, the measured reason bands > 2 lose) with SCALAR gates:
+    #  - geometry: the cluster's pack-time image-row span
+    #    (camera_cluster_rowspans, same conservative ±2 px projection the
+    #    dmxu rowskip path ships) vs the band's row range;
+    #  - occlusion: a carried per-band scalar upper bound on
+    #    min(best_t, far), refreshed by ONE vector reduction per band
+    #    actually swept instead of per candidate cluster.
+    # Both gates are conservative (the row span contains every pixel the
+    # cluster's triangles can touch; the stale bound only over-visits),
+    # so the winner set is exactly the unbanded sweep's.
+    assert not band_gates or (sweep_bands > 1 and tiles_x > 1)
     # Supertiling constraints: excluded paths keep 1×1 programs; folding
     # worlds requires whole-camera programs (tpp == n_tiles, one camera
     # per world so consecutive grid rows are consecutive worlds). DMA
@@ -639,7 +653,7 @@ def _render_kernel(
             tri_ref, cl_ref, *refs2 = refs
         else:
             tri_ref, *refs2 = refs
-        if rowskip:
+        if rowskip or band_gates:
             rows_ref, cam_ref, *rest = refs2
         else:
             cam_ref, *rest = refs2
@@ -1577,6 +1591,22 @@ def _render_kernel(
                         init_b = tuple(
                             bsl(x, q) for q in range(Q) for x in init
                         )
+                        if band_gates:
+                            # Per-band scalar occlusion bounds: upper bound
+                            # on max over the band of min(best_t, far) —
+                            # best_t starts at inf, so exactly `far`. Bands
+                            # entirely in a cropped bottom tile's padding
+                            # rows (image height not a multiple of the tile
+                            # height) start at 0: nothing real to occlude,
+                            # and a far-forever bound would pin `live` true
+                            # and defeat the occlusion early-exit.
+                            row0_g = (r // tiles_x) * tile_sub
+                            init_b = init_b + tuple(
+                                jnp.where(
+                                    row0_g + q * bh >= height, 0.0, far
+                                )
+                                for q in range(Q)
+                            )
 
                         def body_banded(carry):
                             b, _, cur0, cur_a0, pf_a0, *st = carry
@@ -1596,13 +1626,45 @@ def _render_kernel(
                             )
                             slot = cur
                             app2 = approach_dist2(c) * 0.998
-                            any_live = None
-                            for q in range(Q):
-                                tf = jnp.minimum(st[q * n_car], far)
-                                lq = jnp.any(tf * tf > app2)
-                                any_live = (
-                                    lq if any_live is None else any_live | lq
-                                )
+                            if band_gates:
+                                # Scalar gates: per-band occlusion from the
+                                # carried upper bound (no vector reduction
+                                # for culled clusters), per-band geometry
+                                # from the cluster's pack-time image-row
+                                # span vs the band's rows. Early-exit
+                                # (`done`) keys on occlusion only — a
+                                # cluster whose rows miss this tile must
+                                # not stop the walk for later clusters.
+                                bmaxs = list(st[Q * n_car:])
+                                st = st[:Q * n_car]
+                                occl = [
+                                    bmaxs[q] * bmaxs[q] > app2
+                                    for q in range(Q)
+                                ]
+                                rlo = rows_ref[0, 0, c]
+                                rhi = rows_ref[0, 1, c]
+                                tile_row0 = (r // tiles_x) * tile_sub
+                                gates = [
+                                    occl[q]
+                                    & (rlo <= tile_row0 + (q + 1) * bh - 1)
+                                    & (rhi >= tile_row0 + q * bh)
+                                    for q in range(Q)
+                                ]
+                                any_live = occl[0]
+                                for oq in occl[1:]:
+                                    any_live = any_live | oq
+                                any_gate = gates[0]
+                                for gq in gates[1:]:
+                                    any_gate = any_gate | gq
+                            else:
+                                any_live = None
+                                for q in range(Q):
+                                    tf = jnp.minimum(st[q * n_car], far)
+                                    lq = jnp.any(tf * tf > app2)
+                                    any_live = (
+                                        lq if any_live is None
+                                        else any_live | lq
+                                    )
                             live = any_live & (cl_ref[0, 6, c] > 0.0)
 
                             w_n = win_of(
@@ -1618,6 +1680,100 @@ def _render_kernel(
                                 geo_dma(1 - slot, w_n).start()
 
                             pf_a = jnp.where(arm, w_n, pf_a)
+
+                            if band_gates:
+                                def visit_g(stb):
+                                    sts = stb[:Q * n_car]
+                                    bms = list(stb[Q * n_car:])
+                                    crs = [
+                                        tuple(sts[q * n_car:(q + 1) * n_car])
+                                        for q in range(Q)
+                                    ]
+                                    base = c * cluster_size
+                                    aligned = (base // window) * window
+                                    off = base - aligned
+                                    cnt = cl_ref[0, 7, c].astype(jnp.int32)
+                                    attr_dma = pltpu.make_async_copy(
+                                        tri_ref.at[
+                                            w_idx,
+                                            pl.ds(_N_GEO_ROWS, _N_ATTR_ROWS),
+                                            pl.ds(aligned, window),
+                                        ],
+                                        attr_scratch,
+                                        attr_sem,
+                                    )
+                                    attr_dma.start()
+                                    read = (
+                                        lambda k, j: geo_scratch[slot, k,
+                                                                 off + j]
+                                    )
+                                    swept, new_bms = [], []
+                                    for q in range(Q):
+                                        def sweep_q(args, q=q):
+                                            cr2, _bm = args
+                                            if sweep_unroll > 1:
+                                                ub = make_unrolled_body(
+                                                    read, base,
+                                                    dx=b_dx[q], dy=b_dy[q],
+                                                    dz=b_dz[q], t_lo=b_tlo[q],
+                                                )
+                                                ngroups = (
+                                                    cnt + sweep_unroll - 1
+                                                ) // sweep_unroll
+                                                cr3 = jax.lax.fori_loop(
+                                                    0, ngroups,
+                                                    lambda p, c2: ub(
+                                                        p * sweep_unroll, c2
+                                                    ),
+                                                    cr2,
+                                                )
+                                            else:
+                                                tt = make_tri_test(
+                                                    read, base,
+                                                    dx=b_dx[q], dy=b_dy[q],
+                                                    dz=b_dz[q], t_lo=b_tlo[q],
+                                                )
+                                                cr3 = jax.lax.fori_loop(
+                                                    0, cnt, tt, cr2
+                                                )
+                                            # Refresh the band's scalar
+                                            # occlusion bound: ONE vector
+                                            # reduction per band actually
+                                            # swept (the per-candidate
+                                            # jnp.any this path removes).
+                                            return cr3, jnp.max(
+                                                jnp.minimum(cr3[0], far)
+                                            )
+
+                                        cr_q, bm_q = jax.lax.cond(
+                                            gates[q], sweep_q,
+                                            lambda a: a, (crs[q], bms[q]),
+                                        )
+                                        swept.append(cr_q)
+                                        new_bms.append(bm_q)
+                                    attr_dma.wait()
+                                    res = []
+                                    for q in range(Q):
+                                        res.append(jax.lax.cond(
+                                            gates[q],
+                                            lambda cr3: resolve(
+                                                cr3, base, aligned, cnt
+                                            ),
+                                            lambda x: x,
+                                            swept[q],
+                                        ))
+                                    return tuple(
+                                        v for t in res for v in t
+                                    ) + tuple(new_bms)
+
+                                st2 = jax.lax.cond(
+                                    live & any_gate, visit_g, lambda s: s,
+                                    tuple(st) + tuple(bmaxs),
+                                )
+                                done = jnp.where(
+                                    live, jnp.int32(0), jnp.int32(1)
+                                )
+                                return (b + 1, done, cur, cur_a, pf_a) + st2
 
                             def visit(st_flat):
                                 crs = [
@@ -3295,6 +3451,15 @@ def render_core(
         and sweep_bands > 1 and tile_sub % sweep_bands == 0
     ):
         sweep_bands = 1
+    # Scalar band gates (r3): swap the banded sweep's per-(cluster, band)
+    # vector slab tests + jnp.any occlusion checks for pack-time row-span
+    # compares + carried scalar occlusion bounds — the vector→scalar
+    # syncs were the measured reason band counts > 2 lose.
+    # MRT_BAND_GATES=0 restores the vector-gated banded sweep for A/B.
+    band_gates = (
+        sweep_bands > 1 and tiles_x > 1
+        and _os.environ.get("MRT_BAND_GATES", "1") == "1"
+    )
     # Supertiling: fold wpp worlds × tpp tiles into one grid program to
     # amortize the per-program floor (block-DMA issue + grid-step
     # overhead, measured 0.5–0.8 µs/program on small resident scenes —
@@ -3440,7 +3605,7 @@ def render_core(
             deferred=deferred, prep=prep_stream or prep_resident,
             dmxu=dmxu, rowskip=rowskip,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
-            sweep_bands=sweep_bands,
+            sweep_bands=sweep_bands, band_gates=band_gates,
             wpp=wpp, tpp=tpp,
         )
         if wpp > 1 or tpp > 1:
@@ -3471,12 +3636,14 @@ def render_core(
             memory_space=pltpu.SMEM,
         )
         rows_specs, rows_inputs = [], ()
-        if rowskip:
+        if rowskip or band_gates:
             spans = camera_cluster_rowspans(
                 cl_lo, cl_hi, cl_valid, state, eff_fov, height
             )
+            if wpp > 1 or tpp > 1:
+                spans = _lane_pad(spans)
             rows_specs = [pl.BlockSpec(
-                (1, 2, cc), lambda wc, r: (wc, 0, 0),
+                (1, 2, int(spans.shape[2])), lambda wc, r: (wc, 0, 0),
                 memory_space=pltpu.SMEM,
             )]
             rows_inputs = (spans,)

@@ -798,3 +798,27 @@ def test_parity_banded_deferred_matches_unbanded(monkeypatch):
     np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
     np.testing.assert_array_equal(np.asarray(a.segmask),
                                   np.asarray(b.segmask))
+
+
+@pytest.mark.parametrize("bands", [2, 8])
+def test_parity_band_gates_match_vector_gates(monkeypatch, bands):
+    """MRT_BAND_GATES swaps the banded sweep's per-(cluster, band) vector
+    slab tests + any() occlusion checks for scalar gates (pack-time row
+    spans + carried occlusion bounds). Both gate sets are conservative
+    supersets of the true contributor set and the per-pixel arithmetic is
+    identical, so scalar-gated, vector-gated, and reference traces must
+    all be exactly equal — including at a non-multiple-of-32 height
+    (cropped bottom tile) and 2D tiles (width 256 → tiles_x = 2)."""
+    state, scene = _dense_field_scene(seed=71)
+    ref = rt_ref(state, scene, height=48, width=256)
+    monkeypatch.setenv("MRT_SWEEP_BANDS", str(bands))
+    a = rt_pal(state, scene, height=48, width=256, interpret=True,
+               accel="binned")
+    _assert_frames_equal(ref, a)
+    monkeypatch.setenv("MRT_BAND_GATES", "0")
+    b = rt_pal(state, scene, height=48, width=256, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.segmask),
+                                  np.asarray(b.segmask))
