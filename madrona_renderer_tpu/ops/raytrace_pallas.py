@@ -610,7 +610,12 @@ def _render_kernel(
     # Both gates are conservative (the row span contains every pixel the
     # cluster's triangles can touch; the stale bound only over-visits),
     # so the winner set is exactly the unbanded sweep's.
-    assert not band_gates or (sweep_bands > 1 and tiles_x > 1)
+    # Row-gating needs sublane→image-row alignment: 2D tiles (one sublane
+    # == one row) or flattened-band tiles of a width dividing the 128
+    # lanes (one sublane == 128/width whole rows).
+    assert not band_gates or (
+        sweep_bands > 1 and (tiles_x > 1 or 128 % width == 0)
+    )
     # Supertiling constraints: excluded paths keep 1×1 programs; folding
     # worlds requires whole-camera programs (tpp == n_tiles, one camera
     # per world so consecutive grid rows are consecutive worlds). DMA
@@ -1600,10 +1605,14 @@ def _render_kernel(
                             # height) start at 0: nothing real to occlude,
                             # and a far-forever bound would pin `live` true
                             # and defeat the occlusion early-exit.
-                            row0_g = (r // tiles_x) * tile_sub
+                            rps_g = (
+                                1 if tiles_x > 1 else _TILE_LANE // width
+                            )
+                            row0_g = (r // tiles_x) * tile_sub * rps_g
                             init_b = init_b + tuple(
                                 jnp.where(
-                                    row0_g + q * bh >= height, 0.0, far
+                                    row0_g + q * bh * rps_g >= height,
+                                    0.0, far,
                                 )
                                 for q in range(Q)
                             )
@@ -1643,11 +1652,20 @@ def _render_kernel(
                                 ]
                                 rlo = rows_ref[0, 0, c]
                                 rhi = rows_ref[0, 1, c]
-                                tile_row0 = (r // tiles_x) * tile_sub
+                                # Image rows per sublane: 1 for 2D tiles;
+                                # 128/width whole rows for flattened-band
+                                # tiles of a lane-dividing width (the
+                                # render_core gate guarantees alignment).
+                                rps = (
+                                    1 if tiles_x > 1
+                                    else _TILE_LANE // width
+                                )
+                                tile_row0 = (r // tiles_x) * tile_sub * rps
                                 gates = [
                                     occl[q]
-                                    & (rlo <= tile_row0 + (q + 1) * bh - 1)
-                                    & (rhi >= tile_row0 + q * bh)
+                                    & (rlo <= tile_row0
+                                       + (q + 1) * bh * rps - 1)
+                                    & (rhi >= tile_row0 + q * bh * rps)
                                     for q in range(Q)
                                 ]
                                 any_live = occl[0]
@@ -3457,7 +3475,8 @@ def render_core(
     # syncs were the measured reason band counts > 2 lose.
     # MRT_BAND_GATES=0 restores the vector-gated banded sweep for A/B.
     band_gates = (
-        sweep_bands > 1 and tiles_x > 1
+        sweep_bands > 1
+        and (tiles_x > 1 or _TILE_LANE % width == 0)
         and _os.environ.get("MRT_BAND_GATES", "1") == "1"
     )
     # Supertiling: fold wpp worlds × tpp tiles into one grid program to

@@ -801,6 +801,27 @@ def test_parity_banded_deferred_matches_unbanded(monkeypatch):
 
 
 @pytest.mark.parametrize("bands", [2, 8])
+def test_parity_band_gates_flattened_tiles(monkeypatch, bands):
+    """Scalar band gates on flattened-band tiles (width 64 → tiles_x = 1,
+    each sublane = two whole image rows) with a cropped last tile
+    (height 48 → 1024 padding pixels): scalar-gated, vector-gated, and
+    reference traces must be exactly equal."""
+    state, scene = _dense_field_scene(seed=73)
+    ref = rt_ref(state, scene, height=48, width=64)
+    monkeypatch.setenv("MRT_SWEEP_BANDS", str(bands))
+    a = rt_pal(state, scene, height=48, width=64, interpret=True,
+               accel="binned")
+    _assert_frames_equal(ref, a)
+    monkeypatch.setenv("MRT_BAND_GATES", "0")
+    b = rt_pal(state, scene, height=48, width=64, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.segmask),
+                                  np.asarray(b.segmask))
+
+
+@pytest.mark.parametrize("bands", [2, 8])
 def test_parity_band_gates_match_vector_gates(monkeypatch, bands):
     """MRT_BAND_GATES swaps the banded sweep's per-(cluster, band) vector
     slab tests + any() occlusion checks for scalar gates (pack-time row
