@@ -296,7 +296,7 @@ def camera_cluster_order(cl_lo, cl_hi, cl_valid, cam_pos):
 def band_cluster_bins(
     cl_lo, cl_hi, cl_valid, state: SimState, eff_fov,
     height: int, width: int, n_tiles: int, tile_pix: int,
-    tiles_x: int = 1, tile_sub: int = 0,
+    tiles_x: int = 1, tile_sub: int = 0, tile_cols: int = _TILE_LANE,
 ):
     """Per-step screen-space cluster binning — the tile-binned pass.
 
@@ -304,7 +304,9 @@ def band_cluster_bins(
     (blocks of the flattened pixel index) and binning is 1D: project each
     cluster's world AABB through each camera to a conservative pixel-row
     interval and build per-band cluster lists. With tiles_x > 1 the tiles
-    are 2D screen rectangles (tile_sub rows × 128 columns) and the bins
+    are 2D screen rectangles (tile_sub rows × tile_cols columns; the
+    tall-tile variant passes tile_sub = sublanes · rows-per-sublane and
+    tile_cols = 128 / rows-per-sublane) and the bins
     intersect the row interval with a conservative pixel-*column*
     interval — x-pruning that shrinks bins ~tiles_x× on meshes that
     spread across the screen (the round-3 large-mesh accelerator). The
@@ -383,10 +385,10 @@ def band_cluster_bins(
             jnp.floor(ymax).astype(jnp.int32) // tile_sub, 0, tiles_y - 1
         )
         tx0 = jnp.clip(
-            jnp.floor(xmin).astype(jnp.int32) // _TILE_LANE, 0, tiles_x - 1
+            jnp.floor(xmin).astype(jnp.int32) // tile_cols, 0, tiles_x - 1
         )
         tx1 = jnp.clip(
-            jnp.floor(xmax).astype(jnp.int32) // _TILE_LANE, 0, tiles_x - 1
+            jnp.floor(xmax).astype(jnp.int32) // tile_cols, 0, tiles_x - 1
         )
         tys = jnp.arange(tiles_y, dtype=jnp.int32)[None, None, :, None]
         txs = jnp.arange(tiles_x, dtype=jnp.int32)[None, None, :, None]
@@ -512,6 +514,7 @@ def _render_kernel(
     sweep_unroll: int = 1,
     sweep_bands: int = 1,
     band_gates: bool = False,
+    tile_rps: int = 1,
     wpp: int = 1,
     tpp: int = 1,
 ):
@@ -615,6 +618,17 @@ def _render_kernel(
     # lanes (one sublane == 128/width whole rows).
     assert not band_gates or (
         sweep_bands > 1 and (tiles_x > 1 or 128 % width == 0)
+    )
+    # tile_rps > 1 (tall tiles): a 2D tile packs tile_rps image rows into
+    # each sublane row, so the tile covers (tile_sub·tile_rps) rows ×
+    # (128/tile_rps) columns of screen. Narrow clusters (a Morton cluster
+    # typically projects to ~10-30 px) waste proportionally fewer of the
+    # 128 vector lanes per swept row — the SIMD-width analog of the
+    # row-band split. Per-pixel math is mapping-agnostic; only raygen,
+    # binning rects, row-gate arithmetic, and the output unflatten see it.
+    assert tile_rps == 1 or (
+        tiles_x > 1 and _TILE_LANE % tile_rps == 0
+        and not (dmxu or rowskip or tex_paged)
     )
     # Supertiling constraints: excluded paths keep 1×1 programs; folding
     # worlds requires whole-camera programs (tpp == n_tiles, one camera
@@ -738,7 +752,19 @@ def _render_kernel(
 
             sub = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 0)
             lane = jax.lax.broadcasted_iota(jnp.int32, (tile_sub, _TILE_LANE), 1)
-            if tiles_x > 1:
+            if tiles_x > 1 and tile_rps > 1:
+                # Tall 2D tile: each sublane row holds tile_rps image rows
+                # of 128/tile_rps columns — the tile is a
+                # (tile_sub·tile_rps × 128/tile_rps) screen rectangle.
+                cols_t = _TILE_LANE // tile_rps
+                px = (r % tiles_x * cols_t + lane % cols_t).astype(
+                    jnp.float32
+                )
+                py = (
+                    r // tiles_x * (tile_sub * tile_rps)
+                    + sub * tile_rps + lane // cols_t
+                ).astype(jnp.float32)
+            elif tiles_x > 1:
                 # 2D tile: r = ty·tiles_x + tx owns a (tile_sub × 128) screen
                 # rectangle (bottom tiles may overhang; cropped at unpack).
                 px = (r % tiles_x * _TILE_LANE + lane).astype(jnp.float32)
@@ -1606,7 +1632,8 @@ def _render_kernel(
                             # and a far-forever bound would pin `live` true
                             # and defeat the occlusion early-exit.
                             rps_g = (
-                                1 if tiles_x > 1 else _TILE_LANE // width
+                                tile_rps if tiles_x > 1
+                                else _TILE_LANE // width
                             )
                             row0_g = (r // tiles_x) * tile_sub * rps_g
                             init_b = init_b + tuple(
@@ -1652,12 +1679,14 @@ def _render_kernel(
                                 ]
                                 rlo = rows_ref[0, 0, c]
                                 rhi = rows_ref[0, 1, c]
-                                # Image rows per sublane: 1 for 2D tiles;
-                                # 128/width whole rows for flattened-band
-                                # tiles of a lane-dividing width (the
-                                # render_core gate guarantees alignment).
+                                # Image rows per sublane: tile_rps for 2D
+                                # tiles (tall tiles pack several rows per
+                                # sublane); 128/width whole rows for
+                                # flattened-band tiles of a lane-dividing
+                                # width (the render_core gate guarantees
+                                # alignment).
                                 rps = (
-                                    1 if tiles_x > 1
+                                    tile_rps if tiles_x > 1
                                     else _TILE_LANE // width
                                 )
                                 tile_row0 = (r // tiles_x) * tile_sub * rps
@@ -3246,17 +3275,42 @@ def render_core(
     # are already whole-row strips) and the mxu/brute paths. The paged
     # texture path always follows ops/mips.tile_geometry so the jnp
     # reference's tile-adaptive mip clamp sees the identical tiling.
+    # Tall tiles (MRT_TILE_RPS ∈ {1, 2, 4}): pack tile_rps image rows per
+    # sublane so the 2D tile is (tile_sub·tile_rps) rows × (128/tile_rps)
+    # columns — narrow clusters waste fewer vector lanes per swept row.
+    # Excluded: mxu/paged-texture tiling twins and the dmxu rowskip path
+    # (they assume sublane == image row), and flattened-band tiles.
+    tile_rps = int(_osmod.environ.get("MRT_TILE_RPS", "1"))
+    if (
+        tile_rps not in (2, 4)
+        or tex_paged
+        or not use_clusters
+        or _osmod.environ.get("MRT_DEFERRED_MXU", "0") == "1"
+    ):
+        tile_rps = 1
+    tile_cols = _TILE_LANE // tile_rps
     tiles_x = 1
     if (
         (use_clusters or tex_paged)
         and accel != "mxu"
-        and width % _TILE_LANE == 0
-        and width // _TILE_LANE >= 2
-        and height >= tile_sub
+        and width % tile_cols == 0
+        and width // tile_cols >= 2
+        and height >= tile_sub * tile_rps
     ):
-        tiles_x = width // _TILE_LANE
+        tiles_x = width // tile_cols
+    else:
+        tile_rps = 1
+        tile_cols = _TILE_LANE
+        if (
+            (use_clusters or tex_paged)
+            and accel != "mxu"
+            and width % _TILE_LANE == 0
+            and width // _TILE_LANE >= 2
+            and height >= tile_sub
+        ):
+            tiles_x = width // _TILE_LANE
     if tiles_x > 1:
-        tiles_y = -(-height // tile_sub)
+        tiles_y = -(-height // (tile_sub * tile_rps))
         n_tiles = tiles_x * tiles_y
     else:
         tiles_y = 0
@@ -3625,6 +3679,7 @@ def render_core(
             dmxu=dmxu, rowskip=rowskip,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
             sweep_bands=sweep_bands, band_gates=band_gates,
+            tile_rps=tile_rps,
             wpp=wpp, tpp=tpp,
         )
         if wpp > 1 or tpp > 1:
@@ -3670,7 +3725,8 @@ def render_core(
             bins = band_cluster_bins(
                 cl_lo, cl_hi, cl_valid, state, eff_fov,
                 height, width, n_tiles, tile_pix=tile_pix,
-                tiles_x=tiles_x, tile_sub=tile_sub,
+                tiles_x=tiles_x, tile_sub=tile_sub * tile_rps,
+                tile_cols=tile_cols,
             ).reshape(WC * n_tiles, 1, cc + 1)
             if wpp > 1 or tpp > 1:
                 bins = _lane_pad(bins)
@@ -3763,6 +3819,16 @@ def render_core(
         )(tris, *attr_inputs, cams, *tex_inputs)
 
     def unpack(x):
+        if tiles_x > 1 and tile_rps > 1:
+            # Tall 2D tiles: within a sublane, lane = row_in_group ·
+            # tile_cols + col, so the image row order is
+            # (tiles_y, tile_sub, tile_rps) and columns (tiles_x, cols).
+            x = x.reshape(WC, tiles_y, tiles_x, tile_sub, tile_rps,
+                          tile_cols)
+            x = x.transpose(0, 1, 3, 4, 2, 5).reshape(
+                WC, tiles_y * tile_sub * tile_rps, tiles_x * tile_cols
+            )
+            return x[:, :height, :width].reshape(W, C, P)
         if tiles_x > 1:
             # Reassemble the 2D tiling: tile r = ty·tiles_x + tx holds
             # rows [r·tile_sub, (r+1)·tile_sub) of the output array.

@@ -800,6 +800,34 @@ def test_parity_banded_deferred_matches_unbanded(monkeypatch):
                                   np.asarray(b.segmask))
 
 
+@pytest.mark.parametrize("rps", [2, 4])
+def test_parity_tall_tiles(monkeypatch, rps):
+    """Tall tiles (MRT_TILE_RPS): tile_rps image rows per sublane, so a
+    2D tile covers (32·rps) rows × (128/rps) columns. The per-pixel
+    arithmetic is mapping-agnostic — only raygen, binning rects, band
+    row-gates, and the output unflatten change — so tall-tile, classic,
+    and reference traces must be exactly equal, including with a cropped
+    bottom tile and the banded scalar-gated sweep."""
+    state, scene = _dense_field_scene(seed=79)
+    ref = rt_ref(state, scene, height=48, width=256)
+    a = rt_pal(state, scene, height=48, width=256, interpret=True,
+               accel="binned")
+    _assert_frames_equal(ref, a)
+    monkeypatch.setenv("MRT_TILE_RPS", str(rps))
+    monkeypatch.setenv("MRT_SWEEP_BANDS", "4")
+    b = rt_pal(state, scene, height=48, width=256, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.segmask),
+                                  np.asarray(b.segmask))
+    # Resident (SMEM) cluster path through the same tall-tile mapping.
+    state_r, scene_r = _dense_field_scene(seed=83, n_tris=400)
+    ref_r = rt_ref(state_r, scene_r, height=48, width=256)
+    c = rt_pal(state_r, scene_r, height=48, width=256, interpret=True)
+    _assert_frames_equal(ref_r, c)
+
+
 @pytest.mark.parametrize("bands", [2, 8])
 def test_parity_band_gates_flattened_tiles(monkeypatch, bands):
     """Scalar band gates on flattened-band tiles (width 64 → tiles_x = 1,
