@@ -515,6 +515,7 @@ def _render_kernel(
     sweep_bands: int = 1,
     band_gates: bool = False,
     tile_rps: int = 1,
+    attr_once: bool = True,
     wpp: int = 1,
     tpp: int = 1,
 ):
@@ -1473,7 +1474,7 @@ def _render_kernel(
                         return (carry[0] < nb) & (carry[1] == 0)
 
                     def body(carry):
-                        b, _, cur0, cur_a0, pf_a0, *st = carry
+                        b, _, cur0, cur_a0, pf_a0, at_a0c, *st = carry
                         c = cluster_at(b)
                         w_c = win_of(c)
                         # Window reuse: the 128-lane slab holds
@@ -1517,6 +1518,8 @@ def _render_kernel(
                         pf_a = jnp.where(arm, w_n, pf_a)
 
                         def visit(cr):
+                            at_a0 = cr[0]
+                            cr = cr[1:]
                             lox = cl_ref[0, 0, c]
                             loy = cl_ref[0, 1, c]
                             loz = cl_ref[0, 2, c]
@@ -1547,7 +1550,8 @@ def _render_kernel(
                             )
                             any_hit = jnp.any(possible)
 
-                            def process(cr2):
+                            def process(crr):
+                                at_a, cr2 = crr[0], crr[1:]
                                 base = c * cluster_size
                                 aligned = (base // window) * window
                                 off = base - aligned
@@ -1561,7 +1565,18 @@ def _render_kernel(
                                     attr_scratch,
                                     attr_sem,
                                 )
-                                attr_dma.start()
+                                # The attr slab covers the whole 128-lane
+                                # window: re-DMA it only when the resident
+                                # window changes, not per visited cluster.
+                                if attr_once:
+                                    need_attr = at_a != w_c
+
+                                    @pl.when(need_attr)
+                                    def _attr_start():
+                                        attr_dma.start()
+                                else:
+                                    attr_dma.start()
+
                                 if dmxu:
                                     cr3 = mxu_cluster_sweep(cr2, slot, off, base, c)
                                 elif sweep_unroll > 1:
@@ -1585,14 +1600,23 @@ def _render_kernel(
                                     cr3 = jax.lax.fori_loop(
                                         0, cnt, tri_local, cr2
                                     )
-                                attr_dma.wait()
-                                return resolve(cr3, base, aligned, cnt)
+
+                                if attr_once:
+                                    @pl.when(need_attr)
+                                    def _attr_wait():
+                                        attr_dma.wait()
+                                else:
+                                    attr_dma.wait()
+
+                                return (w_c,) + resolve(cr3, base, aligned, cnt)
 
                             return jax.lax.cond(
-                                any_hit, process, lambda x: x, cr
+                                any_hit, process, lambda x: x, (at_a0,) + cr
                             )
 
-                        st2 = jax.lax.cond(live, visit, lambda s: s, tuple(st))
+                        st2 = jax.lax.cond(
+                            live, visit, lambda s: s, (at_a0c,) + tuple(st)
+                        )
                         done = jnp.where(live, jnp.int32(0), jnp.int32(1))
                         return (b + 1, done, cur, cur_a, pf_a) + st2
 
@@ -1645,7 +1669,7 @@ def _render_kernel(
                             )
 
                         def body_banded(carry):
-                            b, _, cur0, cur_a0, pf_a0, *st = carry
+                            b, _, cur0, cur_a0, pf_a0, at_a0c, *st = carry
                             c = cluster_at(b)
                             w_c = win_of(c)
                             switch = w_c != cur_a0
@@ -1730,8 +1754,9 @@ def _render_kernel(
 
                             if band_gates:
                                 def visit_g(stb):
-                                    sts = stb[:Q * n_car]
-                                    bms = list(stb[Q * n_car:])
+                                    at_a = stb[0]
+                                    sts = stb[1:1 + Q * n_car]
+                                    bms = list(stb[1 + Q * n_car:])
                                     crs = [
                                         tuple(sts[q * n_car:(q + 1) * n_car])
                                         for q in range(Q)
@@ -1749,7 +1774,17 @@ def _render_kernel(
                                         attr_scratch,
                                         attr_sem,
                                     )
-                                    attr_dma.start()
+                                    # Window-resident attr slab: re-DMA
+                                    # only on a window change.
+                                    if attr_once:
+                                        need_attr = at_a != w_c
+
+                                        @pl.when(need_attr)
+                                        def _attr_start():
+                                            attr_dma.start()
+                                    else:
+                                        attr_dma.start()
+
                                     read = (
                                         lambda k, j: geo_scratch[slot, k,
                                                                  off + j]
@@ -1798,7 +1833,14 @@ def _render_kernel(
                                         )
                                         swept.append(cr_q)
                                         new_bms.append(bm_q)
-                                    attr_dma.wait()
+
+                                    if attr_once:
+                                        @pl.when(need_attr)
+                                        def _attr_wait():
+                                            attr_dma.wait()
+                                    else:
+                                        attr_dma.wait()
+
                                     res = []
                                     for q in range(Q):
                                         res.append(jax.lax.cond(
@@ -1809,13 +1851,13 @@ def _render_kernel(
                                             lambda x: x,
                                             swept[q],
                                         ))
-                                    return tuple(
+                                    return (w_c,) + tuple(
                                         v for t in res for v in t
                                     ) + tuple(new_bms)
 
                                 st2 = jax.lax.cond(
                                     live & any_gate, visit_g, lambda s: s,
-                                    tuple(st) + tuple(bmaxs),
+                                    (at_a0c,) + tuple(st) + tuple(bmaxs),
                                 )
                                 done = jnp.where(
                                     live, jnp.int32(0), jnp.int32(1)
@@ -1823,6 +1865,8 @@ def _render_kernel(
                                 return (b + 1, done, cur, cur_a, pf_a) + st2
 
                             def visit(st_flat):
+                                at_a0 = st_flat[0]
+                                st_flat = st_flat[1:]
                                 crs = [
                                     tuple(st_flat[q * n_car:(q + 1) * n_car])
                                     for q in range(Q)
@@ -1865,9 +1909,11 @@ def _render_kernel(
                                     any_hit = any_hit | aq
 
                                 def process(st2_flat):
+                                    at_a = st2_flat[0]
                                     crs2 = [
                                         tuple(
-                                            st2_flat[q * n_car:(q + 1) * n_car]
+                                            st2_flat[1 + q * n_car:
+                                                     1 + (q + 1) * n_car]
                                         )
                                         for q in range(Q)
                                     ]
@@ -1884,7 +1930,17 @@ def _render_kernel(
                                         attr_scratch,
                                         attr_sem,
                                     )
-                                    attr_dma.start()
+                                    # Window-resident attr slab: re-DMA
+                                    # only on a window change.
+                                    if attr_once:
+                                        need_attr = at_a != w_c
+
+                                        @pl.when(need_attr)
+                                        def _attr_start():
+                                            attr_dma.start()
+                                    else:
+                                        attr_dma.start()
+
                                     read = (
                                         lambda k, j: geo_scratch[slot, k,
                                                                  off + j]
@@ -1921,7 +1977,14 @@ def _render_kernel(
                                             anys[q], sweep_q,
                                             lambda x: x, crs2[q],
                                         ))
-                                    attr_dma.wait()
+
+                                    if attr_once:
+                                        @pl.when(need_attr)
+                                        def _attr_wait():
+                                            attr_dma.wait()
+                                    else:
+                                        attr_dma.wait()
+
                                     res = []
                                     for q in range(Q):
                                         res.append(jax.lax.cond(
@@ -1932,16 +1995,18 @@ def _render_kernel(
                                             lambda x: x,
                                             swept[q],
                                         ))
-                                    return tuple(
+                                    return (w_c,) + tuple(
                                         v for t in res for v in t
                                     )
 
                                 return jax.lax.cond(
-                                    any_hit, process, lambda x: x, st_flat
+                                    any_hit, process, lambda x: x,
+                                    (at_a0,) + st_flat
                                 )
 
                             st2 = jax.lax.cond(
-                                live, visit, lambda s: s, tuple(st)
+                                live, visit, lambda s: s,
+                                (at_a0c,) + tuple(st)
                             )
                             done = jnp.where(live, jnp.int32(0), jnp.int32(1))
                             return (b + 1, done, cur, cur_a, pf_a) + st2
@@ -1962,7 +2027,7 @@ def _render_kernel(
                         cond,
                         run_body,
                         (jnp.int32(0), jnp.int32(0), jnp.int32(1),
-                         jnp.int32(-1), pf0) + init_run,
+                         jnp.int32(-1), pf0, jnp.int32(-1)) + init_run,
                     )
                     # Occlusion early-exit can leave one prefetch in flight;
                     # drain it so the semaphore is balanced for the shadow
@@ -1974,7 +2039,7 @@ def _render_kernel(
                         geo_dma(1 - cur_f, pf_f).wait()
 
                     if sweep_bands > 1:
-                        st_f = out[5:]
+                        st_f = out[6:]
                         n_car = len(init)
                         out = tuple(
                             jnp.concatenate(
@@ -1985,7 +2050,7 @@ def _render_kernel(
                             for k in range(n_car)
                         )[:-2]
                     else:
-                        out = out[5:-2]  # drop control and the (u, v) carries
+                        out = out[6:-2]  # drop control and the (u, v) carries
                 elif binned:
                     # Tile-binned pass: sweep only this tile's bin (already
                     # front-to-back — see band_cluster_bins). The O(clusters)
@@ -3680,6 +3745,7 @@ def render_core(
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
             sweep_bands=sweep_bands, band_gates=band_gates,
             tile_rps=tile_rps,
+            attr_once=_os.environ.get("MRT_ATTR_ONCE", "1") == "1",
             wpp=wpp, tpp=tpp,
         )
         if wpp > 1 or tpp > 1:

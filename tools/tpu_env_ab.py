@@ -1,0 +1,141 @@
+"""General env-knob A/B bench on the big-mesh terrain configs.
+
+Each --configs entry is a comma-separated KEY=VAL list applied before
+building/tracing that variant (unset keys fall back to shipped
+defaults; keys from other variants are cleared between configs). All
+variants compile+warm first, then interleaved timing rounds (tunnel
+variance is +-10%; trust cross-round medians). The first config should
+be a KNOWN ladder row so a degraded tunnel session is recognizable
+(docs/benchmarks.md protocol: discard sessions whose reference row is
+off by >>10%).
+
+Usage:
+  python -u tools/tpu_env_ab.py --worlds 32 --grid 224 --res 512 \
+      --configs "" "MRT_TILE_RPS=2" "MRT_TILE_RPS=2,MRT_SWEEP_BANDS=8"
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tpu_binned_bench import build_scene, log  # noqa: E402
+
+# Knobs any config may set; cleared (-> shipped default) between configs.
+_KNOBS = (
+    "MRT_SWEEP_BANDS", "MRT_BAND_GATES", "MRT_TILE_RPS", "MRT_DMA_CLUSTER",
+    "MRT_SUPERTILE", "MRT_SWEEP_UNROLL", "MRT_PREP_STREAM", "MRT_ORDERED_MIN",
+    "MRT_DEFERRED_MXU", "MRT_TILE_SUB_MAX", "MRT_ATTR_ONCE",
+)
+
+
+def _apply(cfg: str):
+    for k in _KNOBS:
+        os.environ.pop(k, None)
+    if cfg:
+        for kv in cfg.split(","):
+            k, v = kv.split("=")
+            assert k in _KNOBS, k
+            os.environ[k] = v
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int, default=32)
+    ap.add_argument("--grid", type=int, default=224)
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--width", type=int, default=0, help="0 = --res")
+    ap.add_argument("--accel", default="binned")
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--steps", type=int, nargs=2, default=[2, 6])
+    ap.add_argument("--configs", nargs="*", default=[""])
+    args = ap.parse_args()
+    width = args.width or args.res
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from madrona_renderer_tpu.ops.quat import quat_multiply, quat_normalize
+    from madrona_renderer_tpu.ops.raytrace_pallas import raytrace
+
+    log(f"devices: {jax.devices()}")
+    scenes = {}
+    rollouts = {}
+    for cfg in args.configs:
+        _apply(cfg)
+        cs = os.environ.get("MRT_DMA_CLUSTER", "32")
+        if cs not in scenes:
+            scenes[cs] = build_scene(args.worlds, args.grid)
+        state0, scene = scenes[cs]
+
+        @partial(jax.jit, static_argnames=("n",))
+        def rollout(st, sc, n, _cfg=cfg):
+            def body(s, _):
+                half = jnp.float32(0.01)
+                dq = jnp.array([jnp.cos(half), 0.0, 0.0, jnp.sin(half)],
+                               jnp.float32)
+                s = dataclasses.replace(
+                    s, time=s.time + 0.05,
+                    instance_rot=quat_normalize(
+                        quat_multiply(dq, s.instance_rot)),
+                )
+                f = raytrace(s, sc, height=args.res, width=width,
+                             accel=args.accel)
+                return s, f.rgb
+            s, stack = jax.lax.scan(body, st, None, length=n)
+            return s, jnp.sum(stack[:, 0, ::16].astype(jnp.int32))
+
+        log(f"cfg [{cfg or 'defaults'}]: compiling + warming...")
+        st = jax.tree.map(jnp.copy, state0)
+        for n in args.steps:
+            st, ck = rollout(st, scene, n)
+            float(np.asarray(ck))
+        rollouts[cfg] = rollout
+
+    n_small, n_big = args.steps
+    results = {c: [] for c in args.configs}
+    for rnd in range(args.rounds):
+        for cfg in args.configs:
+            cs = "32"
+            if cfg:
+                for kv in cfg.split(","):
+                    if kv.startswith("MRT_DMA_CLUSTER="):
+                        cs = kv.split("=")[1]
+            state0, scene = scenes[cs]
+            rollout = rollouts[cfg]
+            st = jax.tree.map(jnp.copy, state0)
+            st, ck = rollout(st, scene, n_small)
+            float(np.asarray(ck))
+            t0 = time.perf_counter()
+            st, ck = rollout(st, scene, n_small)
+            float(np.asarray(ck))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            st, ck = rollout(st, scene, n_big)
+            float(np.asarray(ck))
+            tb = time.perf_counter() - t0
+            per = (tb - ts) / (n_big - n_small)
+            if per <= 0:
+                per = tb / n_big
+            results[cfg].append(args.worlds / per)
+            log(f"round {rnd} [{cfg or 'defaults'}]: "
+                f"{args.worlds/per:,.1f} f/s ({per*1e3:.2f} ms/step)")
+    for cfg in args.configs:
+        vals = sorted(results[cfg])
+        med = vals[len(vals) // 2] if len(vals) % 2 else (
+            0.5 * (vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
+        )
+        log(f"MEDIAN [{cfg or 'defaults'}]: {med:,.1f} f/s over "
+            f"{[f'{v:,.1f}' for v in vals]}")
+    log("DONE")
+
+
+if __name__ == "__main__":
+    main()
