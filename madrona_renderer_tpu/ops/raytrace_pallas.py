@@ -315,9 +315,12 @@ def band_cluster_bins(
     triangle counts).
 
     Conservativeness: intervals are padded by 2 px (covers the
-    intersector's _EPS_BARY edge slack); clusters with any corner at or
-    behind the camera plane bin into every tile (projection undefined).
-    Off-screen or invalid clusters get empty intervals. Returns
+    intersector's _EPS_BARY edge slack). On the 1D band path, clusters
+    with any corner at or behind the camera plane bin into every band
+    (projection undefined); the 2D path instead uses frustum-plane
+    sign tests (see the in-branch comment), which stay tight for such
+    straddlers and are exact for every hittable point (hits require
+    y_f > 0). Off-screen or invalid clusters get empty intervals. Returns
     [WC, n_tiles, 1 + CC] i32: entry 0 the bin count, entries 1.. cluster
     ids in ascending closest-approach-distance order — the front-to-back
     visit order that (a) lets the in-kernel slab test's best_t bound cull
@@ -367,39 +370,64 @@ def band_cluster_bins(
     if tiles_x > 1:
         # 2D tiles: r = ty * tiles_x + tx; tile (tx, ty) owns pixels
         # x ∈ [tx·128, tx·128+128), y ∈ [ty·tile_sub, ty·tile_sub+tile_sub).
+        #
+        # Membership is by FRUSTUM-PLANE tests, not projection intervals:
+        # a cluster is excluded from tile row ty iff its AABB lies
+        # entirely on the outside of the tile's top or bottom sub-frustum
+        # plane (each plane passes through the camera; d = z_u − s·y_f is
+        # linear over the hull, so an all-corners sign test bounds every
+        # point, and every *hittable* point has y_f > 0). For clusters
+        # fully in front of the camera this is exactly the projected
+        # interval test; for clusters STRADDLING the camera plane — whose
+        # projection is unbounded and previously binned them into every
+        # tile — it stays tight. On a 100k-tri terrain flyover those
+        # straddlers were 68% of all bin entries and, with approach
+        # distance ≈ 0, sorted to the FRONT of every tile's walk.
         tiles_y = n_tiles // tiles_x
         right = quat_rotate(rot, jnp.array([1.0, 0.0, 0.0], jnp.float32))
         x_r = jnp.einsum("wcnkj,wcj->wcnk", rel, right)
         tan_x = tan_y * (width / height)
-        pxc = (1.0 + x_r / (safe_yf * tan_x)) * (width * 0.5) - 0.5
-        xmin = jnp.min(pxc, axis=-1) - 2.0
-        xmax = jnp.max(pxc, axis=-1) + 2.0
-        xmin = jnp.where(straddle, 0.0, xmin)
-        xmax = jnp.where(straddle, float(width), xmax)
-        ok = ok & (xmax >= 0.0) & (xmin < float(width))
 
-        ty0 = jnp.clip(
-            jnp.floor(ymin).astype(jnp.int32) // tile_sub, 0, tiles_y - 1
-        )
-        ty1 = jnp.clip(
-            jnp.floor(ymax).astype(jnp.int32) // tile_sub, 0, tiles_y - 1
-        )
-        tx0 = jnp.clip(
-            jnp.floor(xmin).astype(jnp.int32) // tile_cols, 0, tiles_x - 1
-        )
-        tx1 = jnp.clip(
-            jnp.floor(xmax).astype(jnp.int32) // tile_cols, 0, tiles_x - 1
-        )
-        tys = jnp.arange(tiles_y, dtype=jnp.int32)[None, None, :, None]
-        txs = jnp.arange(tiles_x, dtype=jnp.int32)[None, None, :, None]
-        mem_y = (
-            ok[:, :, None, :]
-            & (ty0[:, :, None, :] <= tys)
-            & (tys <= ty1[:, :, None, :])
-        )  # [W, C, TY, CC]
-        mem_x = (
-            (tx0[:, :, None, :] <= txs) & (txs <= tx1[:, :, None, :])
-        )  # [W, C, TX, CC]
+        if _osmod.environ.get("MRT_PLANE_BINS", "1") != "1":
+            member = _projection_member_2d(
+                W, C, CC, n_tiles, tiles_x, tiles_y, tile_sub, tile_cols,
+                width, height, x_r, safe_yf, tan_x, straddle, ok,
+                ymin, ymax,
+            )
+            dist = _cluster_approach_dist2(cl_lo, cl_hi, state.camera_pos)
+            key = jnp.where(member, dist[:, :, None, :], jnp.inf)
+            order = jnp.argsort(key, axis=-1).astype(jnp.int32)
+            count = member.sum(axis=-1, dtype=jnp.int32)
+            bins = jnp.concatenate([count[..., None], order], axis=-1)
+            return bins.reshape(W * C, n_tiles, 1 + CC)
+
+        def s_of_row(py):  # pixel row → z_u/y_f slope (scalar per camera)
+            return (1.0 - 2.0 * (py + 0.5) / height) * tan_y
+
+        def s_of_col(px):  # pixel col → x_r/y_f slope
+            return (2.0 * (px + 0.5) / width - 1.0) * tan_x
+
+        mem_y_l = []
+        for ty in range(tiles_y):
+            # Entirely above the tile (all py < top − 2 px pad):
+            # z/y > s(top−2) at every corner.
+            d_top = z_u - s_of_row(ty * tile_sub - 2.0) * y_f
+            above = jnp.min(d_top, axis=-1) > 0.0
+            # Entirely below (all py > bottom + 2 px pad).
+            d_bot = z_u - s_of_row((ty + 1) * tile_sub + 1.0) * y_f
+            below = jnp.max(d_bot, axis=-1) < 0.0
+            mem_y_l.append(~above & ~below)
+        mem_y = jnp.stack(mem_y_l, axis=2)  # [W, C, TY, CC]
+        mem_y = mem_y & ok[:, :, None, :]
+
+        mem_x_l = []
+        for tx in range(tiles_x):
+            d_l = x_r - s_of_col(tx * tile_cols - 2.0) * y_f
+            left = jnp.max(d_l, axis=-1) < 0.0  # all px < tile left edge
+            d_r = x_r - s_of_col((tx + 1) * tile_cols + 1.0) * y_f
+            right_of = jnp.min(d_r, axis=-1) > 0.0
+            mem_x_l.append(~left & ~right_of)
+        mem_x = jnp.stack(mem_x_l, axis=2)  # [W, C, TX, CC]
         member = (
             mem_y[:, :, :, None, :] & mem_x[:, :, None, :, :]
         ).reshape(W, C, n_tiles, CC)
@@ -419,6 +447,25 @@ def band_cluster_bins(
             & (b0[:, :, None, :] <= bands)
             & (bands <= b1[:, :, None, :])
         )  # [W, C, T, CC]
+        if _osmod.environ.get("MRT_PLANE_BINS", "1") == "1":
+            # Same frustum-plane tightening as the 2D path, per band:
+            # band k covers flat pixels [k·P, (k+1)·P) = image rows
+            # floor(kP/W) (possibly partial) .. floor(((k+1)P−1)/W).
+            # Intersecting with the projection interval only shrinks
+            # straddlers (whose interval is the full image).
+            def s_of_row(py):
+                return (1.0 - 2.0 * (py + 0.5) / height) * tan_y[..., 0]
+
+            mem_t = []
+            for k in range(n_tiles):
+                r_first = (k * tile_pix) // width
+                r_last = ((k + 1) * tile_pix - 1) // width
+                d_top = z_u - s_of_row(r_first - 2.0)[..., None] * y_f
+                above = jnp.min(d_top, axis=-1) > 0.0
+                d_bot = z_u - s_of_row(r_last + 2.0)[..., None] * y_f
+                below = jnp.max(d_bot, axis=-1) < 0.0
+                mem_t.append(~above & ~below)
+            member = member & jnp.stack(mem_t, axis=2)
 
     dist = _cluster_approach_dist2(cl_lo, cl_hi, state.camera_pos)
     key = jnp.where(member, dist[:, :, None, :], jnp.inf)
@@ -428,15 +475,59 @@ def band_cluster_bins(
     return bins.reshape(W * C, n_tiles, 1 + CC)
 
 
+def _projection_member_2d(W, C, CC, n_tiles, tiles_x, tiles_y, tile_sub,
+                          tile_cols, width, height, x_r, safe_yf, tan_x,
+                          straddle, ok, ymin, ymax):
+    """The pre-plane-test 2D tile membership (projection intervals;
+    straddlers bin into every tile) — kept behind MRT_PLANE_BINS=0 for
+    on-chip A/Bs of the binning scheme."""
+    pxc = (1.0 + x_r / (safe_yf * tan_x)) * (width * 0.5) - 0.5
+    xmin = jnp.min(pxc, axis=-1) - 2.0
+    xmax = jnp.max(pxc, axis=-1) + 2.0
+    xmin = jnp.where(straddle, 0.0, xmin)
+    xmax = jnp.where(straddle, float(width), xmax)
+    ok = ok & (xmax >= 0.0) & (xmin < float(width))
+    ty0 = jnp.clip(
+        jnp.floor(ymin).astype(jnp.int32) // tile_sub, 0, tiles_y - 1
+    )
+    ty1 = jnp.clip(
+        jnp.floor(ymax).astype(jnp.int32) // tile_sub, 0, tiles_y - 1
+    )
+    tx0 = jnp.clip(
+        jnp.floor(xmin).astype(jnp.int32) // tile_cols, 0, tiles_x - 1
+    )
+    tx1 = jnp.clip(
+        jnp.floor(xmax).astype(jnp.int32) // tile_cols, 0, tiles_x - 1
+    )
+    tys = jnp.arange(tiles_y, dtype=jnp.int32)[None, None, :, None]
+    txs = jnp.arange(tiles_x, dtype=jnp.int32)[None, None, :, None]
+    mem_y = (
+        ok[:, :, None, :]
+        & (ty0[:, :, None, :] <= tys)
+        & (tys <= ty1[:, :, None, :])
+    )
+    mem_x = (tx0[:, :, None, :] <= txs) & (txs <= tx1[:, :, None, :])
+    return (
+        mem_y[:, :, :, None, :] & mem_x[:, :, None, :, :]
+    ).reshape(W, C, n_tiles, CC)
+
+
 def camera_cluster_rowspans(cl_lo, cl_hi, cl_valid, state: SimState,
-                            eff_fov, height: int):
+                            eff_fov, height: int, g_rows: int = 0):
     """Per-(camera, cluster) conservative IMAGE pixel-row span
-    [WC, 2, CC] i32 — the deferred-MXU sweep's scanline banding: a
-    visited cluster only sweeps the pixel rows its AABB can project to
-    (a Morton cluster typically covers 1–4 of a 2D tile's 32 rows, so
-    the per-row matmul loop skips the rest). Same corner projection and
-    ±2 px padding as band_cluster_bins; clusters straddling the camera
-    plane get the full span (projection unbounded). Behind-camera or
+    [WC, 2, CC] i32 — the deferred-MXU sweep's scanline banding and the
+    banded sweep's per-band scalar gates: a visited cluster only sweeps
+    the pixel rows its AABB can project to (a Morton cluster typically
+    covers 1–4 of a 2D tile's 32 rows, so the per-row matmul loop skips
+    the rest). Same corner projection and ±2 px padding as
+    band_cluster_bins; clusters straddling the camera plane get the
+    full span from the projection (unbounded), but with ``g_rows`` > 0
+    the span is tightened by frustum-plane tests at every g_rows-pixel
+    row boundary (the banded sweep's band granularity): the span
+    becomes the interval hull of the bands the AABB can actually touch
+    (all-corner sign tests on d = z_u − s·y_f, exact for hittable
+    points since hits need y_f > 0) intersected with the projected
+    span — straddlers stop passing every band gate. Behind-camera or
     invalid clusters keep whatever span falls out — they are either
     never binned or can produce no hit, so skipping rows is always
     safe."""
@@ -469,6 +560,35 @@ def camera_cluster_rowspans(cl_lo, cl_hi, cl_valid, state: SimState,
     row_hi = jnp.clip(
         jnp.floor(ymax).astype(jnp.int32) + 1, 0, height - 1
     )
+    if g_rows > 0 and _osmod.environ.get("MRT_PLANE_BINS", "1") == "1":
+        # Frustum-plane interval hull at g_rows granularity (see
+        # docstring). Band k covers rows [k·g, (k+1)·g): the cluster can
+        # touch it unless the AABB is entirely above the band's top edge
+        # (+2 px pad) or entirely below its bottom edge.
+        n_bands = -(-height // g_rows)
+
+        def s_of_row(py):
+            return (1.0 - 2.0 * (py + 0.5) / height) * tan_y[..., 0]
+
+        touch = []
+        for k in range(n_bands):
+            d_top = z_u - s_of_row(k * g_rows - 2.0)[..., None] * y_f
+            above = jnp.min(d_top, axis=-1) > 0.0
+            d_bot = z_u - s_of_row((k + 1) * g_rows + 1.0)[..., None] * y_f
+            below = jnp.max(d_bot, axis=-1) < 0.0
+            touch.append(~above & ~below)
+        touch = jnp.stack(touch, axis=-1)  # [W, C, CC, K]
+        ks = jnp.arange(n_bands, dtype=jnp.int32)
+        first = jnp.min(
+            jnp.where(touch, ks, n_bands), axis=-1
+        )  # n_bands if none touched
+        last = jnp.max(jnp.where(touch, ks, -1), axis=-1)
+        p_lo = jnp.minimum(first * g_rows, height - 1)
+        p_hi = jnp.clip(last * g_rows + g_rows - 1, -1, height - 1)
+        # Intersect with the projected span: an untouched cluster
+        # (first > last) yields lo > hi, which every band gate rejects.
+        row_lo = jnp.maximum(row_lo, p_lo)
+        row_hi = jnp.minimum(row_hi, p_hi)
     spans = jnp.stack([row_lo, row_hi], axis=2)  # [W, C, 2, CC]
     return spans.reshape(W * state.camera_pos.shape[1], 2, CC)
 
@@ -3777,8 +3897,14 @@ def render_core(
         )
         rows_specs, rows_inputs = [], ()
         if rowskip or band_gates:
+            # Plane-hull granularity: the band gates compare against
+            # band edges (bh kernel sublanes × image rows per sublane),
+            # so that is the finest boundary grid that matters.
+            rps_g = tile_rps if tiles_x > 1 else _TILE_LANE // width
+            g_rows = (tile_sub // max(1, sweep_bands)) * rps_g
             spans = camera_cluster_rowspans(
-                cl_lo, cl_hi, cl_valid, state, eff_fov, height
+                cl_lo, cl_hi, cl_valid, state, eff_fov, height,
+                g_rows=g_rows,
             )
             if wpp > 1 or tpp > 1:
                 spans = _lane_pad(spans)

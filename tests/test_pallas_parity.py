@@ -871,3 +871,37 @@ def test_parity_band_gates_match_vector_gates(monkeypatch, bands):
     np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
     np.testing.assert_array_equal(np.asarray(a.segmask),
                                   np.asarray(b.segmask))
+
+
+def test_parity_camera_inside_scene_straddle_bins(monkeypatch):
+    """Frustum-plane binning with the camera INSIDE the scene's AABB:
+    many clusters straddle the camera plane (corners both in front and
+    behind). Their projection is unbounded — the old binning put them
+    in every tile, the plane tests keep only the tiles their in-front
+    part can reach — and correctness demands the bins stay conservative:
+    the binned trace must equal the reference exactly, through both the
+    vector- and scalar-gated banded sweeps (straddlers also exercise
+    the plane-hull row spans in camera_cluster_rowspans)."""
+    rng = np.random.default_rng(89)
+    n_tris = 3600
+    centers = rng.uniform(-25, 25, size=(n_tris, 3)).astype(np.float32)
+    tris = np.repeat(centers, 3, axis=0)
+    tris[1::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.5
+    tris[2::3] += rng.normal(size=(n_tris, 3)).astype(np.float32) * 0.5
+    instances = [ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                                  scale=[1, 1, 1], object_id=0)]
+    state, scene = build([tris], instances,
+                         [cam_at_origin_looking_plus_y()])
+    ref = rt_ref(state, scene, height=48, width=256)
+    a = rt_pal(state, scene, height=48, width=256, interpret=True,
+               accel="binned")
+    _assert_frames_equal(ref, a)
+    assert (np.asarray(ref.segmask) >= 0).any()
+    monkeypatch.setenv("MRT_SWEEP_BANDS", "4")
+    b = rt_pal(state, scene, height=48, width=256, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    monkeypatch.setenv("MRT_BAND_GATES", "0")
+    c = rt_pal(state, scene, height=48, width=256, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(c.rgb))

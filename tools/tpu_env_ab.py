@@ -32,6 +32,7 @@ _KNOBS = (
     "MRT_SWEEP_BANDS", "MRT_BAND_GATES", "MRT_TILE_RPS", "MRT_DMA_CLUSTER",
     "MRT_SUPERTILE", "MRT_SWEEP_UNROLL", "MRT_PREP_STREAM", "MRT_ORDERED_MIN",
     "MRT_DEFERRED_MXU", "MRT_TILE_SUB_MAX", "MRT_ATTR_ONCE",
+    "MRT_PLANE_BINS",
 )
 
 
@@ -55,6 +56,12 @@ def main():
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--steps", type=int, nargs=2, default=[2, 6])
     ap.add_argument("--configs", nargs="*", default=[""])
+    ap.add_argument("--wait-healthy", type=float, default=0.0,
+                    help="f/s the FIRST config must reach before the "
+                    "timing rounds run; polls every ~2 min inside one "
+                    "long-lived client (the tunnel oscillates between "
+                    "healthy and slow regimes — see CLAUDE.md)")
+    ap.add_argument("--wait-max-min", type=float, default=90.0)
     args = ap.parse_args()
     width = args.width or args.res
 
@@ -100,33 +107,53 @@ def main():
         rollouts[cfg] = rollout
 
     n_small, n_big = args.steps
+
+    def time_cfg(cfg):
+        cs = "32"
+        if cfg:
+            for kv in cfg.split(","):
+                if kv.startswith("MRT_DMA_CLUSTER="):
+                    cs = kv.split("=")[1]
+        state0, scene = scenes[cs]
+        rollout = rollouts[cfg]
+        st = jax.tree.map(jnp.copy, state0)
+        st, ck = rollout(st, scene, n_small)
+        float(np.asarray(ck))
+        t0 = time.perf_counter()
+        st, ck = rollout(st, scene, n_small)
+        float(np.asarray(ck))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        st, ck = rollout(st, scene, n_big)
+        float(np.asarray(ck))
+        tb = time.perf_counter() - t0
+        per = (tb - ts) / (n_big - n_small)
+        if per <= 0:
+            per = tb / n_big
+        return args.worlds / per, per
+
+    if args.wait_healthy > 0:
+        t_end = time.time() + args.wait_max_min * 60
+        while True:
+            fps, per = time_cfg(args.configs[0])
+            log(f"health probe [{args.configs[0] or 'defaults'}]: "
+                f"{fps:,.1f} f/s ({per*1e3:.2f} ms/step)")
+            if fps >= args.wait_healthy:
+                log("session HEALTHY — running timing rounds")
+                break
+            if time.time() > t_end:
+                log("wait-healthy TIMED OUT — rounds below are from the "
+                    "slow regime; discard per protocol")
+                break
+            time.sleep(120)
+
     results = {c: [] for c in args.configs}
     for rnd in range(args.rounds):
         for cfg in args.configs:
-            cs = "32"
-            if cfg:
-                for kv in cfg.split(","):
-                    if kv.startswith("MRT_DMA_CLUSTER="):
-                        cs = kv.split("=")[1]
-            state0, scene = scenes[cs]
-            rollout = rollouts[cfg]
-            st = jax.tree.map(jnp.copy, state0)
-            st, ck = rollout(st, scene, n_small)
-            float(np.asarray(ck))
-            t0 = time.perf_counter()
-            st, ck = rollout(st, scene, n_small)
-            float(np.asarray(ck))
-            ts = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            st, ck = rollout(st, scene, n_big)
-            float(np.asarray(ck))
-            tb = time.perf_counter() - t0
-            per = (tb - ts) / (n_big - n_small)
-            if per <= 0:
-                per = tb / n_big
-            results[cfg].append(args.worlds / per)
+            fps, per = time_cfg(cfg)
+            results[cfg].append(fps)
             log(f"round {rnd} [{cfg or 'defaults'}]: "
-                f"{args.worlds/per:,.1f} f/s ({per*1e3:.2f} ms/step)")
+                f"{fps:,.1f} f/s ({per*1e3:.2f} ms/step)")
     for cfg in args.configs:
         vals = sorted(results[cfg])
         med = vals[len(vals) // 2] if len(vals) % 2 else (
