@@ -913,8 +913,14 @@ def _render_kernel(
                 t_lo = near
 
             zero = jnp.zeros((tile_sub, _TILE_LANE), jnp.float32)
+            # best_t starts at `far`, NOT inf: every accepted hit has
+            # t < far strictly, so `t < best_t` subsumes the old
+            # `t < min(far, best_t)` — one vector op fewer per triangle
+            # in every sweep variant — and min(best_t, far) in the
+            # occlusion gates collapses to best_t. Miss pixels keep
+            # best_idx == -1 (the hit test everywhere downstream).
             init = (
-                jnp.full((tile_sub, _TILE_LANE), jnp.inf, jnp.float32),  # best_t
+                jnp.broadcast_to(far, (tile_sub, _TILE_LANE)),  # best_t
                 jnp.full((tile_sub, _TILE_LANE), -1, jnp.int32),  # best_idx
                 zero,  # mat (as f32)
                 zero,  # uvx
@@ -961,7 +967,7 @@ def _render_kernel(
                             (jnp.minimum(u, v) >= -_EPS_BARY)
                             & (u + v <= 1.0 + _EPS_BARY)
                             & (t > t_lo)
-                            & (t < jnp.minimum(far, best_t))
+                            & (t < best_t)
                         )
                         return (
                             jnp.where(ok, t, best_t),
@@ -1032,7 +1038,7 @@ def _render_kernel(
                         (jnp.minimum(u, v) >= -_EPS_BARY)
                         & (u + v <= 1.0 + _EPS_BARY)
                         & (t > t_lo)
-                        & (t < jnp.minimum(far, best_t))
+                        & (t < best_t)
                     )
 
                     if deferred or defer_attrs:
@@ -1130,7 +1136,7 @@ def _render_kernel(
                             (jnp.minimum(u, v) >= -_EPS_BARY)
                             & (u + v <= 1.0 + _EPS_BARY)
                             & (t > t_lo)
-                            & (t < jnp.minimum(far, best_t))
+                            & (t < best_t)
                         )
                         return t, u, v, ok
                     v0x = read(0, i)
@@ -1174,7 +1180,7 @@ def _render_kernel(
                         (jnp.minimum(u, v) >= -_EPS_BARY)
                         & (u + v <= 1.0 + _EPS_BARY)
                         & (t > t_lo)
-                        & (t < jnp.minimum(far, best_t))
+                        & (t < best_t)
                     )
                     return t, u, v, ok
 
@@ -1237,7 +1243,7 @@ def _render_kernel(
                         jnp.maximum(t1z, t2z),
                     )
                     possible = (
-                        (tmax >= tmin) & (tmax > near) & (tmin < far) & (tmin < best_t)
+                        (tmax >= tmin) & (tmax > near) & (tmin < best_t)
                     )
                     any_hit = jnp.any(possible) & (cvalid > 0.0)
 
@@ -1312,7 +1318,7 @@ def _render_kernel(
                         b, _, *st = carry
                         c = cluster_at(b)
                         best_t = st[0]
-                        tf = jnp.minimum(best_t, far)
+                        tf = best_t  # <= far by construction (far init)
                         live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
                         live = live & (cl_ref[0, 6, c] > 0.0)
                         st2 = jax.lax.cond(
@@ -1619,7 +1625,7 @@ def _render_kernel(
                         )
                         slot = cur
                         best_t = st[0]
-                        tf = jnp.minimum(best_t, far)
+                        tf = best_t  # <= far by construction (far init)
                         live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
                         live = live & (cl_ref[0, 6, c] > 0.0)
 
@@ -1665,7 +1671,7 @@ def _render_kernel(
                                 jnp.maximum(t1z, t2z),
                             )
                             possible = (
-                                (tmax >= tmin) & (tmax > near) & (tmin < far)
+                                (tmax >= tmin) & (tmax > near)
                                 & (tmin < cr[0])
                             )
                             any_hit = jnp.any(possible)
@@ -1850,7 +1856,7 @@ def _render_kernel(
                             else:
                                 any_live = None
                                 for q in range(Q):
-                                    tf = jnp.minimum(st[q * n_car], far)
+                                    tf = st[q * n_car]  # <= far (far init)
                                     lq = jnp.any(tf * tf > app2)
                                     any_live = (
                                         lq if any_live is None
@@ -1943,9 +1949,7 @@ def _render_kernel(
                                             # reduction per band actually
                                             # swept (the per-candidate
                                             # jnp.any this path removes).
-                                            return cr3, jnp.max(
-                                                jnp.minimum(cr3[0], far)
-                                            )
+                                            return cr3, jnp.max(cr3[0])
 
                                         cr_q, bm_q = jax.lax.cond(
                                             gates[q], sweep_q,
@@ -2021,7 +2025,7 @@ def _render_kernel(
                                     )
                                     possible = (
                                         (tmax >= tmin) & (tmax > near)
-                                        & (tmin < far) & (tmin < crs[q][0])
+                                        & (tmin < crs[q][0])
                                     )
                                     anys.append(jnp.any(possible))
                                 any_hit = anys[0]
@@ -2268,7 +2272,7 @@ def _render_kernel(
             bny = bny * flip
             bnz = bnz * flip
 
-            best_t = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+            best_t = jnp.where(best_idx >= 0, best_t, 0.0)
             z = best_t * cosf
 
             t_ref[0] = best_t
