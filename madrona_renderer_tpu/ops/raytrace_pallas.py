@@ -475,6 +475,85 @@ def band_cluster_bins(
     return bins.reshape(W * C, n_tiles, 1 + CC)
 
 
+def cluster_row_sort(soup, state: SimState, eff_fov, height: int,
+                     cluster_size: int, g_rows: int, n_bands: int):
+    """Per-step within-cluster triangle sort by projected image row, plus
+    per-(cluster, row-band) triangle range tables — the banded deferred
+    sweep's triangle-level cull (clusters span several bands; without
+    ranges every gated band re-sweeps all ``cluster_size`` triangles).
+
+    Returns (perm [W, S] i32, lo [W, CC, n_bands] u8-range i32,
+    hi [W, CC, n_bands] i32) where perm maps sorted slab lane →
+    ORIGINAL triangle index (within its cluster), and band b of cluster
+    c only needs sorted-local triangles [lo, hi):
+
+    - triangles are sorted (stably) by conservative projected min row;
+    - hi = #(min_row < (b+1)·g_rows): sorted ⇒ a prefix;
+    - lo = longest prefix with running-max(max_row) < b·g_rows — the
+      cummax makes "every triangle before lo ends above the band" a
+      prefix property even though max_row itself is unsorted.
+
+    Conservative: ±2 px pad (the intersector's _EPS_BARY slack);
+    triangles with a vertex at/behind the camera plane get the full
+    span; invalid triangles sort last with an empty span (they are
+    degenerate and can never hit, so over-sweeping them is also safe).
+    One camera per world (the caller gates on C == 1)."""
+    W, S = soup.valid.shape
+    n_cl = S // cluster_size
+    rot = state.camera_rot[:, 0]  # [W, 4]
+    fwd = quat_rotate(rot, jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    up = quat_rotate(rot, jnp.array([0.0, 0.0, 1.0], jnp.float32))
+    cam = state.camera_pos[:, 0]  # [W, 3]
+    tan_y = jnp.tan(jnp.deg2rad(eff_fov[:, 0]) * 0.5)[:, None]  # [W, 1]
+
+    def rows_of(p):  # [W, S, 3] → (py [W, S], y_f [W, S])
+        rel = p - cam[:, None, :]
+        y_f = jnp.einsum("wsk,wk->ws", rel, fwd)
+        z_u = jnp.einsum("wsk,wk->ws", rel, up)
+        py = (1.0 - z_u / (jnp.maximum(y_f, 1e-6) * tan_y)) * (
+            height * 0.5
+        ) - 0.5
+        return py, y_f
+
+    py0, yf0 = rows_of(soup.v0)
+    py1, yf1 = rows_of(soup.v0 + soup.e1)
+    py2, yf2 = rows_of(soup.v0 + soup.e2)
+    straddle = (
+        (yf0 <= 1e-6) | (yf1 <= 1e-6) | (yf2 <= 1e-6)
+    )
+    pmin = jnp.minimum(jnp.minimum(py0, py1), py2) - 2.0
+    pmax = jnp.maximum(jnp.maximum(py0, py1), py2) + 2.0
+    big = jnp.float32(height * 4 + 8)
+    pmin = jnp.where(straddle, -big, pmin)
+    pmax = jnp.where(straddle, big, pmax)
+    valid = soup.valid > 0
+    pmin = jnp.where(valid, pmin, jnp.inf)   # invalid: sort last,
+    pmax = jnp.where(valid, pmax, -jnp.inf)  # never in any band
+
+    key = pmin.reshape(W, n_cl, cluster_size)
+    local = jnp.argsort(key, axis=-1, stable=True)  # [W, n_cl, cs]
+    base = (
+        jnp.arange(n_cl, dtype=jnp.int32)[None, :, None] * cluster_size
+    )
+    perm = (local.astype(jnp.int32) + base).reshape(W, S)
+    m_sorted = jnp.take_along_axis(key, local, axis=-1)  # min rows, sorted
+    mx_sorted = jnp.take_along_axis(
+        pmax.reshape(W, n_cl, cluster_size), local, axis=-1
+    )
+    mx_run = jax.lax.cummax(mx_sorted, axis=2)
+    los, his = [], []
+    for b in range(n_bands):
+        lo_b = jnp.sum(mx_run < b * g_rows, axis=-1, dtype=jnp.int32)
+        hi_b = jnp.sum(
+            m_sorted < (b + 1) * g_rows, axis=-1, dtype=jnp.int32
+        )
+        los.append(jnp.minimum(lo_b, hi_b))
+        his.append(hi_b)
+    lo = jnp.stack(los, axis=-1)  # [W, n_cl, n_bands]
+    hi = jnp.stack(his, axis=-1)
+    return perm, lo, hi
+
+
 def _projection_member_2d(W, C, CC, n_tiles, tiles_x, tiles_y, tile_sub,
                           tile_cols, width, height, x_r, safe_yf, tan_x,
                           straddle, ok, ymin, ymax):
@@ -636,6 +715,8 @@ def _render_kernel(
     band_gates: bool = False,
     tile_rps: int = 1,
     attr_once: bool = True,
+    tri_ranges: bool = False,
+    tri_tie: bool = True,
     wpp: int = 1,
     tpp: int = 1,
 ):
@@ -958,17 +1039,32 @@ def _render_kernel(
                         qy = read(7, i)
                         qz = read(8, i)
                         t_num = read(9, i)
+                        if tri_ranges:
+                            # Row-sorted slab: row 10 carries the
+                            # ORIGINAL triangle index (attr gathers and
+                            # segmask stay permutation-free).
+                            gi = read(10, i).astype(jnp.int32)
                         det = dx * ddx + dy * ddy + dz * ddz
                         inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
                         u = (dx * aax + dy * aay + dz * aaz) * inv
                         v = (dx * qx + dy * qy + dz * qz) * inv
                         t = t_num * inv
-                        ok = (
+                        okb = (
                             (jnp.minimum(u, v) >= -_EPS_BARY)
                             & (u + v <= 1.0 + _EPS_BARY)
                             & (t > t_lo)
-                            & (t < best_t)
                         )
+                        if tri_tie:
+                            # Visit order is row-sorted, so exact-t ties
+                            # break by ORIGINAL index — the reference's
+                            # argmin semantics (best_t init = far keeps
+                            # t >= far rejected here too).
+                            ok = okb & (
+                                (t < best_t)
+                                | ((t == best_t) & (gi < best_idx))
+                            )
+                        else:
+                            ok = okb & (t < best_t)
                         return (
                             jnp.where(ok, t, best_t),
                             jnp.where(ok, gi, best_idx),
@@ -1115,7 +1211,7 @@ def _render_kernel(
                 caller over-sweeps to a multiple of `sweep_unroll`; padding
                 slots are degenerate (zero edges → t = 0 → fails t > t_lo)."""
 
-                def probe(i, best_t):
+                def probe(i, best_t, best_idx=None):
                     if prep:
                         ddx = read(0, i)
                         ddy = read(1, i)
@@ -1127,18 +1223,28 @@ def _render_kernel(
                         qy = read(7, i)
                         qz = read(8, i)
                         t_num = read(9, i)
+                        gi = (
+                            read(10, i).astype(jnp.int32)
+                            if tri_ranges else None
+                        )
                         det = dx * ddx + dy * ddy + dz * ddz
                         inv = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
                         u = (dx * aax + dy * aay + dz * aaz) * inv
                         v = (dx * qx + dy * qy + dz * qz) * inv
                         t = t_num * inv
-                        ok = (
+                        okb = (
                             (jnp.minimum(u, v) >= -_EPS_BARY)
                             & (u + v <= 1.0 + _EPS_BARY)
                             & (t > t_lo)
-                            & (t < best_t)
                         )
-                        return t, u, v, ok
+                        if tri_tie:
+                            ok = okb & (
+                                (t < best_t)
+                                | ((t == best_t) & (gi < best_idx))
+                            )
+                        else:
+                            ok = okb & (t < best_t)
+                        return t, u, v, ok, gi
                     v0x = read(0, i)
                     v0y = read(1, i)
                     v0z = read(2, i)
@@ -1182,20 +1288,34 @@ def _render_kernel(
                         & (t > t_lo)
                         & (t < best_t)
                     )
-                    return t, u, v, ok
+                    return t, u, v, ok, None
 
                 def body(i0, carry):
                     best_t, best_idx = carry[0], carry[1]
                     cands = [
-                        probe(i0 + j, best_t) for j in range(sweep_unroll)
+                        probe(i0 + j, best_t, best_idx)
+                        for j in range(sweep_unroll)
                     ]
-                    wt, wu, wv, wk = cands[0]
+                    wt, wu, wv, wk, wg0 = cands[0]
                     wg = None
                     for j in range(1, sweep_unroll):
-                        t, u, v, k = cands[j]
-                        take = k & (jnp.logical_not(wk) | (t < wt))
-                        gi_j = i0 + j + idx_base
-                        gi_0 = i0 + idx_base
+                        t, u, v, k, gi_j = cands[j]
+                        if tri_tie:
+                            # Lex (t, ORIGINAL idx) fold — each k probe
+                            # already lex-beats the loop-entry carry.
+                            take = k & (
+                                jnp.logical_not(wk)
+                                | (t < wt)
+                                | ((t == wt) & (gi_j < (
+                                    wg0 if wg is None else wg)))
+                            )
+                        else:
+                            take = k & (jnp.logical_not(wk) | (t < wt))
+                        if gi_j is None:
+                            gi_j = i0 + j + idx_base
+                            gi_0 = i0 + idx_base
+                        else:
+                            gi_0 = wg0
                         wg = jnp.where(take, gi_j, gi_0 if wg is None else wg)
                         wt = jnp.where(take, t, wt)
                         wu = jnp.where(take, u, wu)
@@ -1919,19 +2039,44 @@ def _render_kernel(
                                     for q in range(Q):
                                         def sweep_q(args, q=q):
                                             cr2, _bm = args
+                                            if tri_ranges:
+                                                # Sorted-local triangle
+                                                # range for this band
+                                                # (two bands per packed
+                                                # bin word).
+                                                rw = bin_ref[
+                                                    0, 1 + q // 2, 1 + b
+                                                ]
+                                                sh = 16 * (q % 2)
+                                                lo_q = (rw >> sh) & 255
+                                                hi_q = (rw >> (sh + 8)) & 255
+                                            else:
+                                                lo_q = jnp.int32(0)
+                                                hi_q = cnt
                                             if sweep_unroll > 1:
                                                 ub = make_unrolled_body(
                                                     read, base,
                                                     dx=b_dx[q], dy=b_dy[q],
                                                     dz=b_dz[q], t_lo=b_tlo[q],
                                                 )
+                                                # Down-align lo so the
+                                                # over-sweep stays inside
+                                                # the cluster's lanes
+                                                # (sweep_unroll divides
+                                                # cluster_size — gated).
+                                                lo_al = (
+                                                    lo_q // sweep_unroll
+                                                ) * sweep_unroll
                                                 ngroups = (
-                                                    cnt + sweep_unroll - 1
+                                                    hi_q - lo_al
+                                                    + sweep_unroll - 1
                                                 ) // sweep_unroll
                                                 cr3 = jax.lax.fori_loop(
                                                     0, ngroups,
                                                     lambda p, c2: ub(
-                                                        p * sweep_unroll, c2
+                                                        lo_al
+                                                        + p * sweep_unroll,
+                                                        c2,
                                                     ),
                                                     cr2,
                                                 )
@@ -1942,7 +2087,7 @@ def _render_kernel(
                                                     dz=b_dz[q], t_lo=b_tlo[q],
                                                 )
                                                 cr3 = jax.lax.fori_loop(
-                                                    0, cnt, tt, cr2
+                                                    lo_q, hi_q, tt, cr2
                                                 )
                                             # Refresh the band's scalar
                                             # occlusion bound: ONE vector
@@ -3722,6 +3867,29 @@ def render_core(
         and (tiles_x > 1 or _TILE_LANE % width == 0)
         and _os.environ.get("MRT_BAND_GATES", "1") == "1"
     )
+    # Per-band triangle ranges (r3): sort each cluster's triangles by
+    # projected image row at pack time and give every (bin entry, band)
+    # a sorted-local triangle sub-range, so a band sweeps only the
+    # triangles that can touch its rows (a cluster typically straddles
+    # band edges: measured 1.9–2.8× fewer triangle iterations on the
+    # 100k-tri 512² terrain at 2 bands). Geometry rows stream permuted
+    # with the ORIGINAL index in row 10; attribute rows stay unpermuted
+    # (the winner resolve gathers by original index, and segmask
+    # = idx // tris_per_object is invariant because clusters never span
+    # instances). MRT_TRI_RANGES=0 disables; MRT_TRI_TIE=0 drops the
+    # original-index tie-break (cheaper, but exact ties between
+    # coplanar triangles then resolve by visit order instead of the
+    # reference's lowest-index argmin).
+    tri_ranges = (
+        deferred and prep_stream and binned and band_gates
+        and not dmxu
+        and cc_total > 0
+        and S == (S // cc_total) * cc_total
+        and S // cc_total <= 255
+        and (sweep_unroll <= 1 or (S // cc_total) % sweep_unroll == 0)
+        and _os.environ.get("MRT_TRI_RANGES", "1") == "1"
+    )
+    tri_tie = tri_ranges and _os.environ.get("MRT_TRI_TIE", "1") == "1"
     # Supertiling: fold wpp worlds × tpp tiles into one grid program to
     # amortize the per-program floor (block-DMA issue + grid-step
     # overhead, measured 0.5–0.8 µs/program on small resident scenes —
@@ -3747,11 +3915,34 @@ def render_core(
                     break
     s_attr_pad = -(-S // _TILE_LANE) * _TILE_LANE
     attrs = None
+    tri_perm = tri_lo = tri_hi = None
     if deferred:
         tris = _pack_tris_split(
             soup, scene,
             cam_pos=state.camera_pos[:, 0, :] if prep_stream else None,
         )  # [W, 40, S]
+        if tri_ranges:
+            rps_r = tile_rps if tiles_x > 1 else _TILE_LANE // width
+            g_ranges = (tile_sub // sweep_bands) * rps_r
+            n_gb = (n_tiles // tiles_x) * sweep_bands
+            tri_perm, tri_lo, tri_hi = cluster_row_sort(
+                soup, state, eff_fov, height, S // cc_total,
+                g_ranges, n_gb,
+            )
+            idx3 = tri_perm[:, None, :]  # [W, 1, S]
+            geo = jnp.take_along_axis(
+                tris[:, :10, :],
+                jnp.broadcast_to(idx3, (tris.shape[0], 10, S)),
+                axis=2,
+            )
+            tris = jnp.concatenate(
+                [
+                    geo,
+                    tri_perm[:, None, :].astype(jnp.float32),  # row 10
+                    tris[:, 11:, :],
+                ],
+                axis=1,
+            )
     elif defer_attrs:
         split = _pack_tris_split(
             soup, scene,
@@ -3870,6 +4061,7 @@ def render_core(
             sweep_bands=sweep_bands, band_gates=band_gates,
             tile_rps=tile_rps,
             attr_once=_os.environ.get("MRT_ATTR_ONCE", "1") == "1",
+            tri_ranges=tri_ranges, tri_tie=tri_tie,
             wpp=wpp, tpp=tpp,
         )
         if wpp > 1 or tpp > 1:
@@ -3894,8 +4086,9 @@ def render_core(
             -(-(cc + 1) // _TILE_LANE) * _TILE_LANE
             if wpp > 1 or tpp > 1 else cc + 1
         )
+        bin_rows = 1 + (sweep_bands + 1) // 2 if tri_ranges else 1
         bin_spec = pl.BlockSpec(
-            (wpp * tpp, 1, bin_lanes),
+            (wpp * tpp, bin_rows, bin_lanes),
             lambda wc, r: (wc * (n_tiles // tpp) + r, 0, 0),
             memory_space=pltpu.SMEM,
         )
@@ -3923,7 +4116,47 @@ def render_core(
                 height, width, n_tiles, tile_pix=tile_pix,
                 tiles_x=tiles_x, tile_sub=tile_sub * tile_rps,
                 tile_cols=tile_cols,
-            ).reshape(WC * n_tiles, 1, cc + 1)
+            )  # [WC, T, 1 + CC]
+            if tri_ranges:
+                # Append per-(entry, band) sorted-local triangle ranges
+                # as extra bin rows: two bands per i32 word, lo in the
+                # low byte and hi in the next (cluster_size <= 255).
+                # Entry slot j's word sits at lane 1 + j, aligned with
+                # the cluster id row.
+                Q = sweep_bands
+                order = bins[:, :, 1:]  # [WC, T, CC]
+                ty_of = (
+                    jnp.arange(n_tiles, dtype=jnp.int32) // tiles_x
+                )  # [T]
+                n_words = (Q + 1) // 2
+                words = []
+                lo_t = tri_lo.transpose(0, 2, 1)  # [W, n_gb, CC]
+                hi_t = tri_hi.transpose(0, 2, 1)
+                for wd in range(n_words):
+                    word = None
+                    for h in range(2):
+                        q = wd * 2 + h
+                        if q >= Q:
+                            break
+                        gb = ty_of * Q + q  # [T]
+                        lo_sel = lo_t[:, gb, :]  # [WC, T, CC]
+                        hi_sel = hi_t[:, gb, :]
+                        lo_e = jnp.take_along_axis(lo_sel, order, axis=2)
+                        hi_e = jnp.take_along_axis(hi_sel, order, axis=2)
+                        part = lo_e | (hi_e << 8)
+                        part = part << (16 * h)
+                        word = part if word is None else (word | part)
+                    words.append(word)
+                zero_col = jnp.zeros(
+                    (WC, n_tiles, 1), jnp.int32
+                )  # lane 0 (the count lane) carries no range
+                rows = [bins] + [
+                    jnp.concatenate([zero_col, w], axis=2) for w in words
+                ]
+                bins = jnp.stack(rows, axis=2)  # [WC, T, 1+n_words, 1+CC]
+                bins = bins.reshape(WC * n_tiles, 1 + n_words, cc + 1)
+            else:
+                bins = bins.reshape(WC * n_tiles, 1, cc + 1)
             if wpp > 1 or tpp > 1:
                 bins = _lane_pad(bins)
             extra_in_specs = (

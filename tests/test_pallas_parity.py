@@ -8,7 +8,9 @@ interpreter mode on CPU; the identical kernel compiles for real TPU.
 import numpy as np
 import pytest
 
-from madrona_renderer_tpu.config import ImportedCamera, ImportedInstance, WorldInit
+from madrona_renderer_tpu.config import (
+    AdditionalMaterial, ImportedCamera, ImportedInstance, WorldInit,
+)
 from madrona_renderer_tpu.ops.raytrace_ref import raytrace as rt_ref
 from madrona_renderer_tpu.ops.raytrace_pallas import raytrace as rt_pal
 
@@ -905,3 +907,79 @@ def test_parity_camera_inside_scene_straddle_bins(monkeypatch):
     c = rt_pal(state, scene, height=48, width=256, interpret=True,
                accel="binned")
     np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(c.rgb))
+
+
+def test_parity_tri_ranges_knobs(monkeypatch):
+    """Per-band triangle ranges (MRT_TRI_RANGES): clusters' triangles are
+    row-sorted at pack time and each band sweeps only its sub-range.
+    Ranges are conservative and the original-index tie-break reproduces
+    the reference's argmin on exact ties, so ranged, unranged, tie-less,
+    and reference traces must all be exactly equal — including at 4
+    bands (two packed range words per bin entry) and unroll 1."""
+    state, scene = _dense_field_scene(seed=97)
+    ref = rt_ref(state, scene, height=64, width=256)
+    a = rt_pal(state, scene, height=64, width=256, interpret=True,
+               accel="binned")
+    _assert_frames_equal(ref, a)
+    for env in [{"MRT_TRI_RANGES": "0"}, {"MRT_TRI_TIE": "0"},
+                {"MRT_SWEEP_BANDS": "4"},
+                {"MRT_SWEEP_BANDS": "4", "MRT_SWEEP_UNROLL": "1"}]:
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        b = rt_pal(state, scene, height=64, width=256, interpret=True,
+                   accel="binned")
+        np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+        np.testing.assert_array_equal(np.asarray(a.depth),
+                                      np.asarray(b.depth))
+        np.testing.assert_array_equal(np.asarray(a.segmask),
+                                      np.asarray(b.segmask))
+        for k in env:
+            monkeypatch.delenv(k)
+
+
+def test_parity_tri_ranges_coplanar_shared_edge():
+    """Row-sorting flips the visit order of two coplanar triangles that
+    share an edge (the classic exact-t tie shape — a split flat quad).
+    The ranged sweep's original-index tie-break must keep the kernel
+    bitwise equal to the reference's argmin through the textured
+    deferred path."""
+    import os
+    import tempfile
+
+    from madrona_renderer_tpu.assets.png import write_png
+    from tests.fixtures import make_checker_png
+
+    rng = np.random.default_rng(5)
+    quad = np.asarray([
+        [-4, 10, 0], [4, 10, 0], [0, 10, -4],   # below the shared edge
+        [-4, 10, 0], [4, 10, 0], [0, 10, 4],    # above (sorts first)
+    ], np.float32)
+    uv = np.asarray([
+        [0, 0.5], [1, 0.5], [0.5, 0.0],
+        [0, 0.5], [1, 0.5], [0.5, 1.0],
+    ], np.float32)
+    centers = rng.uniform(-10, 10, size=(3600, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(20, 40, size=3600)
+    fill = np.repeat(centers, 3, axis=0)
+    fill[1::3] += rng.normal(size=(3600, 3)).astype(np.float32) * 0.4
+    fill[2::3] += rng.normal(size=(3600, 3)).astype(np.float32) * 0.4
+    tris = np.concatenate([quad, fill], 0)
+    uvs = np.concatenate([uv, np.zeros((fill.shape[0], 2), np.float32)], 0)
+    with tempfile.TemporaryDirectory() as td:
+        tex = os.path.join(td, "checker.png")
+        write_png(tex, make_checker_png())
+        state, scene = build(
+            [tris],
+            [ImportedInstance(position=[0, 0, 0], rotation=[1, 0, 0, 0],
+                              scale=[1, 1, 1], object_id=0)],
+            [cam_at_origin_looking_plus_y()],
+            uvs=[uvs], mesh_materials=[0],
+            additional_mats=[AdditionalMaterial(color=[1, 1, 1, 1],
+                                                texture_id=0)],
+            additional_textures=[tex],
+        )
+        ref = rt_ref(state, scene, height=64, width=256)
+        a = rt_pal(state, scene, height=64, width=256, interpret=True,
+                   accel="binned")
+        _assert_frames_equal(ref, a)
+        assert (np.asarray(ref.segmask) >= 0).any()
