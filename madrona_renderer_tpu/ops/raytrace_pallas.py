@@ -297,6 +297,7 @@ def band_cluster_bins(
     cl_lo, cl_hi, cl_valid, state: SimState, eff_fov,
     height: int, width: int, n_tiles: int, tile_pix: int,
     tiles_x: int = 1, tile_sub: int = 0, tile_cols: int = _TILE_LANE,
+    win_div: int = 0,
 ):
     """Per-step screen-space cluster binning — the tile-binned pass.
 
@@ -468,8 +469,26 @@ def band_cluster_bins(
             member = member & jnp.stack(mem_t, axis=2)
 
     dist = _cluster_approach_dist2(cl_lo, cl_hi, state.camera_pos)
-    key = jnp.where(member, dist[:, :, None, :], jnp.inf)
-    order = jnp.argsort(key, axis=-1).astype(jnp.int32)  # [W, C, T, CC]
+    if win_div > 0:
+        # Window-coherent front-to-back: sort by the power-of-two
+        # BUCKET of the approach distance² (the f32 exponent bits) with
+        # the geometry DMA window index in the top mantissa bits, so
+        # same-window clusters visit back-to-back inside each distance
+        # bucket (the exact-distance order made almost every visit a
+        # window switch). The kernel keeps a TIGHT per-cluster visit
+        # gate but keys its early-exit on app2/2: every later cluster's
+        # true distance² is at least this bucket's floor ≥ app2/2, so
+        # stopping stays conservative.
+        db = jax.lax.bitcast_convert_type(dist, jnp.int32)
+        win = (
+            jnp.arange(CC, dtype=jnp.int32) // win_div
+        )[None, None, :]
+        key = (db & jnp.int32(0x7F800000)) | (win << 13)
+        key = jnp.where(member, key[:, :, None, :], jnp.int32(0x7F800000))
+        order = jnp.argsort(key, axis=-1).astype(jnp.int32)
+    else:
+        key = jnp.where(member, dist[:, :, None, :], jnp.inf)
+        order = jnp.argsort(key, axis=-1).astype(jnp.int32)  # [W, C, T, CC]
     count = member.sum(axis=-1, dtype=jnp.int32)  # [W, C, T]
     bins = jnp.concatenate([count[..., None], order], axis=-1)
     return bins.reshape(W * C, n_tiles, 1 + CC)
@@ -717,6 +736,7 @@ def _render_kernel(
     attr_once: bool = True,
     tri_ranges: bool = False,
     tri_tie: bool = True,
+    win_sort: bool = False,
     wpp: int = 1,
     tpp: int = 1,
 ):
@@ -1746,8 +1766,22 @@ def _render_kernel(
                         slot = cur
                         best_t = st[0]
                         tf = best_t  # <= far by construction (far init)
-                        live = jnp.any(tf * tf > approach_dist2(c) * 0.998)
-                        live = live & (cl_ref[0, 6, c] > 0.0)
+                        validc = cl_ref[0, 6, c] > 0.0
+                        if win_sort:
+                            # Bucketed visit order: the tight bound only
+                            # gates THIS cluster; the walk continues
+                            # while the half-bucket bound (a floor on
+                            # every later cluster's distance²) says
+                            # something could still improve.
+                            tfm = jnp.max(tf * tf)
+                            app2 = approach_dist2(c)
+                            live = (tfm > app2 * 0.998) & validc
+                            cont = (tfm > app2 * 0.499) & validc
+                        else:
+                            live = jnp.any(
+                                tf * tf > approach_dist2(c) * 0.998
+                            ) & validc
+                            cont = live
 
                         # Arm the prefetch for the NEXT different window (at
                         # most one in flight; a_n == cur_a arms nothing, so
@@ -1863,7 +1897,7 @@ def _render_kernel(
                         st2 = jax.lax.cond(
                             live, visit, lambda s: s, (at_a0c,) + tuple(st)
                         )
-                        done = jnp.where(live, jnp.int32(0), jnp.int32(1))
+                        done = jnp.where(cont, jnp.int32(0), jnp.int32(1))
                         return (b + 1, done, cur, cur_a, pf_a) + st2
 
                     if sweep_bands > 1:
@@ -1931,7 +1965,8 @@ def _render_kernel(
                                 cur0, cur_a0, pf_a0,
                             )
                             slot = cur
-                            app2 = approach_dist2(c) * 0.998
+                            app2_raw = approach_dist2(c)
+                            app2 = app2_raw * 0.998
                             if band_gates:
                                 # Scalar gates: per-band occlusion from the
                                 # carried upper bound (no vector reduction
@@ -1982,7 +2017,21 @@ def _render_kernel(
                                         lq if any_live is None
                                         else any_live | lq
                                     )
-                            live = any_live & (cl_ref[0, 6, c] > 0.0)
+                            validc = cl_ref[0, 6, c] > 0.0
+                            live = any_live & validc
+                            if win_sort and band_gates:
+                                # Bucketed order: keep walking while the
+                                # half-bucket floor of any band's bound
+                                # says a later cluster could improve.
+                                app2_h = app2_raw * 0.499
+                                cont = bmaxs[0] * bmaxs[0] > app2_h
+                                for q in range(1, Q):
+                                    cont = cont | (
+                                        bmaxs[q] * bmaxs[q] > app2_h
+                                    )
+                                cont = cont & validc
+                            else:
+                                cont = live
 
                             w_n = win_of(
                                 cluster_at(jnp.minimum(b + 1, nb - 1))
@@ -2129,7 +2178,7 @@ def _render_kernel(
                                     (at_a0c,) + tuple(st) + tuple(bmaxs),
                                 )
                                 done = jnp.where(
-                                    live, jnp.int32(0), jnp.int32(1)
+                                    cont, jnp.int32(0), jnp.int32(1)
                                 )
                                 return (b + 1, done, cur, cur_a, pf_a) + st2
 
@@ -2277,7 +2326,7 @@ def _render_kernel(
                                 live, visit, lambda s: s,
                                 (at_a0c,) + tuple(st)
                             )
-                            done = jnp.where(live, jnp.int32(0), jnp.int32(1))
+                            done = jnp.where(cont, jnp.int32(0), jnp.int32(1))
                             return (b + 1, done, cur, cur_a, pf_a) + st2
 
                         run_body, init_run = body_banded, init_b
@@ -3890,6 +3939,12 @@ def render_core(
         and _os.environ.get("MRT_TRI_RANGES", "1") == "1"
     )
     tri_tie = tri_ranges and _os.environ.get("MRT_TRI_TIE", "1") == "1"
+    # Window-coherent bucketed visit order (experiment, off by default):
+    # see band_cluster_bins win_div. MRT_WIN_SORT=1 enables.
+    win_sort = (
+        deferred and binned and (band_gates or sweep_bands == 1)
+        and _os.environ.get("MRT_WIN_SORT", "0") == "1"
+    )
     # Supertiling: fold wpp worlds × tpp tiles into one grid program to
     # amortize the per-program floor (block-DMA issue + grid-step
     # overhead, measured 0.5–0.8 µs/program on small resident scenes —
@@ -4062,6 +4117,7 @@ def render_core(
             tile_rps=tile_rps,
             attr_once=_os.environ.get("MRT_ATTR_ONCE", "1") == "1",
             tri_ranges=tri_ranges, tri_tie=tri_tie,
+            win_sort=win_sort,
             wpp=wpp, tpp=tpp,
         )
         if wpp > 1 or tpp > 1:
@@ -4116,6 +4172,10 @@ def render_core(
                 height, width, n_tiles, tile_pix=tile_pix,
                 tiles_x=tiles_x, tile_sub=tile_sub * tile_rps,
                 tile_cols=tile_cols,
+                win_div=(
+                    max(cluster_size, 128) // cluster_size
+                    if win_sort else 0
+                ),
             )  # [WC, T, 1 + CC]
             if tri_ranges:
                 # Append per-(entry, band) sorted-local triangle ranges

@@ -983,3 +983,32 @@ def test_parity_tri_ranges_coplanar_shared_edge():
                    accel="binned")
         _assert_frames_equal(ref, a)
         assert (np.asarray(ref.segmask) >= 0).any()
+
+
+def test_parity_window_coherent_order(monkeypatch):
+    """MRT_WIN_SORT bucket-sorts each bin by (pow2 distance bucket, DMA
+    window) so same-window clusters visit back-to-back; the kernel keeps
+    a tight per-cluster visit gate and keys its early-exit on the
+    half-bucket floor. Visit order is an implementation detail — the
+    bucketed, exact-sorted, and reference traces must be exactly equal
+    (the ranged sweep's original-index tie-break makes even exact-t
+    ties order-independent), banded and unbanded."""
+    state, scene = _dense_field_scene(seed=101)
+    ref = rt_ref(state, scene, height=64, width=256)
+    a = rt_pal(state, scene, height=64, width=256, interpret=True,
+               accel="binned")
+    _assert_frames_equal(ref, a)
+    monkeypatch.setenv("MRT_WIN_SORT", "1")
+    b = rt_pal(state, scene, height=64, width=256, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.segmask),
+                                  np.asarray(b.segmask))
+    monkeypatch.setenv("MRT_SWEEP_BANDS", "1")
+    c = rt_pal(state, scene, height=64, width=256, interpret=True,
+               accel="binned")
+    monkeypatch.setenv("MRT_WIN_SORT", "0")
+    d = rt_pal(state, scene, height=64, width=256, interpret=True,
+               accel="binned")
+    np.testing.assert_array_equal(np.asarray(c.rgb), np.asarray(d.rgb))
