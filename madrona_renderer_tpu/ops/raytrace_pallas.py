@@ -278,17 +278,30 @@ def _cluster_approach_dist2(cl_lo, cl_hi, cam_pos):
     return jnp.sum(d * d, axis=-1)
 
 
-def camera_cluster_order(cl_lo, cl_hi, cl_valid, cam_pos):
+def camera_cluster_order(cl_lo, cl_hi, cl_valid, cam_pos, win_div: int = 0):
     """Front-to-back cluster visit order per camera [WC, CC] (i32).
 
     Visiting near clusters first tightens best_t early, so the per-tile
     slab test (tmin < best_t) culls far clusters — the BVH-order payoff —
     and the ascending closest-approach order licenses the kernel's
     occlusion early-exit (see _cluster_approach_dist2). Invalid clusters
-    sort to the back (dist = inf, so the early-exit also skips them)."""
+    sort to the back (dist = inf, so the early-exit also skips them).
+    With ``win_div`` > 0 the key becomes (pow2 distance bucket, DMA
+    window) — see band_cluster_bins — and the kernel's early-exit keys
+    on the half-bucket floor."""
     dist = _cluster_approach_dist2(cl_lo, cl_hi, cam_pos)
-    dist = jnp.where(cl_valid[:, None, :] > 0, dist, jnp.inf)
-    order = jnp.argsort(dist, axis=-1).astype(jnp.float32)  # [W, C, CC]
+    if win_div > 0:
+        CCd = cl_valid.shape[1]
+        db = jax.lax.bitcast_convert_type(dist, jnp.int32)
+        win = (jnp.arange(CCd, dtype=jnp.int32) // win_div)[None, None, :]
+        key = (db & jnp.int32(0x7F800000)) | (win << 13)
+        key = jnp.where(
+            cl_valid[:, None, :] > 0, key, jnp.int32(0x7F800000)
+        )
+        order = jnp.argsort(key, axis=-1).astype(jnp.float32)
+    else:
+        dist = jnp.where(cl_valid[:, None, :] > 0, dist, jnp.inf)
+        order = jnp.argsort(dist, axis=-1).astype(jnp.float32)  # [W, C, CC]
     W, C, CC = order.shape
     return order.reshape(W * C, 1, CC)
 
@@ -737,6 +750,7 @@ def _render_kernel(
     tri_ranges: bool = False,
     tri_tie: bool = True,
     win_sort: bool = False,
+    uv_defer: bool = False,
     wpp: int = 1,
     tpp: int = 1,
 ):
@@ -1032,7 +1046,7 @@ def _render_kernel(
             )
             if tex_paged:
                 init = init + (zero,)  # texel density (mip level input)
-            if deferred or defer_attrs:
+            if deferred or (defer_attrs and not uv_defer):
                 init = init + (zero, zero)  # raw winner barycentrics (u, v)
 
             def make_tri_test(read, idx_base, dx=dx, dy=dy, dz=dz,
@@ -1085,6 +1099,13 @@ def _render_kernel(
                             )
                         else:
                             ok = okb & (t < best_t)
+                        if uv_defer:
+                            # Resolve recomputes the winner's (u, v)
+                            # from the VMEM prep rows — no carries.
+                            return (
+                                jnp.where(ok, t, best_t),
+                                jnp.where(ok, gi, best_idx),
+                            ) + tuple(carry[2:])
                         return (
                             jnp.where(ok, t, best_t),
                             jnp.where(ok, gi, best_idx),
@@ -1161,6 +1182,11 @@ def _render_kernel(
                         # Carry only (t, idx, u, v); attributes resolve once
                         # per visited cluster (deferred) or once per tile
                         # (defer_attrs) from the VMEM attr slab.
+                        if uv_defer:
+                            return (
+                                jnp.where(ok, t, best_t),
+                                jnp.where(ok, gi, best_idx),
+                            ) + tuple(carry[2:])
                         return (
                             jnp.where(ok, t, best_t),
                             jnp.where(ok, gi, best_idx),
@@ -1338,9 +1364,15 @@ def _render_kernel(
                             gi_0 = wg0
                         wg = jnp.where(take, gi_j, gi_0 if wg is None else wg)
                         wt = jnp.where(take, t, wt)
-                        wu = jnp.where(take, u, wu)
-                        wv = jnp.where(take, v, wv)
+                        if not uv_defer:
+                            wu = jnp.where(take, u, wu)
+                            wv = jnp.where(take, v, wv)
                         wk = wk | k
+                    if uv_defer:
+                        return (
+                            jnp.where(wk, wt, best_t),
+                            jnp.where(wk, wg, best_idx),
+                        ) + tuple(carry[2:])
                     return (
                         jnp.where(wk, wt, best_t),
                         jnp.where(wk, wg, best_idx),
@@ -2418,11 +2450,15 @@ def _render_kernel(
                 # match no window and keep the zero init, exactly like the
                 # per-triangle merge they replace.
                 bt_, bi_ = out[0], out[1]
-                bu_, bv_ = out[-2], out[-1]
                 shape2 = bi_.shape
-                uc_ = jnp.clip(bu_, 0.0, 1.0)
-                vc_ = jnp.clip(bv_, 0.0, 1.0)
-                acc = list(out[2:-2])
+                if uv_defer:
+                    uc_ = vc_ = None  # recomputed per window below
+                    acc = list(out[2:])
+                else:
+                    bu_, bv_ = out[-2], out[-1]
+                    uc_ = jnp.clip(bu_, 0.0, 1.0)
+                    vc_ = jnp.clip(bv_, 0.0, 1.0)
+                    acc = list(out[2:-2])
                 for w0 in range(0, attr_lanes, _TILE_LANE):
                     changed = (bi_ >= w0) & (bi_ < w0 + _TILE_LANE)
                     lidx = jnp.clip(bi_ - w0, 0, _TILE_LANE - 1)
@@ -2436,6 +2472,26 @@ def _render_kernel(
                             lidx,
                             axis=1,
                         )
+
+                    if uv_defer:
+                        # Recompute the winner's (u, v) from the prep
+                        # rows mirrored at attr rows 24-33 — the exact
+                        # arithmetic the sweep used, so the values are
+                        # bitwise what the dropped carries would hold.
+                        det_w = (
+                            dx * aread(24) + dy * aread(25) + dz * aread(26)
+                        )
+                        inv_w = jnp.where(
+                            jnp.abs(det_w) > _EPS_DET, 1.0 / det_w, 0.0
+                        )
+                        u_w = (
+                            dx * aread(27) + dy * aread(28) + dz * aread(29)
+                        ) * inv_w
+                        v_w = (
+                            dx * aread(30) + dy * aread(31) + dz * aread(32)
+                        ) * inv_w
+                        uc_ = jnp.clip(u_w, 0.0, 1.0)
+                        vc_ = jnp.clip(v_w, 0.0, 1.0)
 
                     nxw = aread(6) + uc_ * aread(9) + vc_ * aread(12)
                     nyw = aread(7) + uc_ * aread(10) + vc_ * aread(13)
@@ -3883,6 +3939,14 @@ def render_core(
         and C == 1
         and _os.environ.get("MRT_PREP_RESIDENT", "1") == "1"
     )
+    # Drop the resident sweep's (u, v) carries: the defer_attrs resolve
+    # recomputes the winner's barycentrics from prep rows mirrored into
+    # the VMEM attr block (rows 24-33) — two fewer selects per triangle
+    # in the inner loop for ~25 extra ops per 128-lane resolve window.
+    # MRT_UV_DEFER=0 restores the carries for A/B.
+    uv_defer = (
+        prep_resident and _os.environ.get("MRT_UV_DEFER", "1") == "1"
+    )
     # Carry-form sweep unrolling (ILP over the per-triangle carry chain);
     # only meaningful for the (t, idx, u, v)-carry sweeps. Measured on the
     # 100k-tri 512² terrain: unroll 1/2/4/8 → 64.0/67.9/71.1/70.1 f/s —
@@ -3942,7 +4006,8 @@ def render_core(
     # Window-coherent bucketed visit order (experiment, off by default):
     # see band_cluster_bins win_div. MRT_WIN_SORT=1 enables.
     win_sort = (
-        deferred and binned and (band_gates or sweep_bands == 1)
+        deferred and (binned or ordered)
+        and (band_gates or sweep_bands == 1)
         and _os.environ.get("MRT_WIN_SORT", "0") == "1"
     )
     # Supertiling: fold wpp worlds × tpp tiles into one grid program to
@@ -4005,6 +4070,11 @@ def render_core(
         )  # [W, 40, S]
         tris = split[:, :_N_GEO_ROWS]  # geometry rows → SMEM block
         attrs = split[:, _N_GEO_ROWS:]  # attr rows → VMEM block
+        if uv_defer:
+            # Mirror the 10 prep rows behind the attrs (rows 24-33) so
+            # the resolve can recompute the winner's (u, v) by lane
+            # gathers instead of carrying them through the sweep.
+            attrs = jnp.concatenate([attrs, split[:, 0:10]], axis=1)
         if s_attr_pad != S:
             attrs = jnp.pad(attrs, ((0, 0), (0, 0), (0, s_attr_pad - S)))
     else:
@@ -4042,7 +4112,8 @@ def render_core(
         memory_space=pltpu.SMEM,
     )
     attr_spec = pl.BlockSpec(
-        (wpp, _N_ATTR_ROWS, s_attr_pad),
+        # uv_defer mirrors the 10 prep rows behind the 24 attr rows.
+        (wpp, _N_ATTR_ROWS + (10 if uv_defer else 0), s_attr_pad),
         world_map,
         memory_space=pltpu.VMEM,
     )
@@ -4117,7 +4188,7 @@ def render_core(
             tile_rps=tile_rps,
             attr_once=_os.environ.get("MRT_ATTR_ONCE", "1") == "1",
             tri_ranges=tri_ranges, tri_tie=tri_tie,
-            win_sort=win_sort,
+            win_sort=win_sort, uv_defer=uv_defer,
             wpp=wpp, tpp=tpp,
         )
         if wpp > 1 or tpp > 1:
@@ -4224,7 +4295,13 @@ def render_core(
             )
             extra_inputs = (cl, bins) + rows_inputs + (cams,) + tex_inputs
         elif ordered:
-            perm = camera_cluster_order(cl_lo, cl_hi, cl_valid, state.camera_pos)
+            perm = camera_cluster_order(
+                cl_lo, cl_hi, cl_valid, state.camera_pos,
+                win_div=(
+                    max(cluster_size, 128) // cluster_size
+                    if win_sort else 0
+                ),
+            )
             if wpp > 1 or tpp > 1:
                 perm = _lane_pad(perm)
             extra_in_specs = (
@@ -4289,6 +4366,7 @@ def render_core(
             tex_paged=tex_paged, n_levels=n_levels,
             prep=prep_resident,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
+            uv_defer=uv_defer,
             wpp=wpp, tpp=tpp,
         )
         attr_specs, attr_inputs = [], ()

@@ -1012,3 +1012,39 @@ def test_parity_window_coherent_order(monkeypatch):
     d = rt_pal(state, scene, height=64, width=256, interpret=True,
                accel="binned")
     np.testing.assert_array_equal(np.asarray(c.rgb), np.asarray(d.rgb))
+
+
+def test_parity_uv_defer_knob(monkeypatch):
+    """MRT_UV_DEFER drops the resident defer_attrs sweep's (u, v)
+    carries; the resolve recomputes the winner's barycentrics from prep
+    rows mirrored in the VMEM attr block with the sweep's exact
+    arithmetic. Both settings must equal each other and the reference —
+    textured so interpolated UVs are observable."""
+    import os
+    import tempfile
+
+    from madrona_renderer_tpu.assets.png import write_png
+    from tests.fixtures import make_checker_png
+    from tests.helpers import quad_uvs
+
+    with tempfile.TemporaryDirectory() as td:
+        tex = os.path.join(td, "checker.png")
+        write_png(tex, make_checker_png())
+        state, scene = build(
+            [quad_xz(half=20.0, y=0.0)],
+            [ImportedInstance(position=[0, 15, 0], rotation=[1, 0, 0, 0],
+                              object_id=0)],
+            [cam_at_origin_looking_plus_y()],
+            uvs=[quad_uvs()], mesh_materials=[0],
+            additional_mats=[AdditionalMaterial(color=[1, 1, 1, 1],
+                                                texture_id=0)],
+            additional_textures=[tex],
+        )
+        ref = rt_ref(state, scene, height=32, width=32)
+        a = rt_pal(state, scene, height=32, width=32, interpret=True)
+        _assert_frames_equal(ref, a)
+        monkeypatch.setenv("MRT_UV_DEFER", "0")
+        b = rt_pal(state, scene, height=32, width=32, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+        np.testing.assert_array_equal(np.asarray(a.depth),
+                                      np.asarray(b.depth))
