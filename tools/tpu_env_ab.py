@@ -12,6 +12,10 @@ off by >>10%).
 Usage:
   python -u tools/tpu_env_ab.py --worlds 32 --grid 224 --res 512 \
       --configs "" "MRT_TILE_RPS=2" "MRT_TILE_RPS=2,MRT_SWEEP_BANDS=8"
+
+--scene wall / headline use bench.py's BASELINE-ladder scene builders
+(wall_render.obj at 128², cube+floor at 64²) instead of the terrain;
+--worlds then defaults to 4096.
 """
 
 from __future__ import annotations
@@ -48,7 +52,10 @@ def _apply(cfg: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--worlds", type=int, default=32)
+    ap.add_argument("--worlds", type=int, default=0,
+                    help="0 = 32 for terrain, 4096 for wall/headline")
+    ap.add_argument("--scene", default="terrain",
+                    choices=["terrain", "wall", "headline"])
     ap.add_argument("--grid", type=int, default=224)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--width", type=int, default=0, help="0 = --res")
@@ -63,6 +70,10 @@ def main():
                     "healthy and slow regimes — see CLAUDE.md)")
     ap.add_argument("--wait-max-min", type=float, default=90.0)
     args = ap.parse_args()
+    if args.worlds == 0:
+        args.worlds = 32 if args.scene == "terrain" else 4096
+    if args.scene != "terrain" and args.res == 512:
+        args.res = 128 if args.scene == "wall" else 64
     width = args.width or args.res
 
     import jax
@@ -79,7 +90,16 @@ def main():
         _apply(cfg)
         cs = os.environ.get("MRT_DMA_CLUSTER", "32")
         if cs not in scenes:
-            scenes[cs] = build_scene(args.worlds, args.grid)
+            if args.scene == "terrain":
+                scenes[cs] = build_scene(args.worlds, args.grid)
+            else:
+                from bench import build as bench_build
+                sc_name = "wall" if args.scene == "wall" else "demo"
+                st0, sc0, _cfg0 = bench_build(
+                    args.worlds, "rt", width, args.res, "pallas",
+                    scene=sc_name,
+                )
+                scenes[cs] = (st0, sc0)
         state0, scene = scenes[cs]
 
         @partial(jax.jit, static_argnames=("n",))
@@ -93,8 +113,10 @@ def main():
                     instance_rot=quat_normalize(
                         quat_multiply(dq, s.instance_rot)),
                 )
-                f = raytrace(s, sc, height=args.res, width=width,
-                             accel=args.accel)
+                f = raytrace(
+                    s, sc, height=args.res, width=width,
+                    accel="auto" if args.scene != "terrain" else args.accel,
+                )
                 return s, f.rgb
             s, stack = jax.lax.scan(body, st, None, length=n)
             return s, jnp.sum(stack[:, 0, ::16].astype(jnp.int32))
