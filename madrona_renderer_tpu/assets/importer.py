@@ -107,6 +107,10 @@ class AssetImporter:
 
         if native.available():
             self._mesh_handlers["obj"] = native.parse_obj_native
+            # Native GLB/glTF fast path (gltf.cpp; cgltf analog) with
+            # transparent fallback to the Python parser on scope gates.
+            self._mesh_handlers["gltf"] = native.parse_gltf_native
+            self._mesh_handlers["glb"] = native.parse_gltf_native
 
     def add_mesh_handler(self, ext: str, fn: Callable[[str], SourceObject]) -> None:
         self._mesh_handlers[ext.lower().lstrip(".")] = fn

@@ -28,6 +28,8 @@ _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_THIS_DIR, "importer.cpp")
 _SRC_ETC1S = os.path.join(_THIS_DIR, "etc1s.cpp")
 _SRC_PYMOD = os.path.join(_THIS_DIR, "pymodule.cpp")
+_SRC_GLTF = os.path.join(_THIS_DIR, "gltf.cpp")
+_HDR_COMMON = os.path.join(_THIS_DIR, "common.h")
 _LIB = os.path.join(_THIS_DIR, f"_mrt_native_{sys.implementation.cache_tag}.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -50,7 +52,7 @@ def _build_ext() -> bool:
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
         f"-I{sysconfig.get_paths()['include']}",
-        _SRC_PYMOD, _SRC, _SRC_ETC1S, "-o", out, "-lz",
+        _SRC_PYMOD, _SRC, _SRC_ETC1S, _SRC_GLTF, "-o", out, "-lz",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=180)
@@ -73,7 +75,7 @@ def load_ext():
         return None
     path = _ext_lib_path()
     try:
-        srcs = (_SRC, _SRC_ETC1S, _SRC_PYMOD)
+        srcs = (_SRC, _SRC_ETC1S, _SRC_PYMOD, _SRC_GLTF, _HDR_COMMON)
         src_mtime = max(os.path.getmtime(s) for s in srcs)
         if not os.path.exists(path) or os.path.getmtime(path) < src_mtime:
             if not _build_ext():
@@ -92,7 +94,7 @@ def load_ext():
 def _build() -> bool:
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        _SRC, _SRC_ETC1S, "-o", _LIB, "-lz",
+        _SRC, _SRC_ETC1S, _SRC_GLTF, "-o", _LIB, "-lz",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -112,7 +114,10 @@ def load() -> Optional[ctypes.CDLL]:
     if os.environ.get("MRT_NATIVE", "1") == "0":
         return None
     try:
-        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_ETC1S))
+        src_mtime = max(
+            os.path.getmtime(_SRC), os.path.getmtime(_SRC_ETC1S),
+            os.path.getmtime(_SRC_GLTF), os.path.getmtime(_HDR_COMMON),
+        )
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
             if not _build():
                 return None
@@ -141,6 +146,16 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.mrt_gltf_parse.restype = ctypes.c_void_p
+    lib.mrt_gltf_parse.argtypes = [ctypes.c_char_p]
+    lib.mrt_gltf_material_image_info.restype = ctypes.c_int
+    lib.mrt_gltf_material_image_info.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.mrt_gltf_material_image.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.mrt_png_size.restype = ctypes.c_int
     lib.mrt_png_size.argtypes = [
@@ -248,6 +263,86 @@ def parse_obj_native(path: str):
                 pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 uv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if uv is not None else None,
                 nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if nrm is not None else None,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            )
+            obj.meshes.append(
+                SourceMesh(positions=pos, uvs=uv, normals=nrm, indices=idx,
+                           material_idx=mi.value)
+            )
+        return obj
+    finally:
+        lib.mrt_obj_free(h)
+
+
+def parse_gltf_native(path: str):
+    """Native glTF/GLB parse → SourceObject, with transparent fallback.
+
+    gltf.cpp mirrors assets/gltf.py's supported scope; on anything it
+    gates (sparse accessors, Draco/meshopt, KTX2/basisu textures,
+    non-PNG images) it reports an error and the pure-Python parser takes
+    over — which either handles it (KTX2 textures) or raises the
+    documented loud NotImplementedError. Missing files raise
+    FileNotFoundError from either tier."""
+    from ..assets.gltf import parse_gltf
+    from ..assets.obj import SourceMaterial, SourceMesh, SourceObject
+
+    lib = load()
+    if lib is None:
+        return parse_gltf(path)
+    h = lib.mrt_gltf_parse(path.encode())
+    if not h:
+        raise MemoryError("gltf_parse failed")
+    try:
+        err = lib.mrt_obj_error(h)
+        if err:
+            msg = err.decode()
+            if msg.startswith("cannot open"):
+                raise FileNotFoundError(msg)
+            # Scope gate or malformed file: defer to the Python parser
+            # (the semantic authority) for the real parse or the loud
+            # exception.
+            return parse_gltf(path)
+        obj = SourceObject()
+        for i in range(lib.mrt_obj_num_materials(h)):
+            color = (ctypes.c_float * 4)()
+            rough = ctypes.c_float()
+            metal = ctypes.c_float()
+            buf = ctypes.create_string_buffer(1024)
+            lib.mrt_obj_material(h, i, color, ctypes.byref(rough),
+                                 ctypes.byref(metal), buf, 1024)
+            w = ctypes.c_int()
+            hh = ctypes.c_int()
+            img = None
+            if lib.mrt_gltf_material_image_info(
+                h, i, ctypes.byref(w), ctypes.byref(hh)
+            ):
+                img = np.zeros((hh.value, w.value, 4), np.uint8)
+                lib.mrt_gltf_material_image(
+                    h, i, img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                )
+            obj.materials.append(
+                SourceMaterial(
+                    color=tuple(color),
+                    texture_path=buf.value.decode() or None,
+                    texture_image=img,
+                    roughness=rough.value, metalness=metal.value,
+                )
+            )
+        for i in range(lib.mrt_obj_num_meshes(h)):
+            nv = ctypes.c_int(); ni = ctypes.c_int(); mi = ctypes.c_int()
+            huv = ctypes.c_int(); hn = ctypes.c_int()
+            lib.mrt_obj_mesh_info(h, i, nv, ni, mi, huv, hn)
+            pos = np.zeros((nv.value, 3), np.float32)
+            uv = np.zeros((nv.value, 2), np.float32) if huv.value else None
+            nrm = np.zeros((nv.value, 3), np.float32) if hn.value else None
+            idx = np.zeros((ni.value,), np.uint32)
+            lib.mrt_obj_mesh_data(
+                h, i,
+                pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                uv.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                if uv is not None else None,
+                nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                if nrm is not None else None,
                 idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             )
             obj.meshes.append(

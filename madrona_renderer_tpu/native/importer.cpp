@@ -22,6 +22,8 @@
 
 #include <zlib.h>
 
+#include "common.h"
+
 namespace {
 
 // ---------------------------------------------------------------- OBJ ----
@@ -42,29 +44,7 @@ struct CornerHash {
     }
 };
 
-struct Material {
-    std::string name;
-    float color[4] = {1.f, 1.f, 1.f, 1.f};
-    float roughness = 0.8f;
-    float metalness = 0.2f;
-    std::string tex_path;
-};
-
-struct Mesh {
-    std::vector<float> positions;  // 3 per vertex
-    std::vector<float> uvs;        // 2 per vertex (empty if none)
-    std::vector<float> normals;    // 3 per vertex (empty if none)
-    std::vector<uint32_t> indices;
-    int32_t material_idx = -1;
-    bool has_uv = false;
-    bool has_normal = false;
-};
-
-struct ObjFile {
-    std::vector<Mesh> meshes;
-    std::vector<Material> materials;
-    std::string error;
-};
+// Material/Mesh/ObjFile live in common.h (shared with gltf.cpp).
 
 std::string dir_of(const std::string &path) {
     size_t pos = path.find_last_of('/');

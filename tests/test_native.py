@@ -174,3 +174,90 @@ def test_adam7_interlaced_parity(shape, rng):
     expect = decode_png(encode_png(img))
     np.testing.assert_array_equal(decode_png(data), expect)
     np.testing.assert_array_equal(native.decode_png_native(data), expect)
+
+
+def _glb_compare(pp, nn):
+    assert len(pp.meshes) == len(nn.meshes)
+    assert len(pp.materials) == len(nn.materials)
+    for a, b in zip(pp.meshes, nn.meshes):
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        assert (a.uvs is None) == (b.uvs is None)
+        if a.uvs is not None:
+            np.testing.assert_array_equal(a.uvs, b.uvs)
+        assert (a.normals is None) == (b.normals is None)
+        if a.normals is not None:
+            # np.linalg.inv (LU) vs the native adjugate inverse differ by
+            # double-ulps before the single f32 round.
+            np.testing.assert_allclose(a.normals, b.normals, atol=1e-6)
+        assert a.material_idx == b.material_idx
+    for a, b in zip(pp.materials, nn.materials):
+        assert tuple(np.float32(a.color)) == tuple(np.float32(b.color))
+        assert abs(a.roughness - b.roughness) < 1e-7
+        assert abs(a.metalness - b.metalness) < 1e-7
+        assert (a.texture_image is None) == (b.texture_image is None)
+        if a.texture_image is not None:
+            np.testing.assert_array_equal(a.texture_image, b.texture_image)
+
+
+def test_gltf_native_parity(tmp_path, rng):
+    """The C++ GLB parser (gltf.cpp — cgltf analog) matches the Python
+    parser on base quads, TRS + matrix node hierarchies, embedded PNG
+    textures, normalized/interleaved accessors, and falls back to the
+    Python tier's loud gates on sparse accessors."""
+    from madrona_renderer_tpu.assets.gltf import parse_gltf
+    from tests.test_gltf import _accessor_blob, _base_gltf, _make_glb
+
+    blob, views, accessors, _pos, _uvs = _accessor_blob()
+    g = _base_gltf(views, accessors)
+    p = str(tmp_path / "q.glb")
+    with open(p, "wb") as f:
+        f.write(_make_glb(g, blob))
+    _glb_compare(parse_gltf(p), native.parse_gltf_native(p))
+
+    g = _base_gltf(views, accessors)
+    g["nodes"] = [
+        {"children": [1],
+         "matrix": [1, 0, 0, 0, 0, 0, 1, 0, 0, -1, 0, 0, 5, 6, 7, 1]},
+        {"mesh": 0, "translation": [1, 2, 3],
+         "rotation": [0.0, 0.0, 0.3826834, 0.9238795],
+         "scale": [2, 1, 0.5]},
+    ]
+    g["scenes"] = [{"nodes": [0]}]
+    p2 = str(tmp_path / "t.glb")
+    with open(p2, "wb") as f:
+        f.write(_make_glb(g, blob))
+    _glb_compare(parse_gltf(p2), native.parse_gltf_native(p2))
+
+    img = rng.integers(0, 255, size=(8, 8, 4), dtype=np.uint8)
+    png = encode_png(np.asarray(img))
+    pad = -len(blob) % 4
+    blob2 = blob + b"\0" * pad + png
+    g = _base_gltf(views, accessors)
+    g["bufferViews"] = views + [
+        {"buffer": 0, "byteOffset": len(blob) + pad, "byteLength": len(png)}
+    ]
+    g["buffers"] = [{"byteLength": len(blob2)}]
+    g["images"] = [{"bufferView": 4, "mimeType": "image/png"}]
+    g["textures"] = [{"source": 0}]
+    g["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {
+        "index": 0
+    }
+    p3 = str(tmp_path / "tex.glb")
+    with open(p3, "wb") as f:
+        f.write(_make_glb(g, blob2))
+    _glb_compare(parse_gltf(p3), native.parse_gltf_native(p3))
+
+    g = _base_gltf(views, accessors)
+    g["accessors"] = [dict(a) for a in accessors]
+    g["accessors"][0]["sparse"] = {"count": 1}
+    p4 = str(tmp_path / "s.glb")
+    with open(p4, "wb") as f:
+        f.write(_make_glb(g, blob))
+    with pytest.raises(NotImplementedError):
+        native.parse_gltf_native(p4)
+
+
+def test_gltf_native_missing_file():
+    with pytest.raises(FileNotFoundError):
+        native.parse_gltf_native("/nonexistent/file.glb")
