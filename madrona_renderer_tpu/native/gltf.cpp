@@ -537,8 +537,11 @@ struct GltfParser {
         }
         fclose(f);
 
-        const char *json = nullptr;
-        size_t json_len = 0;
+        // JSON text is copied into a NUL-terminated string: strtod in
+        // the parser must never scan past the chunk (a number at the
+        // chunk boundary would otherwise read into the BIN chunk or
+        // past the file buffer).
+        std::string json_s;
         if (n >= 12 && memcmp(data.data(), "glTF", 4) == 0) {
             uint32_t version, total;
             memcpy(&version, data.data() + 4, 4);
@@ -553,20 +556,18 @@ struct GltfParser {
                 size_t avail = data.size() - body;
                 size_t take = clen < avail ? clen : avail;
                 if (ctype == 0x4E4F534A) {  // 'JSON'
-                    json = (const char *)data.data() + body;
-                    json_len = take;
+                    json_s.assign((const char *)data.data() + body, take);
                 } else if (ctype == 0x004E4942) {  // 'BIN\0'
                     bufs.glb_bin.assign(data.begin() + body,
                                         data.begin() + body + take);
                 }
                 pos = body + clen;
             }
-            if (!json) return fail("GLB missing JSON chunk");
+            if (json_s.empty()) return fail("GLB missing JSON chunk");
         } else {
-            json = (const char *)data.data();
-            json_len = data.size();
+            json_s.assign((const char *)data.data(), data.size());
         }
-        JParser jp(json, json_len);
+        JParser jp(json_s.c_str(), json_s.size());
         if (!jp.parse_value(gltf, 0)) return fail("JSON: " + jp.err);
         bufs.gltf = &gltf;
 
