@@ -293,7 +293,9 @@ def camera_cluster_order(cl_lo, cl_hi, cl_valid, cam_pos, win_div: int = 0):
     if win_div > 0:
         CCd = cl_valid.shape[1]
         db = jax.lax.bitcast_convert_type(dist, jnp.int32)
-        win = (jnp.arange(CCd, dtype=jnp.int32) // win_div)[None, None, :]
+        win = jnp.minimum(
+            jnp.arange(CCd, dtype=jnp.int32) // win_div, 1023
+        )[None, None, :]  # 10-bit clamp — see band_cluster_bins
         key = (db & jnp.int32(0x7F800000)) | (win << 13)
         key = jnp.where(
             cl_valid[:, None, :] > 0, key, jnp.int32(0x7F800000)
@@ -493,8 +495,12 @@ def band_cluster_bins(
         # true distance² is at least this bucket's floor ≥ app2/2, so
         # stopping stays conservative.
         db = jax.lax.bitcast_convert_type(dist, jnp.int32)
-        win = (
-            jnp.arange(CC, dtype=jnp.int32) // win_div
+        # Window ids clamp to 10 bits: past 1024 windows the id would
+        # spill into the exponent field and break the bucket
+        # monotonicity the kernel's early-exit relies on (coherence
+        # merely degrades for the clamped tail).
+        win = jnp.minimum(
+            jnp.arange(CC, dtype=jnp.int32) // win_div, 1023
         )[None, None, :]
         key = (db & jnp.int32(0x7F800000)) | (win << 13)
         key = jnp.where(member, key[:, :, None, :], jnp.int32(0x7F800000))
