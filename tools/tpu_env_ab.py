@@ -36,7 +36,8 @@ _KNOBS = (
     "MRT_SWEEP_BANDS", "MRT_BAND_GATES", "MRT_TILE_RPS", "MRT_DMA_CLUSTER",
     "MRT_SUPERTILE", "MRT_SWEEP_UNROLL", "MRT_PREP_STREAM", "MRT_ORDERED_MIN",
     "MRT_DEFERRED_MXU", "MRT_TILE_SUB_MAX", "MRT_ATTR_ONCE",
-    "MRT_PLANE_BINS",
+    "MRT_PLANE_BINS", "MRT_TRI_RANGES", "MRT_TRI_TIE", "MRT_WIN_SORT",
+    "MRT_UV_DEFER",
 )
 
 
