@@ -274,6 +274,43 @@ def parse_obj_native(path: str):
         lib.mrt_obj_free(h)
 
 
+def _ext_parse_gltf(path: str):
+    from ..assets.obj import SourceMaterial, SourceMesh, SourceObject
+
+    mats, meshes = _ext.gltf_parse(path)
+    obj = SourceObject()
+    for m in mats:
+        img = None
+        if "texture_image" in m:
+            w, h, rgba = m["texture_image"]
+            img = np.frombuffer(rgba, np.uint8).reshape(h, w, 4).copy()
+        obj.materials.append(
+            SourceMaterial(
+                color=tuple(m["color"]), texture_path=m["texture_path"],
+                texture_image=img,
+                roughness=m["roughness"], metalness=m["metalness"],
+            )
+        )
+    for m in meshes:
+        nv = m["num_vertices"]
+        obj.meshes.append(
+            SourceMesh(
+                positions=np.frombuffer(m["positions"], np.float32).reshape(nv, 3),
+                uvs=(
+                    np.frombuffer(m["uvs"], np.float32).reshape(nv, 2)
+                    if m["uvs"] is not None else None
+                ),
+                normals=(
+                    np.frombuffer(m["normals"], np.float32).reshape(nv, 3)
+                    if m["normals"] is not None else None
+                ),
+                indices=np.frombuffer(m["indices"], np.uint32),
+                material_idx=m["material_idx"],
+            )
+        )
+    return obj
+
+
 def parse_gltf_native(path: str):
     """Native glTF/GLB parse → SourceObject, with transparent fallback.
 
@@ -286,6 +323,11 @@ def parse_gltf_native(path: str):
     from ..assets.gltf import parse_gltf
     from ..assets.obj import SourceMaterial, SourceMesh, SourceObject
 
+    if load_ext() is not None:
+        try:
+            return _ext_parse_gltf(path)
+        except ValueError:
+            return parse_gltf(path)  # scope gate → Python tier
     lib = load()
     if lib is None:
         return parse_gltf(path)

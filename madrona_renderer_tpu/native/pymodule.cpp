@@ -40,9 +40,14 @@ int mrt_basislz_decode(const uint8_t *sgd, long sgd_len, const uint8_t *level,
                        long level_len, int width, int height,
                        uint8_t *out_rgba);
 const char *mrt_basislz_error();
+void *mrt_gltf_parse(const char *path);
+int mrt_gltf_material_image_info(void *h, int i, int *w, int *hh);
+void mrt_gltf_material_image(void *h, int i, uint8_t *rgba);
 }
 
 namespace {
+
+PyObject *build_parse_result(void *h, bool with_images);
 
 PyObject *py_obj_parse(PyObject *, PyObject *args) {
     const char *path;
@@ -57,6 +62,30 @@ PyObject *py_obj_parse(PyObject *, PyObject *args) {
         mrt_obj_free(h);
         return nullptr;
     }
+    return build_parse_result(h, false);
+}
+
+// GLB/glTF through the same handle layout; scope gates surface as
+// ValueError so the Python wrapper can fall back to the pure parser.
+PyObject *py_gltf_parse(PyObject *, PyObject *args) {
+    const char *path;
+    if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
+    void *h = mrt_gltf_parse(path);
+    if (!h) return PyErr_NoMemory();
+    const char *err = mrt_obj_error(h);
+    if (err) {
+        bool missing = strncmp(err, "cannot open", 11) == 0;
+        PyErr_SetString(
+            missing ? PyExc_FileNotFoundError : PyExc_ValueError, err);
+        mrt_obj_free(h);
+        return nullptr;
+    }
+    return build_parse_result(h, true);
+}
+
+// Marshal the parsed handle to (materials, meshes) plain dicts and free
+// it. with_images adds decoded embedded textures (GLB path).
+PyObject *build_parse_result(void *h, bool with_images) {
     PyObject *mats = PyList_New(0);
     PyObject *meshes = PyList_New(0);
     // Every allocation / append below is checked: on failure fall through
@@ -73,6 +102,23 @@ PyObject *py_obj_parse(PyObject *, PyObject *args) {
                 color[2], color[3], "roughness", rough, "metalness", metal,
                 "texture_path", tex[0] ? tex : nullptr);
             if (!m) goto fail;
+            if (with_images) {
+                int iw = 0, ih = 0;
+                if (mrt_gltf_material_image_info(h, i, &iw, &ih)) {
+                    PyObject *b = PyBytes_FromStringAndSize(
+                        nullptr, (Py_ssize_t)iw * ih * 4);
+                    if (!b) { Py_DECREF(m); goto fail; }
+                    mrt_gltf_material_image(
+                        h, i, (uint8_t *)PyBytes_AS_STRING(b));
+                    PyObject *info = Py_BuildValue("(iiO)", iw, ih, b);
+                    Py_DECREF(b);
+                    int rc2 = info ? PyDict_SetItemString(
+                                         m, "texture_image", info)
+                                   : -1;
+                    Py_XDECREF(info);
+                    if (rc2 != 0) { Py_DECREF(m); goto fail; }
+                }
+            }
             int rc = PyList_Append(mats, m);
             Py_DECREF(m);
             if (rc != 0) goto fail;
@@ -188,6 +234,10 @@ PyMethodDef kMethods[] = {
     {"obj_parse", py_obj_parse, METH_VARARGS,
      "Parse an OBJ(+MTL) file -> (materials, meshes) of plain dicts; "
      "vertex data as float32/uint32 bytes."},
+    {"gltf_parse", py_gltf_parse, METH_VARARGS,
+     "Parse a GLB/glTF file -> (materials, meshes); embedded textures as "
+     "(w, h, rgba8 bytes) under 'texture_image'. Raises ValueError on "
+     "scope gates (caller falls back to the Python parser)."},
     {"png_decode", py_png_decode, METH_VARARGS,
      "Decode PNG bytes -> (width, height, rgba8 bytes)."},
     {"basislz_decode", py_basislz_decode, METH_VARARGS,

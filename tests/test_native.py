@@ -261,3 +261,35 @@ def test_gltf_native_parity(tmp_path, rng):
 def test_gltf_native_missing_file():
     with pytest.raises(FileNotFoundError):
         native.parse_gltf_native("/nonexistent/file.glb")
+
+
+@ext_only
+def test_ext_gltf_matches_ctypes_and_python(tmp_path, rng, monkeypatch):
+    """GLB through the extension tier == ctypes tier == Python parser,
+    including embedded PNG textures."""
+    from madrona_renderer_tpu.assets.gltf import parse_gltf
+    from tests.test_gltf import _accessor_blob, _base_gltf, _make_glb
+
+    blob, views, accessors, _pos, _uvs = _accessor_blob()
+    img = rng.integers(0, 255, size=(8, 8, 4), dtype=np.uint8)
+    png = encode_png(np.asarray(img))
+    pad = -len(blob) % 4
+    blob2 = blob + b"\0" * pad + png
+    g = _base_gltf(views, accessors)
+    g["bufferViews"] = views + [
+        {"buffer": 0, "byteOffset": len(blob) + pad, "byteLength": len(png)}
+    ]
+    g["buffers"] = [{"byteLength": len(blob2)}]
+    g["images"] = [{"bufferView": 4, "mimeType": "image/png"}]
+    g["textures"] = [{"source": 0}]
+    g["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {
+        "index": 0
+    }
+    p = str(tmp_path / "tex.glb")
+    with open(p, "wb") as f:
+        f.write(_make_glb(g, blob2))
+    via_ext = native._ext_parse_gltf(p)
+    _glb_compare(parse_gltf(p), via_ext)
+    monkeypatch.setattr(native, "_ext", None)
+    monkeypatch.setattr(native, "_ext_tried", True)
+    _glb_compare(via_ext, native.parse_gltf_native(p))
