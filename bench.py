@@ -313,6 +313,121 @@ def run_baseline_suite(impl: str) -> dict:
     return out
 
 
+def _tpu_backend() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _wait_for_healthy_tpu() -> dict | None:
+    """Gate the driver artifact's timed runs on tunnel health.
+
+    The single-chip axon tunnel oscillates between a healthy regime and a
+    stable-but-slow one that can persist for hours; in the slow regime
+    *all* terrain configs read ~identical ms (kernel-work changes of 3×
+    are invisible) and small-config reads can be garbage in either
+    direction, so numbers measured there are meaningless (CLAUDE.md,
+    docs/benchmarks.md protocol). Before timing, measure the known
+    anchor row (32w × 224-grid terrain @ 512², healthy ≈ 86–95 f/s,
+    degraded ≈ 50.7) and poll — inside this one long-lived client —
+    until it recovers or the budget runs out. Returns an annotation dict
+    for the artifact (never raises; None = gate skipped).
+
+    Knobs: MRT_BENCH_HEALTH=0 disables; MRT_BENCH_HEALTHY_FPS (default
+    75) is the recovery bar; MRT_BENCH_WAIT_MIN (default 25) bounds the
+    wait so a driver-side timeout can't kill us mid-execution (a killed
+    client wedges the tunnel for the *next* session too).
+    """
+    import os
+    import sys
+
+    if os.environ.get("MRT_BENCH_HEALTH", "1") == "0" or _smoke():
+        return None
+    if not _tpu_backend():
+        return None
+    bar = float(os.environ.get("MRT_BENCH_HEALTHY_FPS", "75"))
+    budget_s = 60.0 * float(os.environ.get("MRT_BENCH_WAIT_MIN", "25"))
+
+    try:
+        import dataclasses
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tools.tpu_binned_bench import build_scene as terrain_scene
+        from madrona_renderer_tpu.ops.quat import quat_multiply, quat_normalize
+        from madrona_renderer_tpu.ops.raytrace_pallas import raytrace
+
+        state0, scene = terrain_scene(32, 224)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def rollout(st, n):
+            def body(s, _):
+                half = jnp.float32(0.01)
+                dq = jnp.array(
+                    [jnp.cos(half), 0.0, 0.0, jnp.sin(half)], jnp.float32
+                )
+                s = dataclasses.replace(
+                    s,
+                    time=s.time + 0.05,
+                    instance_rot=quat_normalize(
+                        quat_multiply(dq, s.instance_rot)
+                    ),
+                )
+                f = raytrace(s, scene, height=512, width=512, accel="binned")
+                return s, jnp.sum(f.rgb[..., 0].astype(jnp.int32))
+
+            st, cks = jax.lax.scan(body, st, None, length=n)
+            return st, jnp.sum(cks)
+
+        def probe() -> float:
+            st, ck = rollout(state0, 2)  # warm both trace sizes
+            float(np.asarray(ck))
+            st, ck = rollout(st, 6)
+            float(np.asarray(ck))
+            t0 = time.perf_counter()
+            st, ck = rollout(st, 2)
+            float(np.asarray(ck))
+            t_small = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            st, ck = rollout(st, 6)
+            float(np.asarray(ck))
+            t_big = time.perf_counter() - t0
+            per_step = (t_big - t_small) / 4
+            if per_step <= 0:
+                per_step = t_big / 6
+            return 32.0 / per_step
+
+        t_start = time.perf_counter()
+        fps = probe()
+        waited = 0.0
+        while fps < bar and (time.perf_counter() - t_start) < budget_s:
+            print(
+                f"bench: anchor {fps:.1f} f/s < {bar:.0f} (slow tunnel "
+                "regime) — waiting for recovery...",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(120)
+            fps = probe()
+            waited = time.perf_counter() - t_start
+        return {
+            "anchor_fps": round(fps, 1),
+            "healthy": fps >= bar,
+            "waited_s": round(waited, 1),
+        }
+    except Exception:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        return {"error": "health probe failed"}
+
+
 def main() -> None:
     # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
     # explicitly so `JAX_PLATFORMS=cpu python bench.py` (CI smoke) really
@@ -344,6 +459,8 @@ def main() -> None:
         and args.width == 64 and args.height == 64
     )
 
+    health = _wait_for_healthy_tpu() if default_invocation else None
+
     if args.all:
         for name, result in run_baseline_suite(args.impl).items():
             print(json.dumps({"metric": name, "unit": "frames/sec", **result}))
@@ -370,6 +487,11 @@ def main() -> None:
         # BASELINE ladder inside the one parsed JSON line so regressions in
         # the non-headline configs are visible per round (VERDICT r1 #9).
         record["configs"] = run_baseline_suite(args.impl)
+    if health is not None:
+        # Tunnel-health annotation: healthy=false marks the whole artifact
+        # as measured in the slow regime (numbers there are unreliable in
+        # both directions — see docs/benchmarks.md protocol).
+        record["tpu_health"] = health
     print(json.dumps(record))
 
 
