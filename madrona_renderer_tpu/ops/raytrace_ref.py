@@ -507,16 +507,28 @@ def raytrace(
     chunk: int = 16,
     texture_filter: str = "nearest",
     shadows: bool = False,
+    watertight: bool | None = None,
 ) -> Frames:
     """Render every (world, camera) view. Returns padded Frames
     [W, C, H, Wd, ...]; invalid camera slots render black/0/-1.
     ``shadows=True`` traces one any-hit shadow ray per (pixel, light) —
-    a beyond-reference feature (the reference's lambert is unshadowed)."""
+    a beyond-reference feature (the reference's lambert is unshadowed).
+    ``watertight=True`` (default: env MRT_WATERTIGHT=1) swaps in the
+    Woop et al. sheared-edge-function intersector (ops/watertight.py) —
+    crack-free seams instead of ε-slack edges; jnp path only."""
+    import os
+
+    if watertight is None:
+        watertight = os.environ.get("MRT_WATERTIGHT", "0") == "1"
     soup = build_world_soup(state, scene)
     eff_fov = jnp.where(state.camera_fov > 0, state.camera_fov, fov_y_degrees)
     eff_near = jnp.where(state.camera_znear > 0, state.camera_znear, near)
     dirs = camera_ray_dirs(state.camera_rot, height, width, eff_fov)
-    t, idx, hit = intersect_bruteforce(
+    if watertight:
+        from .watertight import intersect_watertight as _intersect
+    else:
+        _intersect = intersect_bruteforce
+    t, idx, hit = _intersect(
         soup, state.camera_pos, dirs, eff_near, jnp.full_like(eff_near, far),
         chunk=chunk,
     )
