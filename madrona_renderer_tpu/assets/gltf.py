@@ -9,8 +9,10 @@ Scope: meshes (POSITION / NORMAL / TEXCOORD_0 / indices), node hierarchy
 transforms baked into vertices (default scene), pbrMetallicRoughness
 materials (baseColorFactor, baseColorTexture, roughnessFactor,
 metallicFactor), PNG images (embedded in GLB/bufferViews, data: URIs, or
-external files). Unsupported-but-gated: Draco/meshopt compression, sparse
-accessors, non-PNG embedded images.
+external files), sparse accessors (§3.6.2.3 substitution, applied before
+normalization). Unsupported-but-gated: Draco/meshopt compression, non-PNG
+embedded images. (The native C++ tier additionally gates sparse accessors
+and falls back to this parser for them.)
 """
 
 from __future__ import annotations
@@ -87,28 +89,49 @@ class _Buffers:
 
     def accessor(self, idx: int) -> np.ndarray:
         acc = self.gltf["accessors"][idx]
-        if "sparse" in acc:
-            raise NotImplementedError("glTF sparse accessors not supported")
         dtype = _COMPONENT_DTYPES[acc["componentType"]]
         ncomp = _TYPE_COUNTS[acc["type"]]
         count = acc["count"]
         if "bufferView" not in acc:
-            return np.zeros((count, ncomp), dtype)
-        view = self.gltf["bufferViews"][acc["bufferView"]]
-        raw = self.buffer(view.get("buffer", 0))
-        base = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
-        itemsize = np.dtype(dtype).itemsize
-        stride = view.get("byteStride") or ncomp * itemsize
-        if stride == ncomp * itemsize:
-            out = np.frombuffer(raw, dtype, count=count * ncomp, offset=base)
-            out = out.reshape(count, ncomp).copy()
+            out = np.zeros((count, ncomp), dtype)
         else:
-            # Strided (interleaved) layout.
-            out = np.empty((count, ncomp), dtype)
-            for k in range(count):
-                out[k] = np.frombuffer(
-                    raw, dtype, count=ncomp, offset=base + k * stride
-                )
+            view = self.gltf["bufferViews"][acc["bufferView"]]
+            raw = self.buffer(view.get("buffer", 0))
+            base = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+            itemsize = np.dtype(dtype).itemsize
+            stride = view.get("byteStride") or ncomp * itemsize
+            if stride == ncomp * itemsize:
+                out = np.frombuffer(raw, dtype, count=count * ncomp, offset=base)
+                out = out.reshape(count, ncomp).copy()
+            else:
+                # Strided (interleaved) layout.
+                out = np.empty((count, ncomp), dtype)
+                for k in range(count):
+                    out[k] = np.frombuffer(
+                        raw, dtype, count=ncomp, offset=base + k * stride
+                    )
+        if "sparse" in acc:
+            # Sparse substitution (glTF 2.0 §3.6.2.3): the base (or a
+            # zero-filled array when bufferView is absent) is patched at
+            # `indices` with `values`; both sub-views are tightly packed.
+            # Applied BEFORE normalization — values share the accessor's
+            # componentType, so they rescale together with the base.
+            sp = acc["sparse"]
+            n = sp["count"]
+            ispec = sp["indices"]
+            idt = _COMPONENT_DTYPES[ispec["componentType"]]
+            indices = np.frombuffer(
+                self.view_bytes(ispec["bufferView"]), idt, count=n,
+                offset=ispec.get("byteOffset", 0),
+            ).astype(np.int64)
+            if n and (indices.max() >= count or indices.min() < 0):
+                raise ValueError("glTF sparse accessor index out of range")
+            vspec = sp["values"]
+            values = np.frombuffer(
+                self.view_bytes(vspec["bufferView"]), dtype, count=n * ncomp,
+                offset=vspec.get("byteOffset", 0),
+            ).reshape(n, ncomp)
+            out[indices] = values
         if acc.get("normalized"):
             # KHR-normalized integer attributes rescale to [0,1] / [-1,1]
             # (glTF 2.0 §3.6.2.2).

@@ -182,14 +182,49 @@ def test_gltf_renders_end_to_end(tmp_path):
     assert rgb[0][hits][:, 2].mean() > rgb[0][hits][:, 0].mean()
 
 
-def test_sparse_accessor_rejected(tmp_path):
-    blob, views, accessors, _, _ = _accessor_blob()
-    accessors[0]["sparse"] = {"count": 1}
+def test_sparse_accessor_substitution(tmp_path):
+    """glTF 2.0 §3.6.2.3: sparse patch over a dense POSITION base."""
+    blob, views, accessors, positions, _ = _accessor_blob()
+    sp_indices = np.array([1, 3], np.uint16)
+    sp_values = np.array([[9.0, 9.0, 9.0], [-5.0, 0.5, 2.0]], np.float32)
+    base = len(blob)
+    blob = blob + sp_indices.tobytes() + sp_values.tobytes()
+    views = views + [
+        {"buffer": 0, "byteOffset": base, "byteLength": 4},
+        {"buffer": 0, "byteOffset": base + 4, "byteLength": 24},
+    ]
+    accessors[0]["sparse"] = {
+        "count": 2,
+        "indices": {"bufferView": 4, "componentType": 5123},
+        "values": {"bufferView": 5},
+    }
     gltf = _base_gltf(views, accessors)
     path = str(tmp_path / "sparse.glb")
     with open(path, "wb") as f:
         f.write(_make_glb(gltf, blob))
-    with pytest.raises(NotImplementedError, match="sparse"):
+    obj = parse_gltf(path)
+    want = positions.copy()
+    want[sp_indices] = sp_values
+    np.testing.assert_allclose(obj.meshes[0].positions, want)
+
+
+def test_sparse_accessor_index_out_of_range(tmp_path):
+    blob, views, accessors, _, _ = _accessor_blob()
+    base = len(blob)
+    blob = blob + np.array([7], np.uint16).tobytes() + np.zeros(3, np.float32).tobytes()
+    views = views + [
+        {"buffer": 0, "byteOffset": base, "byteLength": 2},
+        {"buffer": 0, "byteOffset": base + 2, "byteLength": 12},
+    ]
+    accessors[0]["sparse"] = {
+        "count": 1,
+        "indices": {"bufferView": 4, "componentType": 5123},
+        "values": {"bufferView": 5},
+    }
+    path = str(tmp_path / "sparse_oob.glb")
+    with open(path, "wb") as f:
+        f.write(_make_glb(_base_gltf(views, accessors), blob))
+    with pytest.raises(ValueError, match="sparse"):
         parse_gltf(path)
 
 
