@@ -8,10 +8,11 @@ capability parity with the engine layer, SURVEY.md §2.2 importer row).
 Scope: meshes (POSITION / NORMAL / TEXCOORD_0 / indices), node hierarchy
 transforms baked into vertices (default scene), pbrMetallicRoughness
 materials (baseColorFactor, baseColorTexture, roughnessFactor,
-metallicFactor), PNG images (embedded in GLB/bufferViews, data: URIs, or
-external files), sparse accessors (§3.6.2.3 substitution, applied before
-normalization). Unsupported-but-gated: Draco/meshopt compression, non-PNG
-embedded images. (The native C++ tier additionally gates sparse accessors
+metallicFactor), PNG/KTX2 images and — via the Pillow tier
+(assets/pil_tier.py) — JPEG and friends (embedded in GLB/bufferViews,
+data: URIs, or external files), sparse accessors (§3.6.2.3 substitution,
+applied before normalization). Unsupported-but-gated: Draco/meshopt
+compression. (The native C++ tier additionally gates sparse accessors
 and falls back to this parser for them.)
 """
 
@@ -206,9 +207,18 @@ def parse_gltf(path: str) -> SourceObject:
 
             image_cache[img_idx] = decode_ktx2(raw)
         else:
-            raise NotImplementedError(
-                "glTF embedded images: only PNG and KTX2 payloads supported"
-            )
+            # JPEG (core glTF) and the long tail via the Pillow tier;
+            # loud NotImplementedError if Pillow is absent.
+            from .pil_tier import decode_pil
+
+            try:
+                image_cache[img_idx] = decode_pil(raw)
+            except NotImplementedError:
+                raise
+            except Exception as e:
+                raise ValueError(
+                    f"glTF embedded image {img_idx}: unrecognized format"
+                ) from e
         return image_cache[img_idx]
 
     for mi, mat in enumerate(gltf.get("materials", [])):

@@ -73,6 +73,13 @@ class ImageImporter:
 
         if native.available():
             self._handlers["png"] = native.decode_png_native
+        # Pillow tier for the formats the self-contained decoders don't
+        # cover (JPEG is core glTF — see assets/pil_tier.py).
+        from .pil_tier import decode_pil, pil_available
+
+        if pil_available():
+            for ext in ("jpg", "jpeg", "bmp", "tga", "webp"):
+                self._handlers[ext] = decode_pil
 
     def add_handler(self, ext: str, fn: Callable[[bytes], np.ndarray]) -> None:
         self._handlers[ext.lower().lstrip(".")] = fn
