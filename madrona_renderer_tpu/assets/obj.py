@@ -195,6 +195,12 @@ def parse_obj(path: str) -> SourceObject:
                 vn_list.append(c[2])
             indices[ci] = j
         v_idx = np.asarray(v_list, np.int64)
+        # Loud range check (the numpy gather would only catch indices past
+        # the END — negative resolved indices from an over-deep relative
+        # reference would silently wrap): both parser tiers raise
+        # ValueError on out-of-range face indices.
+        if len(v_idx) and (v_idx.min() < 0 or v_idx.max() >= len(pos_arr)):
+            raise ValueError(f"face vertex index out of range in {path}")
         has_uv = any(i >= 0 for i in vt_list)
         has_nrm = any(i >= 0 for i in vn_list)
         mesh_pos = pos_arr[v_idx]

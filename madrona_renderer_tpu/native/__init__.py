@@ -198,7 +198,7 @@ def _ext_parse_obj(path: str):
         nv = m["num_vertices"]
         obj.meshes.append(
             SourceMesh(
-                positions=np.frombuffer(m["positions"], np.float32).reshape(nv, 3),
+                positions=np.frombuffer(m["positions"] or b"", np.float32).reshape(nv, 3),
                 uvs=(
                     np.frombuffer(m["uvs"], np.float32).reshape(nv, 2)
                     if m["uvs"] is not None else None
@@ -207,7 +207,7 @@ def _ext_parse_obj(path: str):
                     np.frombuffer(m["normals"], np.float32).reshape(nv, 3)
                     if m["normals"] is not None else None
                 ),
-                indices=np.frombuffer(m["indices"], np.uint32),
+                indices=np.frombuffer(m["indices"] or b"", np.uint32),
                 material_idx=m["material_idx"],
             )
         )
@@ -295,7 +295,7 @@ def _ext_parse_gltf(path: str):
         nv = m["num_vertices"]
         obj.meshes.append(
             SourceMesh(
-                positions=np.frombuffer(m["positions"], np.float32).reshape(nv, 3),
+                positions=np.frombuffer(m["positions"] or b"", np.float32).reshape(nv, 3),
                 uvs=(
                     np.frombuffer(m["uvs"], np.float32).reshape(nv, 2)
                     if m["uvs"] is not None else None
@@ -304,7 +304,7 @@ def _ext_parse_gltf(path: str):
                     np.frombuffer(m["normals"], np.float32).reshape(nv, 3)
                     if m["normals"] is not None else None
                 ),
-                indices=np.frombuffer(m["indices"], np.uint32),
+                indices=np.frombuffer(m["indices"] or b"", np.uint32),
                 material_idx=m["material_idx"],
             )
         )

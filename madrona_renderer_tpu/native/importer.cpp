@@ -59,7 +59,15 @@ struct Group {
 };
 
 const char *skip_ws(const char *p, const char *end) {
-    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+    // Must skip exactly the characters isspace() treats as space (minus
+    // '\n', the line terminator): the face-corner loop tokenizes with
+    // isspace(), and any space-class character this function does NOT
+    // skip (historically '\f'/'\v') makes that loop spin forever on a
+    // zero-length token, growing the corner vector until bad_alloc.
+    // Python parity too: str.split() splits on all of " \t\r\f\v".
+    while (p < end &&
+           (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\f' || *p == '\v'))
+        ++p;
     return p;
 }
 
@@ -248,9 +256,13 @@ ObjFile *obj_parse_impl(const char *path) {
         if (mesh.has_normal) mesh.normals.resize(uniq.size() * 3);
         for (size_t i = 0; i < uniq.size(); ++i) {
             const Corner &c = uniq[i];
-            if (c.v >= 0 && (size_t)c.v * 3 + 2 < vs.size()) {
-                memcpy(&mesh.positions[i * 3], &vs[c.v * 3], 3 * sizeof(float));
+            // Python-parser parity (assets/obj.py): out-of-range vertex
+            // indices are a loud content error, never a silent zero-fill.
+            if (c.v < 0 || (size_t)c.v * 3 + 2 >= vs.size()) {
+                out->error = std::string("face vertex index out of range in ") + path;
+                return out;
             }
+            memcpy(&mesh.positions[i * 3], &vs[c.v * 3], 3 * sizeof(float));
             if (mesh.has_uv) {
                 int vt = c.vt >= 0 ? c.vt : 0;
                 if ((size_t)vt * 2 + 1 < vts.size())

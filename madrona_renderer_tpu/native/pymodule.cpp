@@ -131,12 +131,19 @@ PyObject *build_parse_result(void *h, bool with_images) {
             std::vector<uint32_t> idx((size_t)ni);
             mrt_obj_mesh_data(h, i, pos.data(), huv ? uv.data() : nullptr,
                               hn ? nrm.data() : nullptr, idx.data());
+            // Empty meshes (a face-less OBJ): vector::data() may be NULL,
+            // and Py_BuildValue "y#" with NULL yields None instead of
+            // b"" — pass a real pointer so 0-vertex meshes marshal as
+            // empty bytes.
+            static const char kEmpty[1] = {0};
+            const char *pos_p = pos.empty() ? kEmpty : (const char *)pos.data();
+            const char *idx_p = idx.empty() ? kEmpty : (const char *)idx.data();
             PyObject *m = Py_BuildValue(
                 "{s:i,s:i,s:i,s:y#,s:O,s:O,s:y#}", "num_vertices", nv,
                 "num_indices", ni, "material_idx", mi, "positions",
-                (const char *)pos.data(), (Py_ssize_t)(pos.size() * 4), "uvs",
+                pos_p, (Py_ssize_t)(pos.size() * 4), "uvs",
                 Py_None, "normals", Py_None, "indices",
-                (const char *)idx.data(), (Py_ssize_t)(idx.size() * 4));
+                idx_p, (Py_ssize_t)(idx.size() * 4));
             if (!m) goto fail;
             if (huv) {
                 PyObject *b = PyBytes_FromStringAndSize(

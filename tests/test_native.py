@@ -248,14 +248,31 @@ def test_gltf_native_parity(tmp_path, rng):
         f.write(_make_glb(g, blob2))
     _glb_compare(parse_gltf(p3), native.parse_gltf_native(p3))
 
+    # Sparse accessors: the C++ tier gates them and falls back to the
+    # Python parser, which decodes the substitution (glTF §3.6.2.3).
+    sp_indices = np.array([0, 2], np.uint16)
+    sp_values = np.array([[4.0, 4.0, 4.0], [-3.0, 1.5, 0.5]], np.float32)
+    base_off = len(blob)
+    blob4 = blob + sp_indices.tobytes() + sp_values.tobytes()
     g = _base_gltf(views, accessors)
     g["accessors"] = [dict(a) for a in accessors]
-    g["accessors"][0]["sparse"] = {"count": 1}
+    g["bufferViews"] = list(views) + [
+        {"buffer": 0, "byteOffset": base_off, "byteLength": 4},
+        {"buffer": 0, "byteOffset": base_off + 4, "byteLength": 24},
+    ]
+    g["accessors"][0]["sparse"] = {
+        "count": 2,
+        "indices": {"bufferView": 4, "componentType": 5123},
+        "values": {"bufferView": 5},
+    }
     p4 = str(tmp_path / "s.glb")
     with open(p4, "wb") as f:
-        f.write(_make_glb(g, blob))
-    with pytest.raises(NotImplementedError):
-        native.parse_gltf_native(p4)
+        f.write(_make_glb(g, blob4))
+    got = native.parse_gltf_native(p4)
+    _glb_compare(parse_gltf(p4), got)
+    want = _pos.copy()
+    want[sp_indices] = sp_values
+    np.testing.assert_allclose(got.meshes[0].positions, want)
 
 
 def test_gltf_native_missing_file():

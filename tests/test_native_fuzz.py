@@ -1,0 +1,96 @@
+"""Crash-safety fuzz of the native C++ parsers (importer.cpp, gltf.cpp,
+pymodule.cpp): byte-mutated and truncated inputs must surface as Python
+exceptions or clean fallbacks, never interpreter crashes.
+
+Each fuzz batch runs in a subprocess so a segfault fails the test
+instead of killing the pytest process. Mutations are deterministic
+(seeded) for reproducibility; valid seeds come from the in-repo
+fixture generators.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from madrona_renderer_tpu import native
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native tier unavailable"
+)
+
+_DRIVER = textwrap.dedent(
+    """
+    import os, sys
+    import numpy as np
+    sys.path.insert(0, "@REPO@")
+    from tests.test_gltf import _accessor_blob, _base_gltf, _make_glb
+    from madrona_renderer_tpu import native
+    from madrona_renderer_tpu.assets.png import encode_png
+
+    rng = np.random.default_rng(1234)
+    tmp = sys.argv[1]
+    kind = sys.argv[2]
+
+    blob, views, accessors, _, _ = _accessor_blob()
+    glb = _make_glb(_base_gltf(views, accessors), blob)
+    png = encode_png(rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8))
+    obj_text = (
+        "v 0 0 0\\nv 1 0 0\\nv 0 1 0\\nvt 0 0\\nvt 1 0\\nvt 0 1\\n"
+        "f 1/1 2/2 3/3\\n"
+    ).encode()
+
+    def mutations(data):
+        data = bytearray(data)
+        n = len(data)
+        for trial in range(300):
+            m = bytearray(data)
+            op = trial % 3
+            if op == 0:  # flip random bytes
+                for _ in range(rng.integers(1, 8)):
+                    m[rng.integers(0, n)] = rng.integers(0, 256)
+            elif op == 1:  # truncate
+                m = m[: rng.integers(0, n)]
+            else:  # splice random garbage
+                at = rng.integers(0, n)
+                m[at:at] = bytes(rng.integers(0, 256, size=16, dtype=np.uint8))
+            yield bytes(m)
+
+    src = {"glb": glb, "png": png, "obj": obj_text}[kind]
+    survived = 0
+    for i, m in enumerate(mutations(src)):
+        try:
+            if kind == "png":
+                native.decode_png_native(m)
+            else:
+                p = os.path.join(tmp, f"fz.{kind}")
+                with open(p, "wb") as f:
+                    f.write(m)
+                if kind == "glb":
+                    native.parse_gltf_native(p)
+                else:
+                    native.parse_obj_native(p)
+            survived += 1
+        except Exception:
+            pass
+    print(f"OK {kind}: {survived} parsed cleanly of 300")
+    """
+).replace("@REPO@", REPO)
+
+
+@pytest.mark.parametrize("kind", ["glb", "png", "obj"])
+def test_native_fuzz_no_crash(kind, tmp_path):
+    r = subprocess.run(
+        [sys.executable, "-c", _DRIVER, str(tmp_path), kind],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 0, (
+        f"native {kind} parser crashed the interpreter "
+        f"(rc={r.returncode}):\n{r.stdout[-500:]}\n{r.stderr[-2000:]}"
+    )
+    assert f"OK {kind}" in r.stdout

@@ -54,6 +54,19 @@ def test_foreign_png_gradient_filters():
     _check(Image.fromarray(arr, "RGB"), "gradient")
 
 
+def test_pillow_reads_our_encoder():
+    """Symmetric direction: a foreign decoder accepts our encoder's
+    output bit-exactly."""
+    from PIL import Image
+    from madrona_renderer_tpu.assets.png import encode_png
+
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 256, size=(27, 13, 4), dtype=np.uint8)
+    data = encode_png(arr)
+    with Image.open(io.BytesIO(data)) as img:
+        np.testing.assert_array_equal(np.asarray(img.convert("RGBA")), arr)
+
+
 def test_foreign_png_native_tier_matches():
     """The C++ decoder tier agrees with the Python one on foreign bytes."""
     from PIL import Image
