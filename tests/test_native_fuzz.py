@@ -39,6 +39,10 @@ _DRIVER = textwrap.dedent(
     blob, views, accessors, _, _ = _accessor_blob()
     glb = _make_glb(_base_gltf(views, accessors), blob)
     png = encode_png(rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8))
+    from madrona_renderer_tpu.assets.etc1s_encode import encode_ktx2_etc1s
+    ktx2 = encode_ktx2_etc1s(
+        rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+    )
     obj_text = (
         "v 0 0 0\\nv 1 0 0\\nv 0 1 0\\nvt 0 0\\nvt 1 0\\nvt 0 1\\n"
         "f 1/1 2/2 3/3\\n"
@@ -60,12 +64,19 @@ _DRIVER = textwrap.dedent(
                 m[at:at] = bytes(rng.integers(0, 256, size=16, dtype=np.uint8))
             yield bytes(m)
 
-    src = {"glb": glb, "png": png, "obj": obj_text}[kind]
+    src = {"glb": glb, "png": png, "obj": obj_text, "ktx2": ktx2}[kind]
     survived = 0
     for i, m in enumerate(mutations(src)):
         try:
             if kind == "png":
                 native.decode_png_native(m)
+            elif kind == "ktx2":
+                # Routes the BasisLZ payload through the native ETC1S
+                # entropy decoder (etc1s.cpp) — the classic bitstream
+                # hang/overflow surface.
+                from madrona_renderer_tpu.assets.ktx2 import decode_ktx2
+
+                decode_ktx2(m)
             else:
                 p = os.path.join(tmp, f"fz.{kind}")
                 with open(p, "wb") as f:
@@ -82,7 +93,7 @@ _DRIVER = textwrap.dedent(
 ).replace("@REPO@", REPO)
 
 
-@pytest.mark.parametrize("kind", ["glb", "png", "obj"])
+@pytest.mark.parametrize("kind", ["glb", "png", "obj", "ktx2"])
 def test_native_fuzz_no_crash(kind, tmp_path):
     r = subprocess.run(
         [sys.executable, "-c", _DRIVER, str(tmp_path), kind],
