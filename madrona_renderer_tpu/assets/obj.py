@@ -207,10 +207,14 @@ def parse_obj(path: str) -> SourceObject:
         mesh_uv = None
         if has_uv and len(uv_arr):
             vt_idx = np.asarray([i if i >= 0 else 0 for i in vt_list], np.int64)
+            if vt_idx.max() >= len(uv_arr):
+                raise ValueError(f"face texcoord index out of range in {path}")
             mesh_uv = uv_arr[vt_idx]
         mesh_nrm = None
         if has_nrm and len(nrm_arr):
             vn_idx = np.asarray([i if i >= 0 else 0 for i in vn_list], np.int64)
+            if vn_idx.max() >= len(nrm_arr):
+                raise ValueError(f"face normal index out of range in {path}")
             mesh_nrm = nrm_arr[vn_idx]
         obj.meshes.append(
             SourceMesh(

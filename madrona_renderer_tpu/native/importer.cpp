@@ -251,13 +251,18 @@ ObjFile *obj_parse_impl(const char *path) {
             }
             mesh.indices.push_back(j);
         }
+        // Python parity (assets/obj.py): uv/normal output only when the
+        // file declared any vt/vn data (face refs without data -> None).
+        mesh.has_uv = mesh.has_uv && !vts.empty();
+        mesh.has_normal = mesh.has_normal && !vns.empty();
         mesh.positions.resize(uniq.size() * 3);
         if (mesh.has_uv) mesh.uvs.resize(uniq.size() * 2);
         if (mesh.has_normal) mesh.normals.resize(uniq.size() * 3);
         for (size_t i = 0; i < uniq.size(); ++i) {
             const Corner &c = uniq[i];
-            // Python-parser parity (assets/obj.py): out-of-range vertex
-            // indices are a loud content error, never a silent zero-fill.
+            // Python-parser parity (assets/obj.py): out-of-range face
+            // indices (vertex, texcoord, normal alike) are a loud
+            // content error, never a silent zero-fill.
             if (c.v < 0 || (size_t)c.v * 3 + 2 >= vs.size()) {
                 out->error = std::string("face vertex index out of range in ") + path;
                 return out;
@@ -265,13 +270,19 @@ ObjFile *obj_parse_impl(const char *path) {
             memcpy(&mesh.positions[i * 3], &vs[c.v * 3], 3 * sizeof(float));
             if (mesh.has_uv) {
                 int vt = c.vt >= 0 ? c.vt : 0;
-                if ((size_t)vt * 2 + 1 < vts.size())
-                    memcpy(&mesh.uvs[i * 2], &vts[vt * 2], 2 * sizeof(float));
+                if ((size_t)vt * 2 + 1 >= vts.size()) {
+                    out->error = std::string("face texcoord index out of range in ") + path;
+                    return out;
+                }
+                memcpy(&mesh.uvs[i * 2], &vts[vt * 2], 2 * sizeof(float));
             }
             if (mesh.has_normal) {
                 int vn = c.vn >= 0 ? c.vn : 0;
-                if ((size_t)vn * 3 + 2 < vns.size())
-                    memcpy(&mesh.normals[i * 3], &vns[vn * 3], 3 * sizeof(float));
+                if ((size_t)vn * 3 + 2 >= vns.size()) {
+                    out->error = std::string("face normal index out of range in ") + path;
+                    return out;
+                }
+                memcpy(&mesh.normals[i * 3], &vns[vn * 3], 3 * sizeof(float));
             }
         }
         out->meshes.push_back(std::move(mesh));

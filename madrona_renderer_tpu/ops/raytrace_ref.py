@@ -492,10 +492,11 @@ def _gather_soup(soup_field: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "height", "width", "fov_y_degrees", "chunk", "texture_filter", "shadows",
+        "watertight",
     ),
 )
 @f32_precise
-def raytrace(
+def _raytrace_jit(
     state: SimState,
     scene: SceneData,
     *,
@@ -507,19 +508,8 @@ def raytrace(
     chunk: int = 16,
     texture_filter: str = "nearest",
     shadows: bool = False,
-    watertight: bool | None = None,
+    watertight: bool = False,
 ) -> Frames:
-    """Render every (world, camera) view. Returns padded Frames
-    [W, C, H, Wd, ...]; invalid camera slots render black/0/-1.
-    ``shadows=True`` traces one any-hit shadow ray per (pixel, light) —
-    a beyond-reference feature (the reference's lambert is unshadowed).
-    ``watertight=True`` (default: env MRT_WATERTIGHT=1) swaps in the
-    Woop et al. sheared-edge-function intersector (ops/watertight.py) —
-    crack-free seams instead of ε-slack edges; jnp path only."""
-    import os
-
-    if watertight is None:
-        watertight = os.environ.get("MRT_WATERTIGHT", "0") == "1"
     soup = build_world_soup(state, scene)
     eff_fov = jnp.where(state.camera_fov > 0, state.camera_fov, fov_y_degrees)
     eff_near = jnp.where(state.camera_znear > 0, state.camera_znear, near)
@@ -541,3 +531,31 @@ def raytrace(
         height=height, width=width, texture_filter=texture_filter, lit=lit,
         mip_t=t, mip_fov=eff_fov,
     )
+
+
+def raytrace(
+    state: SimState,
+    scene: SceneData,
+    *,
+    watertight: bool | None = None,
+    **kw,
+) -> Frames:
+    """Render every (world, camera) view. Returns padded Frames
+    [W, C, H, Wd, ...]; invalid camera slots render black/0/-1.
+    ``shadows=True`` traces one any-hit shadow ray per (pixel, light) —
+    a beyond-reference feature (the reference's lambert is unshadowed).
+    ``watertight=True`` (default: env MRT_WATERTIGHT=1) swaps in the
+    Woop et al. sheared-edge-function intersector (ops/watertight.py) —
+    crack-free seams instead of ε-slack edges; jnp path only.
+
+    Thin unjitted wrapper: ``watertight`` (including its env default)
+    must resolve BEFORE the jit boundary — it is a static argname, so
+    the compiled-trace cache keys on the resolved bool and toggling
+    MRT_WATERTIGHT between calls re-traces instead of silently reusing
+    the other variant's cache.
+    """
+    if watertight is None:
+        import os
+
+        watertight = os.environ.get("MRT_WATERTIGHT", "0") == "1"
+    return _raytrace_jit(state, scene, watertight=bool(watertight), **kw)

@@ -61,6 +61,23 @@ def _shear_frame(dirs: jnp.ndarray):
     return ox, oy, oz, sx, sy, sz
 
 
+def _edge_function_hit(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """Shared core of both intersectors: 2D edge functions over sheared
+    coordinates → (u, v, w, det, t, accept). Shape-polymorphic (works on
+    the [R, S] all-pairs layout and the [W, C, S, p] chunked layout).
+    Double-sided accept; zeros (ray exactly through an edge) accepted."""
+    u = cx * by - cy * bx  # weight of v0
+    v = ax * cy - ay * cx  # weight of v1
+    w = bx * ay - by * ax  # weight of v2
+    det = u + v + w
+    t = jnp.where(det != 0.0, (u * az + v * bz + w * cz) / det, jnp.inf)
+    accept = (det != 0.0) & (
+        ((u >= 0.0) & (v >= 0.0) & (w >= 0.0))
+        | ((u <= 0.0) & (v <= 0.0) & (w <= 0.0))
+    )
+    return u, v, w, det, t, accept
+
+
 def woop_intersect(
     orig: jnp.ndarray,  # f32 [..., 3] (broadcastable to rays)
     dirs: jnp.ndarray,  # f32 [R, 3]
@@ -92,15 +109,8 @@ def woop_intersect(
     ax, ay, az = sheared(v0)
     bx, by, bz = sheared(v1)
     cx, cy, cz = sheared(v2)
-
-    u = cx * by - cy * bx  # weight of v0
-    v = ax * cy - ay * cx  # weight of v1
-    w = bx * ay - by * ax  # weight of v2
-    det = u + v + w
-    t = jnp.where(det != 0.0, (u * az + v * bz + w * cz) / det, jnp.inf)
-    accept = (det != 0.0) & (
-        ((u >= 0.0) & (v >= 0.0) & (w >= 0.0))
-        | ((u <= 0.0) & (v <= 0.0) & (w <= 0.0))
+    u, v, w, det, t, accept = _edge_function_hit(
+        ax, ay, az, bx, by, bz, cx, cy, cz
     )
     inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
     bary = jnp.stack([u * inv, v * inv, w * inv], axis=-1)
@@ -120,8 +130,10 @@ def intersect_watertight(
 
     Triangles come from the edge-form soup, so v1/v2 are reconstructed
     as ``v0 + e1/e2`` (see module docstring for the ulp caveat). Pixel
-    chunking mirrors `intersect_bruteforce`: per chunk the sheared
-    coordinates are [W, C, S, chunk] with pixels on the 128-lane axis.
+    chunking deliberately mirrors `intersect_bruteforce`
+    (raytrace_ref.py) line-for-line — pad/near-broadcast/scan/argmin —
+    so the two intersectors stay diffable; a change to that scaffolding
+    must be applied to both (the per-chunk *test* is what differs).
     """
     W, S, _ = soup.v0.shape
     _, C, P, _ = dirs.shape
@@ -176,21 +188,10 @@ def intersect_watertight(
         ax, ay, az = sheared(a3)
         bx, by, bz = sheared(b3)
         cx, cy, cz = sheared(c3)
-        u = cx * by - cy * bx
-        v = ax * cy - ay * cx
-        w = bx * ay - by * ax
-        det = u + v + w
-        t = jnp.where(det != 0.0, (u * az + v * bz + w * cz) / det, jnp.inf)
-        ok = (
-            (det != 0.0)
-            & (
-                ((u >= 0.0) & (v >= 0.0) & (w >= 0.0))
-                | ((u <= 0.0) & (v <= 0.0) & (w <= 0.0))
-            )
-            & (t > n_lo)
-            & (t < far_b)
-            & tri_ok[..., None]
+        _u, _v, _w, _det, t, accept = _edge_function_hit(
+            ax, ay, az, bx, by, bz, cx, cy, cz
         )
+        ok = accept & (t > n_lo) & (t < far_b) & tri_ok[..., None]
         t = jnp.where(ok, t, jnp.inf)
         best_t = jnp.min(t, axis=2)
         best_idx = jnp.argmin(t, axis=2).astype(jnp.int32)

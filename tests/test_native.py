@@ -40,6 +40,27 @@ def test_obj_parity_fixture(data_dir):
     _assert_obj_equal(native.parse_obj_native(path), parse_obj(path))
 
 
+@pytest.mark.parametrize("face,what", [
+    ("f 5 2 3", "vertex"),        # v index past the 3 declared
+    ("f 1/9 2/1 3/1", "texcoord"),  # vt index past the 1 declared
+    ("f 1//9 2//1 3//1", "normal"),  # vn index past the 1 declared
+    ("f -9 2 3", "vertex"),       # relative index beyond depth → negative
+])
+def test_obj_out_of_range_indices_both_tiers(tmp_path, face, what):
+    """Out-of-range face indices are a loud ValueError in BOTH parser
+    tiers — for vertex, texcoord, and normal indices alike (the native
+    tier used to zero-fill vt/vn silently; Python raised an accidental
+    IndexError)."""
+    p = tmp_path / "oob.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nvn 0 0 1\n" + face + "\n"
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        parse_obj(str(p))
+    with pytest.raises(ValueError, match="out of range"):
+        native.parse_obj_native(str(p))
+
+
 @pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA), reason="reference data absent")
 @pytest.mark.parametrize("name", ["cube.obj", "plane.obj", "wall_render.obj"])
 def test_obj_parity_reference_assets(name):

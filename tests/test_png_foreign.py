@@ -30,7 +30,11 @@ def _check(img, mode):
 def test_foreign_png_modes(mode, channels, size):
     from PIL import Image
 
-    rng = np.random.default_rng(hash((mode, size)) % 2**32)
+    # zlib.crc32 keeps the per-case seed deterministic across processes
+    # (builtin hash() is randomized by PYTHONHASHSEED).
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(repr((mode, size)).encode()))
     shape = (size[1], size[0], channels) if channels > 1 else (size[1], size[0])
     arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
     _check(Image.fromarray(arr, mode), mode)

@@ -164,29 +164,82 @@ def test_soup_wrapper_contract_matches_bruteforce():
     assert same_idx.mean() > 0.98  # seam pixels may pick the twin triangle
 
 
+def test_raytrace_direct_watertight_kwarg():
+    """raytrace(..., watertight=True) — the documented API — must work as
+    a direct call: 'watertight' is a static argname resolved before the
+    jit boundary (it once leaked in as a tracer and crashed)."""
+    from madrona_renderer_tpu.config import ImportedCamera, ImportedInstance
+    from madrona_renderer_tpu.ops.raytrace_ref import raytrace
+
+    from tests.helpers import build
+
+    tri = np.array([[-1, 0, -1], [1, 0, -1], [0, 0, 1]], np.float32)
+    state, scene = build(
+        [tri],
+        [ImportedInstance(position=[0, 3, 0], rotation=[1, 0, 0, 0],
+                          scale=[1, 1, 1], object_id=0)],
+        [ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0])],
+    )
+    f_wt = raytrace(state, scene, height=16, width=16, watertight=True)
+    f_mt = raytrace(state, scene, height=16, width=16, watertight=False)
+    assert (np.asarray(f_wt.segmask) >= 0).any()  # the triangle is visible
+    hit_wt = np.asarray(f_wt.segmask) >= 0
+    hit_mt = np.asarray(f_mt.segmask) >= 0
+    # Seam-free interior scene: both intersectors agree everywhere.
+    np.testing.assert_array_equal(hit_wt, hit_mt)
+    both = hit_wt & hit_mt
+    np.testing.assert_allclose(
+        np.asarray(f_wt.depth)[both], np.asarray(f_mt.depth)[both],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_raytrace_watertight_golden_parity():
     """The full jnp raytrace with watertight=True renders the smoke scene
-    identically to the default intersector away from seam pixels."""
-    import jax
+    identically to the default intersector away from seam pixels — and
+    really runs the watertight path (the env toggle once hit a stale
+    jit cache and silently rendered Möller–Trumbore both times)."""
+    import sys
 
     from tests.fixtures import ensure_fixtures, smoke_scene
     import madrona_renderer_tpu as m
 
+    import madrona_renderer_tpu.ops.watertight as wt_mod
+
+    # Vacuity guard: count trace-time calls into the watertight
+    # intersector (each Manager re-traces its own step, so the call
+    # happens at Python level during tracing). The original env-only
+    # toggle silently hit a stale jit cache and compared MT with itself.
+    calls = {"n": 0}
+    real = wt_mod.intersect_watertight
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
     kw = smoke_scene(ensure_fixtures(), num_worlds=2)
     frames = {}
-    for wt in (False, True):
-        import os
+    wt_mod.intersect_watertight = counting
+    try:
+        for wt in (False, True):
+            import os
 
-        os.environ["MRT_WATERTIGHT"] = "1" if wt else "0"
-        try:
-            r = m.MadronaRenderer(
-                gpu_id=0, num_worlds=2, render_mode=m.RenderMode.Raytracer,
-                batch_render_view_width=64, batch_render_view_height=64,
-                impl="jnp", **kw,
-            )
-            frames[wt] = (r.rgb_tensor().numpy(), r.depth_tensor().numpy())
-        finally:
-            os.environ.pop("MRT_WATERTIGHT", None)
+            os.environ["MRT_WATERTIGHT"] = "1" if wt else "0"
+            try:
+                r = m.MadronaRenderer(
+                    gpu_id=0, num_worlds=2, render_mode=m.RenderMode.Raytracer,
+                    batch_render_view_width=64, batch_render_view_height=64,
+                    impl="jnp", **kw,
+                )
+                frames[wt] = (r.rgb_tensor().numpy(), r.depth_tensor().numpy())
+            finally:
+                os.environ.pop("MRT_WATERTIGHT", None)
+            if not wt:
+                assert calls["n"] == 0, "MT render called the watertight path"
+            else:
+                assert calls["n"] > 0, "watertight render never reached the watertight intersector"
+    finally:
+        wt_mod.intersect_watertight = real
     rgb_diff = (frames[False][0] != frames[True][0]).any(axis=-1)
     assert rgb_diff.mean() < 0.01, f"{rgb_diff.mean():.4f} of pixels differ"
     d0, d1 = frames[False][1], frames[True][1]

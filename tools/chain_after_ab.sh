@@ -4,10 +4,18 @@
 # canonical bench ladder (health-gated) into /tmp/bench_r3c.log.
 set -u
 LOG=${1:-/tmp/stack_ab.log}
+missing=0
 while ! grep -q "DONE" "$LOG" 2>/dev/null; do
   # If the A/B process died without DONE, bail to the bench anyway after
-  # the log has been static for 20 min.
-  if [ -n "$(find "$LOG" -mmin +20 2>/dev/null)" ]; then
+  # the log has been static for 20 min — or after 20 min of the log not
+  # existing at all (A/B crashed before its first write / mistyped path).
+  if [ ! -e "$LOG" ]; then
+    missing=$((missing + 1))
+    if [ "$missing" -ge 20 ]; then
+      echo "[chain] $LOG absent for 20 min; proceeding" >&2
+      break
+    fi
+  elif [ -n "$(find "$LOG" -mmin +20 2>/dev/null)" ]; then
     echo "[chain] $LOG static >20min without DONE; proceeding" >&2
     break
   fi
