@@ -49,3 +49,43 @@ def load_state(path: str, device=None) -> SimState:
     state = SimState(**kwargs)
     put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
     return jax.tree.map(put, state)
+
+
+def save_training_checkpoint(path: str, tree) -> None:
+    """Checkpoint an arbitrary pytree (e.g. ``{"params": ..., "opt_state":
+    ..., "sim_state": SimState}`` — a whole PPO run) via orbax.
+
+    The npz pair above covers the SimState-only case with zero deps;
+    nested training pytrees (optimizer states are arbitrarily nested) go
+    through orbax's StandardCheckpointer. ``path`` becomes a checkpoint
+    directory. Raises NotImplementedError if orbax is unavailable."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "training checkpoints require orbax-checkpoint"
+        ) from e
+    import os
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_training_checkpoint(path: str, template=None):
+    """Restore a pytree saved by `save_training_checkpoint`.
+
+    ``template`` (a matching pytree of arrays/shape-dtype structs, e.g.
+    the freshly-initialized training state) restores exact array types;
+    without it orbax returns the raw saved structure."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "training checkpoints require orbax-checkpoint"
+        ) from e
+    import os
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(os.path.abspath(path), template)
+        return ckptr.restore(os.path.abspath(path))

@@ -133,3 +133,32 @@ def test_checkpoint_loads_pre_fov_field_files(tmp_path):
     np.savez(path, **arrays)
     with pytest.raises(ValueError, match="instance_pos"):
         load_state(path)
+
+
+def test_training_checkpoint_roundtrip(mgr, tmp_path):
+    """Full-training-pytree checkpoint (params + opt_state + SimState)
+    through the orbax tier — the nested case npz can't express."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    from madrona_renderer_tpu.rl.ppo import PPOConfig, init_policy_params
+    from madrona_renderer_tpu.utils.checkpoint import (
+        load_training_checkpoint,
+        save_training_checkpoint,
+    )
+
+    cfg = PPOConfig(height=8, width=8)
+    params = init_policy_params(cfg, jax.random.PRNGKey(0))
+    tree = {"params": params, "sim_state": mgr.state, "step": 7}
+    path = str(tmp_path / "train_ckpt")
+    save_training_checkpoint(path, tree)
+    got = load_training_checkpoint(path, template=tree)
+    assert int(np.asarray(got["step"])) == 7
+    np.testing.assert_array_equal(
+        np.asarray(got["sim_state"].instance_pos),
+        np.asarray(mgr.state.instance_pos),
+    )
+    for k in params:
+        np.testing.assert_array_equal(
+            np.asarray(got["params"][k]), np.asarray(params[k])
+        )
