@@ -22,6 +22,11 @@ if ! grep -q '"healthy": true' /tmp/bench_r3c.json; then
 fi
 sleep 90
 cd /root/repo
+# Bitwise kernel<->jnp parity on hardware first — pins the round-3b
+# structural knobs (plane bins, tri ranges, attr-once, prep rows) on
+# chip, not just in CPU interpret mode.
+python -u tools/tpu_parity_check.py > /tmp/parity_r3c.log 2>&1
+sleep 60
 python -u tools/tpu_env_ab.py --scene wall --rounds 3 --wait-healthy 0 \
   --configs "" "MRT_PLANE_BINS=0" "MRT_PREP_STREAM=0" "MRT_WIN_SORT=1" \
   > /tmp/wall_ab_r3c.log 2>&1
