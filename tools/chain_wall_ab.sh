@@ -28,7 +28,8 @@ cd /root/repo
 python -u tools/tpu_parity_check.py > /tmp/parity_r3c.log 2>&1
 sleep 60
 python -u tools/tpu_env_ab.py --scene wall --rounds 3 --wait-healthy 0 \
-  --configs "" "MRT_PLANE_BINS=0" "MRT_PREP_STREAM=0" "MRT_WIN_SORT=1" \
+  --configs "" "MRT_PLANE_BINS=0" "MRT_PREP_STREAM=0" "MRT_TILE_RPS=2" \
+  "MRT_TILE_RPS=4" \
   > /tmp/wall_ab_r3c.log 2>&1
 sleep 60
 python -u tools/tpu_env_ab.py --scene headline --rounds 3 --wait-healthy 0 \
