@@ -281,3 +281,54 @@ def test_multi_light_sum_and_parity():
         np.asarray(_render(state, one, 8, 8).rgb),
         np.asarray(_render(state, listed, 8, 8).rgb),
     )
+
+
+# ------------------------------------------------- SURVEY §4 property set ---
+def test_depth_monotonic_in_distance():
+    """Depth monotonicity (SURVEY §4): the same quad rendered at strictly
+    increasing distances yields strictly increasing depth at every hit
+    pixel, and the hit footprint shrinks."""
+    prev_depth = None
+    prev_hits = None
+    for dist in (6.0, 9.0, 14.0, 22.0):
+        state, scene = build(
+            [quad_xz(half=2.0, y=0.0)],
+            [inst(pos=(0, dist, 0))],
+            [cam_at_origin_looking_plus_y()],
+        )
+        f = _render(state, scene, 32, 32)
+        seg = np.asarray(f.segmask)[0, 0]
+        depth = np.asarray(f.depth)[0, 0]
+        hits = seg >= 0
+        assert hits.any()
+        if prev_depth is not None:
+            both = hits & prev_hits
+            assert both.any()
+            assert (depth[both] > prev_depth[both]).all()
+            assert hits.sum() <= prev_hits.sum()
+        prev_depth, prev_hits = depth, hits
+
+
+def test_segmask_matches_instance_order():
+    """segmask↔objectID consistency (SURVEY §4): the segmask value is the
+    per-world *instance index*, invariant to which object each instance
+    renders — swapping instance order swaps the labels with it."""
+    quads = [quad_xz(half=1.5, y=0.0), quad_xz(half=4.0, y=0.0)]
+    near = dict(pos=(-3, 8, 0))
+    far = dict(pos=(3, 16, 0))
+    a_state, a_scene = build(
+        quads, [inst(**near, obj=0), inst(**far, obj=1)],
+        [cam_at_origin_looking_plus_y()],
+    )
+    b_state, b_scene = build(
+        quads, [inst(**far, obj=1), inst(**near, obj=0)],
+        [cam_at_origin_looking_plus_y()],
+    )
+    seg_a = np.asarray(_render(a_state, a_scene, 32, 32).segmask)[0, 0]
+    seg_b = np.asarray(_render(b_state, b_scene, 32, 32).segmask)[0, 0]
+    # Same geometry either way → identical hit footprints; labels swap.
+    np.testing.assert_array_equal(seg_a >= 0, seg_b >= 0)
+    swap = np.full_like(seg_b, -1)
+    swap[seg_b == 0] = 1
+    swap[seg_b == 1] = 0
+    np.testing.assert_array_equal(seg_a, swap)
