@@ -91,3 +91,27 @@ def test_step_chain_keeps_sharding():
         sstate, frames = step(sstate, sscene)
     assert len(sstate.instance_pos.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(sstate.time), 0.15, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ray_axis_sharding_few_worlds_huge_view():
+    """Few-worlds × big-view workloads shard the RAY axis, not worlds
+    (docs/roadmap.md scaling row): a (worlds=1, rows=8) mesh splits each
+    image into 8 pixel-row shards and must reproduce the single-device
+    render exactly — the correctness half of the ray-axis sharding
+    story; the pod-scale wall-clock half needs real multi-chip ICI."""
+    state, scene = _scene_state(2)
+    from madrona_renderer_tpu.ops.raytrace_ref import raytrace
+
+    want = raytrace(state, scene, height=64, width=64)
+
+    mesh = make_mesh(1, 8)
+    sstate = shard_state(state, mesh)
+    sscene = replicate_scene(scene, mesh)
+    step = build_sharded_render(mesh, height=64, width=64, mode="rt", donate=False)
+    _, frames = step(sstate, sscene)
+    np.testing.assert_array_equal(np.asarray(frames.rgb), np.asarray(want.rgb))
+    np.testing.assert_allclose(
+        np.asarray(frames.depth), np.asarray(want.depth), rtol=1e-5, atol=1e-5
+    )
+    assert len(frames.rgb.sharding.device_set) == 8
