@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test native bench ladder clean
+.PHONY: test native bench ladder goldens fuzz clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -16,6 +16,12 @@ bench:
 
 ladder:
 	$(PY) tools/tpu_ladder.py
+
+goldens:
+	$(PY) tools/gen_goldens.py
+
+fuzz:
+	$(PY) -m pytest tests/test_native_fuzz.py -q
 
 clean:
 	rm -f madrona_renderer_tpu/native/*.so
