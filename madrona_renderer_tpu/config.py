@@ -201,6 +201,10 @@ class ManagerConfig:
     # Shadow rays: one any-hit ray per (pixel, light) per step — a
     # beyond-reference feature (the reference's lambert is unshadowed).
     shadows: bool = False
+    # Watertight intersection (Woop et al., ops/watertight.py): the
+    # crack-free quality tier. jnp impl only (the Pallas kernel keeps
+    # the ε-slack sweep); None = env MRT_WATERTIGHT decides.
+    watertight: "bool | None" = None
     # Mip-mapped textures: True / False / "auto" (on iff the texel pool
     # exceeds the kernel's resident budget). The reference's hardware
     # samplers mip implicitly (src/mgr.cpp:352-354); see ops/mips.py.

@@ -213,6 +213,15 @@ class Manager:
                 texture_filter=cfg.texture_filter,
                 shadows=cfg.shadows,
             )
+            if impl != "pallas":
+                # Quality-tier intersector (jnp path only): the Pallas
+                # kernel keeps the ε-slack sweep (docs/design.md).
+                render_kwargs["watertight"] = cfg.watertight
+            elif cfg.watertight:
+                raise NotImplementedError(
+                    "watertight=True requires impl='jnp' (the Pallas "
+                    "kernel keeps the ε-slack sweep — docs/design.md)"
+                )
         else:
             try:
                 if impl == "pallas":

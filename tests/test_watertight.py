@@ -245,3 +245,24 @@ def test_raytrace_watertight_golden_parity():
     d0, d1 = frames[False][1], frames[True][1]
     close = np.isclose(d0, d1, rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.99
+
+
+def test_manager_watertight_config():
+    """watertight flows through the Manager config: honored on the jnp
+    impl, loud NotImplementedError on the Pallas impl."""
+    from tests.fixtures import ensure_fixtures, smoke_scene
+    import madrona_renderer_tpu as m
+
+    kw = smoke_scene(ensure_fixtures(), num_worlds=2)
+    r = m.MadronaRenderer(
+        gpu_id=0, num_worlds=2, render_mode=m.RenderMode.Raytracer,
+        batch_render_view_width=32, batch_render_view_height=32,
+        impl="jnp", watertight=True, **kw,
+    )
+    assert (np.asarray(r.segmask_tensor().numpy()) >= 0).any()
+    with pytest.raises(NotImplementedError, match="watertight"):
+        m.MadronaRenderer(
+            gpu_id=0, num_worlds=2, render_mode=m.RenderMode.Raytracer,
+            batch_render_view_width=32, batch_render_view_height=32,
+            impl="pallas", watertight=True, **kw,
+        )
