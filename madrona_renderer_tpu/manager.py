@@ -242,6 +242,13 @@ class Manager:
                 texture_filter=cfg.texture_filter,
                 shadows=cfg.shadows,
             )
+            if impl != "pallas":
+                render_kwargs["watertight"] = cfg.watertight
+            elif cfg.watertight:
+                raise NotImplementedError(
+                    "watertight=True requires impl='jnp' (the Pallas "
+                    "kernel keeps the ε-slack sweep — docs/design.md)"
+                )
 
         cam_w, cam_slot = self._j_cam_w, self._j_cam_slot
 

@@ -53,10 +53,11 @@ from .raytrace_ref import (
     jax.jit,
     static_argnames=(
         "height", "width", "fov_y_degrees", "chunk", "texture_filter", "shadows",
+        "watertight",
     ),
 )
 @f32_precise
-def rasterize(
+def _rasterize_jit(
     state: SimState,
     scene: SceneData,
     *,
@@ -68,8 +69,8 @@ def rasterize(
     chunk: int = 16,
     texture_filter: str = "nearest",
     shadows: bool = False,
+    watertight: bool = False,
 ) -> Frames:
-    """Render every (world, camera) view with raster conventions."""
     soup = build_world_soup(state, scene)
     W, C = state.camera_pos.shape[:2]
 
@@ -91,7 +92,11 @@ def rasterize(
     tan_y = jnp.tan(jnp.deg2rad(eff_fov) * 0.5)
     tan_x = tan_y * (width / height)
     t_far = far * jnp.sqrt(1.0 + tan_x * tan_x + tan_y * tan_y)  # [W, C]
-    t, idx, hit = intersect_bruteforce(
+    if watertight:
+        from .watertight import intersect_watertight as _intersect
+    else:
+        _intersect = intersect_bruteforce
+    t, idx, hit = _intersect(
         soup,
         state.camera_pos,
         dirs,
@@ -117,3 +122,22 @@ def rasterize(
         with_segmask=False, lit=lit,
         mip_t=t, mip_fov=eff_fov, mip_hit=geo_hit,
     )
+
+
+def rasterize(
+    state: SimState,
+    scene: SceneData,
+    *,
+    watertight: "bool | None" = None,
+    **kw,
+) -> Frames:
+    """Render every (world, camera) view with raster conventions.
+
+    Thin unjitted wrapper (mirrors raytrace_ref.raytrace): the
+    ``watertight`` choice — including its MRT_WATERTIGHT env default —
+    resolves BEFORE the jit boundary so the trace cache keys on it."""
+    if watertight is None:
+        import os
+
+        watertight = os.environ.get("MRT_WATERTIGHT", "0") == "1"
+    return _rasterize_jit(state, scene, watertight=bool(watertight), **kw)
