@@ -295,24 +295,47 @@ struct Buffers {
             return false;
         }
         count = (long)acc.get("count", 0);
-        out.assign((size_t)count * ncomp, 0.0);
-        if (!acc.has("bufferView")) return true;  // zero-filled
+        if (count < 0) {
+            err = "negative accessor count";
+            return false;
+        }
+        if (!acc.has("bufferView")) {
+            // Zero-filled accessor: the only size bound is the declared
+            // count itself; allocate inside the entry-point try/catch
+            // (a hostile count surfaces as a clean error, not terminate).
+            out.assign((size_t)count * ncomp, 0.0);
+            return true;
+        }
         const JValue &view = (*gltf)["bufferViews"].at(
             (int)acc.get("bufferView", 0));
         const std::vector<uint8_t> *buf = buffer((int)view.get("buffer", 0));
         if (!buf) return false;
-        size_t base = (size_t)view.get("byteOffset", 0) +
-                      (size_t)acc.get("byteOffset", 0);
-        int isz = (ctype == 5120 || ctype == 5121) ? 1
-                  : (ctype == 5122 || ctype == 5123) ? 2 : 4;
-        size_t stride = (size_t)view.get("byteStride", 0);
-        if (!stride) stride = (size_t)ncomp * isz;
-        if (count &&
-            base + (size_t)(count - 1) * stride + (size_t)ncomp * isz >
-                buf->size()) {
-            err = "accessor out of range";
+        long v_off = (long)view.get("byteOffset", 0);
+        long a_off = (long)acc.get("byteOffset", 0);
+        long s_raw = (long)view.get("byteStride", 0);
+        if (v_off < 0 || a_off < 0 || s_raw < 0) {
+            // A negative offset cast to size_t wraps to a huge value and
+            // can overflow the range check back into bounds → OOB read.
+            err = "negative accessor offset";
             return false;
         }
+        size_t base = (size_t)v_off + (size_t)a_off;
+        int isz = (ctype == 5120 || ctype == 5121) ? 1
+                  : (ctype == 5122 || ctype == 5123) ? 2 : 4;
+        size_t stride = (size_t)s_raw;
+        if (!stride) stride = (size_t)ncomp * isz;
+        // Bounds BEFORE the allocation (overflow-safe: divide, don't
+        // multiply) — a hostile count must not drive out.assign into
+        // bad_alloc, and base+count*stride must not wrap past size_t.
+        size_t elem = (size_t)ncomp * isz;
+        if (count) {
+            if (base > buf->size() || elem > buf->size() - base ||
+                (size_t)(count - 1) > (buf->size() - base - elem) / stride) {
+                err = "accessor out of range";
+                return false;
+            }
+        }
+        out.assign((size_t)count * ncomp, 0.0);
         const uint8_t *raw = buf->data();
         for (long k = 0; k < count; ++k) {
             const uint8_t *el = raw + base + (size_t)k * stride;
@@ -747,10 +770,19 @@ extern "C" {
 void *mrt_gltf_parse(const char *path) {
     auto *h = new (std::nothrow) ObjFile();
     if (!h) return nullptr;
-    GltfParser gp;
-    gp.out = h;
-    if (!gp.parse(path) && h->error.empty())
-        h->error = "gltf: parse failed";
+    // No C++ exception may cross the C boundary: a hostile file whose
+    // declared sizes drive a failed allocation must surface as an error
+    // string (→ Python exception), never std::terminate.
+    try {
+        GltfParser gp;
+        gp.out = h;
+        if (!gp.parse(path) && h->error.empty())
+            h->error = "gltf: parse failed";
+    } catch (const std::bad_alloc &) {
+        h->error = "gltf: allocation failed (corrupt or hostile sizes)";
+    } catch (const std::exception &e) {
+        h->error = std::string("gltf: ") + e.what();
+    }
     return h;  // read error via mrt_obj_error, free via mrt_obj_free
 }
 

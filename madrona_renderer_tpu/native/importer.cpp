@@ -465,7 +465,16 @@ bool png_decode_impl(const uint8_t *data, size_t n, PngImage &img) {
 
 extern "C" {
 
-void *mrt_obj_parse(const char *path) { return obj_parse_impl(path); }
+void *mrt_obj_parse(const char *path) {
+    // No C++ exception may cross the C boundary (see mrt_gltf_parse).
+    try {
+        return obj_parse_impl(path);
+    } catch (const std::exception &e) {
+        auto *h = new (std::nothrow) ObjFile();
+        if (h) h->error = std::string("obj: ") + e.what();
+        return h;
+    }
+}
 
 const char *mrt_obj_error(void *h) {
     auto *o = (ObjFile *)h;

@@ -105,3 +105,42 @@ def test_native_fuzz_no_crash(kind, tmp_path):
         f"(rc={r.returncode}):\n{r.stdout[-500:]}\n{r.stderr[-2000:]}"
     )
     assert f"OK {kind}" in r.stdout
+
+
+@pytest.mark.parametrize("mutation", ["huge_count", "neg_offset"])
+def test_hostile_glb_sizes_fail_cleanly(mutation, tmp_path):
+    """Structured hostile values (not just byte flips): a declared
+    accessor count of 100M drove an unchecked 2.4 GB allocation in
+    gltf.cpp (std::bad_alloc escaped through the C boundary →
+    std::terminate), and a negative byteOffset wrapped through size_t
+    past the range check into an out-of-bounds read. Both must surface
+    as Python exceptions."""
+    import numpy as np
+    import subprocess
+
+    from tests.test_gltf import _accessor_blob, _base_gltf, _make_glb
+
+    blob, views, accessors, _, _ = _accessor_blob()
+    g = _base_gltf([dict(v) for v in views], [dict(a) for a in accessors])
+    if mutation == "huge_count":
+        g["accessors"][0]["count"] = 100_000_000
+    else:
+        g["bufferViews"][0]["byteOffset"] = -8
+    p = str(tmp_path / f"{mutation}.glb")
+    with open(p, "wb") as f:
+        f.write(_make_glb(g, blob))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys, resource;"
+         "resource.setrlimit(resource.RLIMIT_AS, (1 << 30, 1 << 30));"
+         f"sys.path.insert(0, {REPO!r});"
+         "from madrona_renderer_tpu.assets.importer import AssetImporter;"
+         "AssetImporter().import_from_disk([sys.argv[1]])", p],
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 1, (
+        f"expected a clean Python exception, got rc={r.returncode}:\n"
+        f"{r.stderr[-1500:]}"
+    )
+    assert "Error" in r.stderr
