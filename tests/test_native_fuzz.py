@@ -144,3 +144,32 @@ def test_hostile_glb_sizes_fail_cleanly(mutation, tmp_path):
         f"{r.stderr[-1500:]}"
     )
     assert "Error" in r.stderr
+
+
+def test_hostile_ktx2_dims_fail_cleanly(tmp_path):
+    """A KTX2 header claiming 50000×50000 must surface as MemoryError/
+    ValueError, never an abort (same class as the GLB accessor count)."""
+    import struct
+    import subprocess
+
+    import numpy as np
+
+    from madrona_renderer_tpu.assets.etc1s_encode import encode_ktx2_etc1s
+
+    data = bytearray(encode_ktx2_etc1s(np.full((8, 8, 4), 7, np.uint8)))
+    struct.pack_into("<II", data, 20, 50000, 50000)  # pixelWidth/Height
+    p = str(tmp_path / "huge.ktx2")
+    with open(p, "wb") as f:
+        f.write(bytes(data))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys, resource;"
+         "resource.setrlimit(resource.RLIMIT_AS, (2 << 30, 2 << 30));"
+         f"sys.path.insert(0, {REPO!r});"
+         "from madrona_renderer_tpu.assets.ktx2 import decode_ktx2;"
+         "decode_ktx2(open(sys.argv[1], 'rb').read())", p],
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 1, f"rc={r.returncode}:\n{r.stderr[-1200:]}"
+    assert "Error" in r.stderr
