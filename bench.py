@@ -365,6 +365,11 @@ def _wait_for_healthy_tpu() -> dict | None:
 
         state0, scene = terrain_scene(32, 224)
 
+        # Rollout body mirrors tools/tpu_env_ab.py's anchor EXACTLY
+        # (incl. the materialized rgb stack): the healthy range for this
+        # row (86–95 f/s) and the slow-regime signature (50.7) were
+        # calibrated with that formulation — a leaner body would need
+        # its own calibration.
         @partial(jax.jit, static_argnames=("n",))
         def rollout(st, n):
             def body(s, _):
@@ -380,10 +385,10 @@ def _wait_for_healthy_tpu() -> dict | None:
                     ),
                 )
                 f = raytrace(s, scene, height=512, width=512, accel="binned")
-                return s, jnp.sum(f.rgb[..., 0].astype(jnp.int32))
+                return s, f.rgb
 
-            st, cks = jax.lax.scan(body, st, None, length=n)
-            return st, jnp.sum(cks)
+            st, stack = jax.lax.scan(body, st, None, length=n)
+            return st, jnp.sum(stack[:, 0, ::16].astype(jnp.int32))
 
         def probe() -> float:
             st, ck = rollout(state0, 2)  # warm both trace sizes
