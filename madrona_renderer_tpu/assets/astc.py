@@ -235,6 +235,60 @@ def _ise_decode(reader: BitReader, count: int,
     return out
 
 
+def _ise_encode(pairs: list[tuple[int, int]],
+                cfg: tuple[int, int, int, int]) -> tuple[int, int]:
+    """Encode (digit, bits) pairs into an ISE stream (LSB-first int).
+
+    Inverse of _ise_decode (round-trip pinned in tests). Partial
+    trailing groups pick a packed value whose truncated low bits decode
+    to the transmitted digits under zero-padding.
+    """
+    _, nbits, trits, quints = cfg
+    if not trits and not quints:
+        stream = 0
+        for i, (_, m) in enumerate(pairs):
+            stream |= (m & ((1 << nbits) - 1)) << (i * nbits)
+        return stream, nbits * len(pairs)
+    group = 5 if trits else 3
+    splits = _TRIT_SPLITS if trits else _QUINT_SPLITS
+    table = TRIT_TABLE if trits else QUINT_TABLE
+    stream = 0
+    pos = 0
+    i = 0
+    while i < len(pairs):
+        g = min(group, len(pairs) - i)
+        digits = tuple(d for (d, _) in pairs[i:i + g])
+        cumbits = sum(splits[:g])
+        packed = None
+        for cand in range(1 << cumbits):
+            if table[cand][:g] == digits:
+                packed = cand
+                break
+        if packed is None:  # unreachable for canonical digit values
+            raise ValueError(f"no ISE packing for digits {digits}")
+        pb = 0
+        for j in range(g):
+            stream |= pairs[i + j][1] << pos
+            pos += nbits
+            stream |= ((packed >> pb) & ((1 << splits[j]) - 1)) << pos
+            pos += splits[j]
+            pb += splits[j]
+        i += g
+    return stream, pos
+
+
+def quantize_color(rng: int, value: int) -> tuple[int, int]:
+    """Nearest (digit, bits) pair representing `value` in a color range."""
+    best = min(color_levels(rng), key=lambda t: abs(t[0] - value))
+    return best[1], best[2]
+
+
+def quantize_weight(rng: int, w64: int) -> tuple[int, int]:
+    """Nearest (digit, bits) pair representing a 0..64 weight."""
+    best = min(weight_levels(rng), key=lambda t: abs(t[0] - w64))
+    return best[1], best[2]
+
+
 # ---------------------------------------------------------------------------
 # Unquantization. Spec construction: A = 9 (or 7) replicas of the LSB of
 # the bit part; B = a per-range swizzle of the bit part; C = a per-range
@@ -568,6 +622,319 @@ class ASTCBlockParams:
     partition_count: int = 1
     partition_seed: int = 0
     srgb: bool = False
+
+
+def _infill_weights(grid: list[list[int]], gw: int, gh: int,
+                    bw: int, bh: int) -> list[list[int]]:
+    """Spec weight-grid infill (bilinear decimation inverse) to block dims.
+
+    Identity when the grid already matches the block dims (pinned by
+    tests/test_astc_core.py::test_infill_identity).
+    """
+    if gw == bw and gh == bh:
+        return grid
+    ds = (1024 + bw // 2) // (bw - 1)
+    dt = (1024 + bh // 2) // (bh - 1)
+    out = [[0] * bw for _ in range(bh)]
+    for t in range(bh):
+        for s in range(bw):
+            gs = (ds * s * (gw - 1) + 32) >> 6
+            gt = (dt * t * (gh - 1) + 32) >> 6
+            js, fs = gs >> 4, gs & 0xF
+            jt, ft = gt >> 4, gt & 0xF
+            w11 = (fs * ft + 8) >> 4
+            w10 = ft - w11
+            w01 = fs - w11
+            w00 = 16 - fs - ft + w11
+
+            def g(y, x):
+                if y >= gh or x >= gw:
+                    return 0  # zero-weight taps only (fs/ft == 0 there)
+                return grid[y][x]
+
+            out[t][s] = (g(jt, js) * w00 + g(jt, js + 1) * w01 +
+                         g(jt + 1, js) * w10 + g(jt + 1, js + 1) * w11 + 8) >> 4
+    return out
+
+
+def _decode_block_mode_2d(bm: int) -> tuple[int, int, int, bool, bool]:
+    """Decode the 11-bit 2D block-mode field.
+
+    Returns (grid_w, grid_h, weight_range, dual_plane, high_prec_raises).
+    Mirrors the spec's 2D block-mode layout table. Reserved encodings
+    raise ValueError (the spec maps them to the error color; an asset
+    pipeline wants the loud failure instead).
+    """
+    base_quant = (bm >> 4) & 1
+    H = (bm >> 9) & 1
+    D = (bm >> 10) & 1
+    A = (bm >> 5) & 0x3
+    if bm & 3:
+        base_quant |= (bm & 3) << 1
+        B = (bm >> 7) & 3
+        sel = (bm >> 2) & 3
+        if sel == 0:
+            gw, gh = B + 4, A + 2
+        elif sel == 1:
+            gw, gh = B + 8, A + 2
+        elif sel == 2:
+            gw, gh = A + 2, B + 8
+        else:
+            B &= 1
+            if bm & 0x100:
+                gw, gh = B + 2, A + 2
+            else:
+                gw, gh = A + 2, B + 6
+    else:
+        base_quant |= ((bm >> 2) & 3) << 1
+        if ((bm >> 2) & 3) == 0:
+            raise ValueError("ASTC: reserved block mode")
+        B = (bm >> 9) & 3
+        sel = (bm >> 7) & 3
+        if sel == 0:
+            gw, gh = 12, A + 2
+        elif sel == 1:
+            gw, gh = A + 2, 12
+        elif sel == 2:
+            gw, gh = A + 6, B + 6
+            D = 0
+            H = 0
+        else:
+            sub = (bm >> 5) & 3
+            if sub == 0:
+                gw, gh = 6, 10
+            elif sub == 1:
+                gw, gh = 10, 6
+            else:
+                raise ValueError("ASTC: reserved block mode")
+            D = 0
+            H = 0
+    # base_quant is a 3-bit value >= 2; with H it selects the weight range
+    if base_quant < 2:
+        raise ValueError("ASTC: reserved weight range in block mode")
+    weight_range = (base_quant - 2) + 6 * H
+    return gw, gh, weight_range, bool(D), False
+
+
+_VOID_EXTENT_2D = 0x1FC  # bits [8:0]
+
+
+def decode_astc_block(data: bytes, block_w: int = 4, block_h: int = 4,
+                      srgb: bool = False) -> np.ndarray:
+    """Decode one standard ASTC LDR 2D block -> [block_h, block_w, 4] u8.
+
+    Structural features outside the implemented LDR subset (HDR blocks,
+    mixed per-subset CEM classes, >2 partitions with mixed CEMs) raise
+    NotImplementedError — every such feature is explicit in the block
+    header, so unsupported inputs fail loudly, never silently.
+    """
+    if len(data) != 16:
+        raise ValueError("ASTC block must be 16 bytes")
+    v = int.from_bytes(data, "little")
+    bm = v & 0x7FF
+    if (bm & 0x1FF) == _VOID_EXTENT_2D:
+        if (v >> 9) & 1:  # bit 9 = dynamic-range flag
+            raise NotImplementedError("ASTC: HDR void-extent block")
+        rgba16 = [(v >> (64 + 16 * c)) & 0xFFFF for c in range(4)]
+        px = np.array([c >> 8 for c in rgba16], np.uint8)
+        return np.broadcast_to(px, (block_h, block_w, 4)).copy()
+
+    gw, gh, wrng, dual, _ = _decode_block_mode_2d(bm)
+    if gw > block_w or gh > block_h:
+        raise ValueError("ASTC: weight grid exceeds block footprint")
+    part_count = ((v >> 11) & 3) + 1
+    seed = 0
+    if part_count == 1:
+        cem = (v >> 13) & 0xF
+        ep_start = 17
+    else:
+        seed = (v >> 13) & 0x3FF
+        cem_sel = (v >> 23) & 0x3F
+        if cem_sel & 3:
+            raise NotImplementedError(
+                "ASTC: mixed per-subset endpoint-mode classes are outside "
+                "the implemented LDR subset"
+            )
+        cem = cem_sel >> 2
+        ep_start = 29
+    if cem in (2, 3, 7, 11, 14, 15):
+        raise NotImplementedError(f"ASTC: HDR endpoint mode {cem}")
+    if dual and part_count == 4:
+        raise ValueError("ASTC: dual plane with 4 partitions is illegal")
+
+    n_weights = gw * gh * (2 if dual else 1)
+    wcfg = _WT_RANGES[wrng]
+    wbits = ise_sequence_bits(n_weights, wcfg)
+    if not 24 <= wbits <= 96:
+        raise ValueError(f"ASTC: weight stream of {wbits} bits is illegal")
+    below_weights = 128 - wbits
+    ccs = 0
+    extra = 2 if dual else 0
+    if extra:
+        ccs = (v >> (below_weights - extra)) & 3
+    # endpoint values: per subset, 2*(class+1) integers; one ISE stream
+    n_ep_vals = part_count * 2 * ((cem >> 2) + 1)
+    avail = below_weights - extra - ep_start
+    if avail < 0:
+        raise ValueError("ASTC: endpoint field overruns the weight data")
+    # The endpoint range is implicit: the largest range (>= 6 levels)
+    # whose ISE stream fits in the bits between the header and the
+    # weight/extra data (spec rule).
+    ep_rng = None
+    for rng_i in range(20, 3, -1):
+        if ise_sequence_bits(n_ep_vals, _EP_RANGES[rng_i]) <= avail:
+            ep_rng = rng_i
+            break
+    if ep_rng is None:
+        raise ValueError("ASTC: no endpoint range fits the remaining bits")
+
+    ep_reader = BitReader(data)
+    ep_reader.pos = ep_start
+    ep_vals = _ise_decode(ep_reader, n_ep_vals, _EP_RANGES[ep_rng])
+    per_sub = 2 * ((cem >> 2) + 1)
+    endpoints = tuple(
+        tuple(ep_vals[s * per_sub:(s + 1) * per_sub])
+        for s in range(part_count)
+    )
+
+    # weights: the top bits of the block, bit-reversed
+    rev = int(f"{v:0128b}"[::-1], 2)  # bit-reversed block, LSB-first now
+    wreader = BitReader(rev.to_bytes(16, "little"))
+    wvals = _ise_decode(wreader, n_weights, wcfg)
+
+    # unquantize + infill
+    if dual:
+        p0 = [unquant_weight(wrng, d, m) for (d, m) in wvals[0::2]]
+        p1 = [unquant_weight(wrng, d, m) for (d, m) in wvals[1::2]]
+        grids = []
+        for plane in (p0, p1):
+            g = [[plane[t * gw + s] for s in range(gw)] for t in range(gh)]
+            grids.append(_infill_weights(g, gw, gh, block_w, block_h))
+    else:
+        p0 = [unquant_weight(wrng, d, m) for (d, m) in wvals]
+        g = [[p0[t * gw + s] for s in range(gw)] for t in range(gh)]
+        grids = [_infill_weights(g, gw, gh, block_w, block_h)]
+
+    eps = []
+    for sub in endpoints:
+        vals = [unquant_color(ep_rng, d, m) for (d, m) in sub]
+        eps.append(decode_cem_ldr(cem, vals))
+    out = np.zeros((block_h, block_w, 4), np.uint8)
+    small = block_w * block_h < 31
+    for y in range(block_h):
+        for x in range(block_w):
+            sub = (select_partition(seed, x, y, part_count, small)
+                   if part_count > 1 else 0)
+            e0, e1 = eps[sub]
+            if dual:
+                px = list(interpolate_unorm8(e0, e1, grids[0][y][x], srgb))
+                alt = interpolate_unorm8(e0, e1, grids[1][y][x], srgb)
+                px[ccs] = alt[ccs]
+            else:
+                px = list(interpolate_unorm8(e0, e1, grids[0][y][x], srgb))
+            out[y, x] = px
+    return out
+
+
+def decode_astc_image(payload: bytes, width: int, height: int,
+                      block_w: int = 4, block_h: int = 4,
+                      srgb: bool = False) -> np.ndarray:
+    """Decode a tightly-packed ASTC LDR payload -> RGBA8 [H, W, 4]."""
+    bx = (width + block_w - 1) // block_w
+    by = (height + block_h - 1) // block_h
+    need = bx * by * 16
+    if len(payload) < need:
+        raise ValueError(
+            f"ASTC payload truncated: {len(payload)} bytes < {need} "
+            f"({bx}x{by} blocks)"
+        )
+    out = np.zeros((by * block_h, bx * block_w, 4), np.uint8)
+    for b in range(bx * by):
+        yb, xb = divmod(b, bx)
+        try:
+            blk = decode_astc_block(
+                payload[b * 16:(b + 1) * 16], block_w, block_h, srgb)
+        except (ValueError, NotImplementedError) as e:
+            raise type(e)(f"ASTC block {b} (x={xb}, y={yb}): {e}") from e
+        out[yb * block_h:(yb + 1) * block_h,
+            xb * block_w:(xb + 1) * block_w] = blk
+    return out[:height, :width]
+
+
+def encode_astc_block_2ep(pixels: np.ndarray, block_w: int = 4,
+                          block_h: int = 4) -> bytes:
+    """Fixture-grade standard-ASTC encoder for one block.
+
+    Single-partition CEM 8 (opaque RGB) or CEM 12 (RGBA), full-footprint
+    weight grid, 2-bit weights, 8-bit endpoints when they fit (4x4);
+    min/max endpoints with texels projected on the endpoint axis. Real
+    conformant ASTC — used to build KTX2 fixtures for tests/examples.
+    """
+    ph, pw = pixels.shape[:2]
+    if (ph, pw) != (block_h, block_w):
+        raise ValueError("pixel tile must match the block footprint")
+    if block_w != 4 or block_h != 4:
+        raise NotImplementedError("fixture encoder emits 4x4 blocks only")
+    flat = pixels.reshape(16, 4).astype(np.int32)
+    has_alpha = bool((flat[:, 3] != 255).any())
+    cem = 12 if has_alpha else 8
+    nch = 4 if has_alpha else 3
+    # block mode 66: 4x4 grid, 2-bit plain weights (see tests)
+    bm = 66
+    v = bm | (cem << 13)
+    # implicit endpoint range at 17-bit header, 32 weight bits:
+    n_ep = 2 * ((cem >> 2) + 1)
+    avail = 128 - 32 - 17
+    ep_rng = None
+    for rng_i in range(20, 3, -1):
+        if ise_sequence_bits(n_ep, _EP_RANGES[rng_i]) <= avail:
+            ep_rng = rng_i
+            break
+    assert ep_rng is not None
+    lo = flat.min(axis=0)
+    hi = flat.max(axis=0)
+    lo_q = [quantize_color(ep_rng, int(c)) for c in lo[:nch]]
+    hi_q = [quantize_color(ep_rng, int(c)) for c in hi[:nch]]
+    lo_v = [unquant_color(ep_rng, d, m) for (d, m) in lo_q]
+    hi_v = [unquant_color(ep_rng, d, m) for (d, m) in hi_q]
+    if sum(hi_v[:3]) < sum(lo_v[:3]):  # keep s1 >= s0: no blue-contract
+        lo_q, hi_q = hi_q, lo_q
+        lo_v, hi_v = hi_v, lo_v
+    pairs = []
+    for c in range(nch):
+        pairs += [lo_q[c], hi_q[c]]
+    stream, nbits = _ise_encode(pairs, _EP_RANGES[ep_rng])
+    v |= stream << 17
+    axis = np.array(hi_v, np.float32) - np.array(lo_v, np.float32)
+    denom = float(axis @ axis) or 1.0
+    t = (flat[:, :nch].astype(np.float32) - np.array(lo_v, np.float32)) @ axis
+    t64 = np.clip(t / denom * 64.0, 0, 64)
+    uq = {0: 0, 1: 21, 2: 43, 3: 64}
+    wsel = [min(uq, key=lambda k: abs(uq[k] - x)) for x in t64]
+    wstream = 0
+    for i, wv in enumerate(wsel):
+        wstream |= wv << (2 * i)
+    for i in range(32):
+        if (wstream >> i) & 1:
+            v |= 1 << (127 - i)
+    return v.to_bytes(16, "little")
+
+
+def encode_astc_image(img: np.ndarray) -> bytes:
+    """Fixture-grade 4x4 standard-ASTC payload for an RGBA8 image."""
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape[:2]
+    if h % 4 or w % 4:
+        pad = np.zeros(((h + 3) // 4 * 4, (w + 3) // 4 * 4, 4), np.uint8)
+        pad[:h, :w] = img
+        img = pad
+        h, w = img.shape[:2]
+    out = bytearray()
+    for by in range(h // 4):
+        for bx in range(w // 4):
+            out += encode_astc_block_2ep(
+                img[by * 4:(by + 1) * 4, bx * 4:(bx + 1) * 4])
+    return bytes(out)
 
 
 def decode_block_4x4(p: ASTCBlockParams) -> np.ndarray:

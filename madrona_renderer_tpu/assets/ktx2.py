@@ -35,6 +35,17 @@ _VK_FORMATS = {
     43: (4, True),  # R8G8B8A8_SRGB
 }
 
+# VkFormat VK_FORMAT_ASTC_{W}x{H}_{UNORM,SRGB}_BLOCK → (block_w, block_h).
+# 157 = ASTC_4x4_UNORM; UNORM/SRGB alternate upward through 12x12.
+_ASTC_BLOCK_DIMS = [
+    (4, 4), (5, 4), (5, 5), (6, 5), (6, 6), (8, 5), (8, 6), (8, 8),
+    (10, 5), (10, 6), (10, 8), (10, 10), (12, 10), (12, 12),
+]
+_VK_ASTC_FORMATS = {}
+for _i, (_bw, _bh) in enumerate(_ASTC_BLOCK_DIMS):
+    _VK_ASTC_FORMATS[157 + 2 * _i] = (_bw, _bh, False)
+    _VK_ASTC_FORMATS[158 + 2 * _i] = (_bw, _bh, True)
+
 
 def _zstd_decompress(data: bytes, expected: int) -> bytes:
     try:  # Python >= 3.14
@@ -116,12 +127,19 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     elif supercompression != 0:
         raise NotImplementedError(f"KTX2: supercompression scheme {supercompression}")
 
+    if vk_format in _VK_ASTC_FORMATS:
+        # Standard ASTC payload: decode with the spec-derived LDR block
+        # decoder (the reference accepts ASTC KTX2 through libktx the
+        # same way, src/mgr.cpp:199-212; our bake target is raw RGBA8).
+        bw, bh, srgb = _VK_ASTC_FORMATS[vk_format]
+        from .astc import decode_astc_image
+
+        return decode_astc_image(payload, width, height or 1, bw, bh, srgb)
     if vk_format == 0:
         # vkFormat UNDEFINED without BasisLZ = UASTC (DFD colorModel 166).
-        raise NotImplementedError(
-            "KTX2: UASTC payloads are not supported — re-export as ETC1S "
-            "(BasisLZ), uncompressed, zlib, or zstd KTX2"
-        )
+        from .uastc import decode_uastc_image
+
+        return decode_uastc_image(payload, width, height or 1)
     if vk_format not in _VK_FORMATS:
         raise NotImplementedError(
             f"KTX2: VkFormat {vk_format} not supported (need 8-bit UNORM/SRGB)"
@@ -146,6 +164,20 @@ def decode_ktx2(data: bytes) -> np.ndarray:
 def read_ktx2(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         return decode_ktx2(f.read())
+
+
+def encode_ktx2_payload(payload: bytes, width: int, height: int,
+                        vk_format: int) -> bytes:
+    """Wrap a pre-encoded level-0 payload (ASTC/UASTC blocks, raw texels)
+    in a minimal single-level KTX2 container (fixture writer for tests;
+    vk_format 0 = UASTC per the KTX2 convention)."""
+    header = _KTX2_MAGIC + struct.pack(
+        "<9I", vk_format, 1, width, height, 0, 0, 1, 1, 0
+    )
+    index_fixed = struct.pack("<2I2I2Q", 0, 0, 0, 0, 0, 0)
+    data_offset = len(header) + len(index_fixed) + 24
+    level_index = struct.pack("<3Q", data_offset, len(payload), len(payload))
+    return header + index_fixed + level_index + payload
 
 
 def encode_ktx2_rgba8(image: np.ndarray, srgb: bool = False) -> bytes:

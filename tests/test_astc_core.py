@@ -208,3 +208,18 @@ def test_decode_block_dual_plane_overrides_one_channel():
     out = astc.decode_block_4x4(blk)
     assert (out[..., 0] == 0).all() and (out[..., 1] == 0).all()
     assert (out[..., 2] == 255).all()  # blue rides plane 1
+
+
+def test_ise_encode_decode_roundtrip_random():
+    rng = np.random.RandomState(7)
+    for cfg in astc._EP_RANGES[4:] + astc._WT_RANGES:
+        levels, nbits, trits, quints = cfg
+        maxd = 2 if trits else (4 if quints else 0)
+        for count in (1, 2, 3, 5, 6, 12, 16, 18):
+            pairs = [(int(rng.randint(0, maxd + 1)),
+                      int(rng.randint(0, 1 << nbits)))
+                     for _ in range(count)]
+            stream, nb = astc._ise_encode(pairs, cfg)
+            assert nb == astc.ise_sequence_bits(count, cfg)
+            r = astc.BitReader(stream.to_bytes((nb + 7) // 8 + 1, "little"))
+            assert astc._ise_decode(r, count, cfg) == pairs
