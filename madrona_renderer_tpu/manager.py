@@ -219,8 +219,10 @@ class Manager:
                 render_kwargs["watertight"] = cfg.watertight
             elif cfg.watertight:
                 raise NotImplementedError(
-                    "watertight=True requires impl='jnp' (the Pallas "
-                    "kernel keeps the ε-slack sweep — docs/design.md)"
+                    "watertight=True with an explicit impl='pallas' is "
+                    "contradictory: the watertight intersector is a "
+                    "jnp-tier quality feature (docs/design.md). Use "
+                    "impl='auto' (routes to jnp) or impl='jnp'."
                 )
         else:
             try:
@@ -246,8 +248,10 @@ class Manager:
                 render_kwargs["watertight"] = cfg.watertight
             elif cfg.watertight:
                 raise NotImplementedError(
-                    "watertight=True requires impl='jnp' (the Pallas "
-                    "kernel keeps the ε-slack sweep — docs/design.md)"
+                    "watertight=True with an explicit impl='pallas' is "
+                    "contradictory: the watertight intersector is a "
+                    "jnp-tier quality feature (docs/design.md). Use "
+                    "impl='auto' (routes to jnp) or impl='jnp'."
                 )
 
         cam_w, cam_slot = self._j_cam_w, self._j_cam_slot
@@ -303,6 +307,13 @@ class Manager:
     def _resolve_impl(self) -> str:
         impl = self.cfg.impl
         if impl == "auto":
+            if self.cfg.watertight:
+                # The Woop watertight intersector is a quality tier of
+                # the jnp path only; under 'auto' the config routes
+                # there instead of raising (VERDICT r3 #5 — the Pallas
+                # sweep keeps the ε-slack fast path, docs/design.md).
+                # An explicit impl='pallas' + watertight still raises.
+                return "jnp"
             platform = self.device.platform
             return "pallas" if platform in ("tpu", "axon") else "jnp"
         return impl
