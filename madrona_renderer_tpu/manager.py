@@ -359,6 +359,16 @@ class Manager:
             self.state, self.scene
         )
 
+    def refresh_frames(self) -> None:
+        """Re-render from the current state + mirror writes WITHOUT
+        keeping the advanced state — the paused viewer's fly camera
+        re-renders through this (the compiled program is the step fn,
+        so dynamic scenes preview one step ahead while paused; the
+        kept simulation state does not move)."""
+        self._upload_mirrors()
+        safe = jax.tree.map(jnp.array, self.state)
+        _, self._frames, self._flat_frames = self._step_fn(safe, self.scene)
+
     # Functional API — the TPU-idiomatic path (no host round-trips):
     def step_state(self, state: SimState):
         """Pure step: (state) → (state', frames, flat_frames).

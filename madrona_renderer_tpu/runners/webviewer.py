@@ -47,7 +47,10 @@ _PAGE = """<!doctype html>
 <div style="margin-top:6px">
   <kbd>&larr;/&rarr;</kbd> world &nbsp; <kbd>&uarr;/&darr;</kbd> view
   &nbsp; <kbd>space</kbd> pause &nbsp; <kbd>d</kbd> depth
-  &nbsp; <kbd>q</kbd> quit
+  &nbsp; <kbd>q</kbd> quit<br>
+  <kbd>f</kbd> fly &nbsp; <kbd>w/a/s/d</kbd> move &nbsp;
+  <kbd>r/c</kbd> up/down &nbsp; <kbd>drag/arrows</kbd> look &nbsp;
+  <kbd>+/-</kbd> speed
 </div>
 <script>
 const img = document.getElementById('frame');
@@ -65,15 +68,32 @@ async function refresh() {
     const s = JSON.parse(r.headers.get('X-Viewer-State'));
     hud.textContent = `world ${s.world}/${s.num_worlds - 1}  ` +
       `view ${s.view}/${s.num_views - 1}` +
-      (s.depth ? '  [depth]' : '') + (s.paused ? '  [paused]' : '');
+      (s.depth ? '  [depth]' : '') + (s.paused ? '  [paused]' : '') +
+      (s.fly ? `  [fly ${s.fly_speed.toFixed(1)}]` : '');
   } catch (e) { /* server gone */ }
   setTimeout(refresh, 50);
 }
 const keymap = {ArrowLeft: 'left', ArrowRight: 'right', ArrowUp: 'up',
-                ArrowDown: 'down', ' ': ' ', d: 'd', q: 'q'};
+                ArrowDown: 'down', ' ': ' ', d: 'd', q: 'q', f: 'f',
+                w: 'w', a: 'a', s: 's', r: 'r', c: 'c',
+                '+': '+', '=': '=', '-': '-'};
 document.addEventListener('keydown', (e) => {
   const k = keymap[e.key];
   if (k !== undefined) { e.preventDefault(); fetch('/key?k=' + encodeURIComponent(k)); }
+});
+// mouse-drag look (fly mode): drag on the frame rotates the camera
+let dragging = false, lastX = 0, lastY = 0;
+img.addEventListener('mousedown', (e) => {
+  dragging = true; lastX = e.clientX; lastY = e.clientY; e.preventDefault();
+});
+document.addEventListener('mouseup', () => { dragging = false; });
+document.addEventListener('mousemove', (e) => {
+  if (!dragging) return;
+  const dx = e.clientX - lastX, dy = e.clientY - lastY;
+  lastX = e.clientX; lastY = e.clientY;
+  // +dx drag right -> yaw right (negative yaw), +dy drag down -> pitch down
+  fetch('/key?k=' + encodeURIComponent(
+    `look:${(-dx * 0.005).toFixed(4)}:${(-dy * 0.005).toFixed(4)}`));
 });
 refresh();
 </script></body></html>
@@ -97,6 +117,8 @@ class ViewerServer:
             "view": v.view,
             "paused": v.paused,
             "depth": v.show_depth,
+            "fly": v.fly,
+            "fly_speed": v.fly_speed,
             "num_worlds": v.mgr.cfg.num_worlds,
             "num_views": v.mgr.state.max_cameras,
         }
