@@ -135,8 +135,12 @@ _TRI_ROWS = 32
 # TEX_FB_ROWS: resident fallback region (every texture's coarse chain).
 # TEX_PAGE_ROWS: the per-tile DMA window over the fine pool.
 TEX_RESIDENT_ROWS = 128
-TEX_FB_ROWS = 64
-TEX_PAGE_ROWS = 128
+# Env-tunable for on-chip A/Bs (VERDICT r3 #6: a smaller resident
+# fallback region / page window are untested paged-texture levers).
+# Read once at import — A/B these across PROCESSES, not within one.
+TEX_FB_ROWS = int(os.environ.get("MRT_TEX_FB_ROWS", "64"))
+TEX_PAGE_ROWS = int(os.environ.get("MRT_TEX_PAGE_ROWS", "128"))
+assert TEX_FB_ROWS in (16, 32, 64, 128) and TEX_PAGE_ROWS in (32, 64, 128, 256)
 
 
 def _mip_next(img: np.ndarray) -> np.ndarray:

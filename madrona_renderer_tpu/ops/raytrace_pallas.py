@@ -759,6 +759,7 @@ def _render_kernel(
     uv_defer: bool = False,
     wpp: int = 1,
     tpp: int = 1,
+    seeded: bool = False,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -923,6 +924,13 @@ def _render_kernel(
             mp_ref, pool_ref, *rest = rest
         elif tex_paged:
             mp_ref, fb_ref, pool_hbm_ref, *rest = rest
+        seed_ref = None
+        if seeded:
+            # Per-pixel best_t seed (tile layout, same blocks as the
+            # outputs): an upper-bound hint — pixels whose true nearest
+            # hit lies beyond their seed decode as misses, so callers
+            # must seed conservatively (see render_core seed_t docs).
+            seed_ref, *rest = rest
         rgb_ref = mat_ref = u_ref = v_ref = nx_ref = ny_ref = nz_ref = None
         if shaded or textured or tex_paged:
             t_ref, z_ref, idx_ref, rgb_ref = rest
@@ -943,6 +951,7 @@ def _render_kernel(
             t_ref=t_ref, z_ref=z_ref, idx_ref=idx_ref, rgb_ref=rgb_ref,
             mat_ref=mat_ref, u_ref=u_ref, v_ref=v_ref,
             nx_ref=nx_ref, ny_ref=ny_ref, nz_ref=nz_ref,
+            seed_ref=seed_ref,
         ):
             if wpp > 1 or tpp > 1:
                 row = slice(wi, wi + 1)
@@ -962,6 +971,8 @@ def _render_kernel(
                 t_ref = t_ref.at[row, crop]
                 z_ref = z_ref.at[row, crop]
                 idx_ref = idx_ref.at[row, crop]
+                if seed_ref is not None:
+                    seed_ref = seed_ref.at[row, crop]
                 if rgb_ref is not None:
                     rgb_ref = rgb_ref.at[row, crop]
                 else:
@@ -1040,8 +1051,15 @@ def _render_kernel(
             # in every sweep variant — and min(best_t, far) in the
             # occlusion gates collapses to best_t. Miss pixels keep
             # best_idx == -1 (the hit test everywhere downstream).
+            if seeded:
+                # Seeded best_t: a per-pixel upper bound on the search
+                # window. min(seed, far) preserves the miss semantics
+                # (accepted hits always have t < far).
+                bt0 = jnp.minimum(seed_ref[0], far)
+            else:
+                bt0 = jnp.broadcast_to(far, (tile_sub, _TILE_LANE))
             init = (
-                jnp.broadcast_to(far, (tile_sub, _TILE_LANE)),  # best_t
+                bt0,  # best_t
                 jnp.full((tile_sub, _TILE_LANE), -1, jnp.int32),  # best_idx
                 zero,  # mat (as f32)
                 zero,  # uvx
@@ -3616,6 +3634,36 @@ def _batched_kernel(
     return kernel
 
 
+def _pack_seed_tiles(x, tiles_x, tiles_y, tile_sub, tile_rps, tile_cols,
+                     p_pad):
+    """Image-space [WC, H, W] → kernel tile layout [WC, n_tiles·tile_sub,
+    128] (the exact inverse of render_core's output `unpack`). Padding
+    positions get 0.0: a zero best_t seed makes padding lanes inert
+    (they accept no hit and never hold the occlusion early-exit back)."""
+    WC, height, width = x.shape
+    if tiles_x > 1 and tile_rps > 1:
+        full = jnp.zeros(
+            (WC, tiles_y * tile_sub * tile_rps, tiles_x * tile_cols),
+            x.dtype,
+        )
+        full = full.at[:, :height, :width].set(x)
+        full = full.reshape(WC, tiles_y, tile_sub, tile_rps, tiles_x,
+                            tile_cols)
+        full = full.transpose(0, 1, 4, 2, 3, 5)
+        return full.reshape(WC, tiles_y * tiles_x * tile_sub, _TILE_LANE)
+    if tiles_x > 1:
+        full = jnp.zeros(
+            (WC, tiles_y * tile_sub, tiles_x * _TILE_LANE), x.dtype
+        )
+        full = full.at[:, :height, :width].set(x)
+        full = full.reshape(WC, tiles_y, tile_sub, tiles_x, _TILE_LANE)
+        full = full.transpose(0, 1, 3, 2, 4)
+        return full.reshape(WC, tiles_y * tiles_x * tile_sub, _TILE_LANE)
+    flat = x.reshape(WC, height * width)
+    flat = jnp.pad(flat, ((0, 0), (0, p_pad - height * width)))
+    return flat.reshape(WC, p_pad // _TILE_LANE, _TILE_LANE)
+
+
 def render_core(
     state: SimState,
     scene: SceneData,
@@ -3630,6 +3678,7 @@ def render_core(
     raster_clip: bool = False,
     texture_filter: str = "nearest",
     shadows: bool = False,
+    seed_t: "jnp.ndarray | None" = None,
 ):
     """Run the kernel over all views. Returns dict of [W, C, P] arrays:
     (t, z, idx, rgb) when the scene is untextured (in-kernel shading) or
@@ -3761,6 +3810,21 @@ def render_core(
         tiles_y = 0
         n_tiles = -(-P // tile_pix)
     p_pad = n_tiles * tile_pix
+
+    # Optional per-pixel best_t seed (experimental, VERDICT r3 #3):
+    # seed_t [W, C, H, W] (or [W, C, P]) initializes each pixel's search
+    # window upper bound. Seeding below the true nearest hit turns the
+    # pixel into a miss — callers must seed conservatively (exact
+    # previous depth × (1+ε) is the oracle experiment). Padding lanes
+    # seed at 0 so they never obstruct the tile occlusion early-exit.
+    seed_packed = None
+    if seed_t is not None:
+        if accel == "mxu":
+            raise ValueError("seed_t is not supported with accel='mxu'")
+        seed_packed = _pack_seed_tiles(
+            seed_t.reshape(WC, height, width).astype(jnp.float32),
+            tiles_x, tiles_y, tile_sub, tile_rps, tile_cols, p_pad,
+        )
 
     if tex_inkernel:
         # Per-material param table [8, 128] (lanes = materials):
@@ -4196,6 +4260,7 @@ def render_core(
             tri_ranges=tri_ranges, tri_tie=tri_tie,
             win_sort=win_sort, uv_defer=uv_defer,
             wpp=wpp, tpp=tpp,
+            seeded=seed_packed is not None,
         )
         if wpp > 1 or tpp > 1:
             cl = _lane_pad(cl)
@@ -4349,6 +4414,9 @@ def render_core(
         attr_specs, attr_inputs = [], ()
         if defer_attrs:
             attr_specs, attr_inputs = [attr_spec], (attrs,)
+        if seed_packed is not None:
+            extra_in_specs = list(extra_in_specs) + [out_spec]
+            extra_inputs = tuple(extra_inputs) + (seed_packed,)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -4374,14 +4442,19 @@ def render_core(
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
             uv_defer=uv_defer,
             wpp=wpp, tpp=tpp,
+            seeded=seed_packed is not None,
         )
         attr_specs, attr_inputs = [], ()
         if defer_attrs:
             attr_specs, attr_inputs = [attr_spec], (attrs,)
+        seed_specs, seed_inputs = [], ()
+        if seed_packed is not None:
+            seed_specs, seed_inputs = [out_spec], (seed_packed,)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec] + attr_specs + [cam_spec] + tex_in_specs,
+            in_specs=([tri_spec] + attr_specs + [cam_spec] + tex_in_specs
+                      + seed_specs),
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=(
@@ -4389,7 +4462,7 @@ def render_core(
                  pltpu.SemaphoreType.DMA] if tex_paged else []
             ),
             interpret=interpret,
-        )(tris, *attr_inputs, cams, *tex_inputs)
+        )(tris, *attr_inputs, cams, *tex_inputs, *seed_inputs)
 
     def unpack(x):
         if tiles_x > 1 and tile_rps > 1:
@@ -4492,14 +4565,19 @@ def raytrace(
     texture_filter: str = "nearest",
     accel: str = "auto",  # "auto" | "none" | "clusters" | "binned" | "mxu"
     shadows: bool = False,
+    seed_t: "jnp.ndarray | None" = None,
 ) -> Frames:
     """Drop-in replacement for ``raytrace_ref.raytrace``; see module
-    docstring for the kernel design."""
+    docstring for the kernel design.
+
+    ``seed_t`` (experimental): per-pixel [W, C, H, W] upper bound on the
+    ray-t search window — see render_core. Seeding with the exact
+    previous depth ×(1+ε) is the oracle for prepass/warm-start schemes."""
     del chunk
     core, T = render_core(
         state, scene, height=height, width=width, near=near, far=far,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
-        texture_filter=texture_filter, shadows=shadows,
+        texture_filter=texture_filter, shadows=shadows, seed_t=seed_t,
     )
     return _frames_from_core(
         core, T, scene, state, height, width, texture_filter, depth_key="t",

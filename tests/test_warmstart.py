@@ -1,0 +1,79 @@
+"""Warm-start exactness: merged two-pass render == unseeded, bitwise,
+for exact, stale, garbage, and adversarial seeds (ops/warmstart.py)."""
+
+import os
+import sys
+
+import dataclasses
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from madrona_renderer_tpu.ops.quat import quat_multiply, quat_normalize
+from madrona_renderer_tpu.ops.raytrace_pallas import raytrace
+from madrona_renderer_tpu.ops.warmstart import raytrace_warmstart
+
+
+@pytest.fixture(scope="module")
+def terrain():
+    from tpu_binned_bench import build_scene
+
+    return build_scene(2, 48)
+
+
+def _assert_frames_equal(fa, fb):
+    for fld in dataclasses.fields(fa):
+        a, b = getattr(fa, fld.name), getattr(fb, fld.name)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=fld.name)
+
+
+KW = dict(height=128, width=128, accel="binned")
+
+
+def test_exact_prev_depth_bitwise(terrain):
+    state, scene = terrain
+    f0 = raytrace(state, scene, **KW)
+    fw = raytrace_warmstart(state, scene, prev_depth=f0.depth, **KW)
+    _assert_frames_equal(fw, f0)
+
+
+def test_stale_prev_depth_bitwise(terrain):
+    # Move the scene after capturing the depth: the warm start must
+    # still reproduce the cold render exactly (silhouette pixels go
+    # through the repair pass).
+    state, scene = terrain
+    f_prev = raytrace(state, scene, **KW)
+    half = jnp.float32(0.05)
+    dq = jnp.array([jnp.cos(half), 0.0, 0.0, jnp.sin(half)], jnp.float32)
+    moved = dataclasses.replace(
+        state,
+        instance_rot=quat_normalize(quat_multiply(dq, state.instance_rot)),
+    )
+    f0 = raytrace(moved, scene, **KW)
+    fw = raytrace_warmstart(moved, scene, prev_depth=f_prev.depth, **KW)
+    _assert_frames_equal(fw, f0)
+
+
+@pytest.mark.parametrize("seedval", [0.0, 1e-3, 0.5, 999.0, 1000.0, 2000.0])
+def test_garbage_seeds_bitwise(terrain, seedval):
+    state, scene = terrain
+    f0 = raytrace(state, scene, **KW)
+    prev = jnp.full((2, 1, 128, 128), seedval, jnp.float32)
+    fw = raytrace_warmstart(state, scene, prev_depth=prev, **KW)
+    _assert_frames_equal(fw, f0)
+
+
+def test_adversarial_random_seeds_bitwise(terrain):
+    state, scene = terrain
+    f0 = raytrace(state, scene, **KW)
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(
+        rng.uniform(0.0, 1200.0, size=(2, 1, 128, 128)).astype(np.float32))
+    fw = raytrace_warmstart(state, scene, prev_depth=prev, **KW)
+    _assert_frames_equal(fw, f0)
