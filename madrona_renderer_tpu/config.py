@@ -205,6 +205,12 @@ class ManagerConfig:
     # crack-free quality tier. jnp impl only (the Pallas kernel keeps
     # the ε-slack sweep); None = env MRT_WATERTIGHT decides.
     watertight: "bool | None" = None
+    # Temporal depth warm-start (ops/warmstart.py): seeds each step's
+    # ray search windows with the previous frame's depth and repairs
+    # misses in a second pass — output stays bitwise-equal to a cold
+    # render for any scene motion. Raytracer + Pallas impl only
+    # (a beyond-reference performance tier).
+    warmstart: bool = False
     # Mip-mapped textures: True / False / "auto" (on iff the texel pool
     # exceeds the kernel's resident budget). The reference's hardware
     # samplers mip implicitly (src/mgr.cpp:352-354); see ops/mips.py.

@@ -175,9 +175,19 @@ class Manager:
         self._j_cam_slot = jnp.asarray(self._cam_slot, jnp.int32)
 
         # --- Build + AOT-compile the step program ---
+        self._uses_warmstart = bool(cfg.warmstart)
         self._step_fn = self._build_step_fn()
         self._frames: Optional[Frames] = None
         self._flat_frames = None
+        self._prev_depth = None
+        if self._uses_warmstart:
+            W = cfg.num_worlds
+            C = self.state.max_cameras
+            self._prev_depth = jnp.full(
+                (W, C, cfg.batch_render_view_height,
+                 cfg.batch_render_view_width),
+                cfg.far_plane, jnp.float32,
+            )
 
         # HIDESEEK_NUM_AGENTS env hook kept for drop-in compatibility
         # (reference src/mgr.cpp:516-522).
@@ -213,6 +223,13 @@ class Manager:
                 texture_filter=cfg.texture_filter,
                 shadows=cfg.shadows,
             )
+            if cfg.warmstart and (impl != "pallas" or cfg.num_devices > 1):
+                raise NotImplementedError(
+                    "warmstart=True needs the Pallas raytracer on a single "
+                    "device (impl='pallas'/'auto' on TPU, num_devices=1) — "
+                    "the seeded search window is a kernel feature "
+                    "(ops/warmstart.py)"
+                )
             if impl != "pallas":
                 # Quality-tier intersector (jnp path only): the Pallas
                 # kernel keeps the ε-slack sweep (docs/design.md).
@@ -225,6 +242,11 @@ class Manager:
                     "impl='auto' (routes to jnp) or impl='jnp'."
                 )
         else:
+            if cfg.warmstart:
+                raise NotImplementedError(
+                    "warmstart=True is a Raytracer feature (the raster "
+                    "path has no segmask to drive the repair pass)"
+                )
             try:
                 if impl == "pallas":
                     from .ops.raster_pallas import rasterize as render
@@ -272,11 +294,25 @@ class Manager:
             carry["state"] = dataclasses.replace(state, time=state.time + TIME_DELTA)
             return carry
 
-        def render_sys(carry):
-            # Render setup (instance/view gather) + render fused: XLA fuses
-            # what the reference split into renderSetupGraph + renderGraph.
-            carry["frames"] = render(carry["state"], carry["scene"], **render_kwargs)
-            return carry
+        if cfg.warmstart:
+            from .ops.warmstart import raytrace_warmstart
+
+            def render_sys(carry):
+                # Warm-started render: seeds from the previous frame's
+                # depth, repairs misses — bitwise-equal to a cold render
+                # (ops/warmstart.py).
+                carry["frames"] = raytrace_warmstart(
+                    carry["state"], carry["scene"],
+                    prev_depth=carry["prev_depth"], **render_kwargs)
+                return carry
+        else:
+            def render_sys(carry):
+                # Render setup (instance/view gather) + render fused: XLA
+                # fuses what the reference split into renderSetupGraph +
+                # renderGraph.
+                carry["frames"] = render(
+                    carry["state"], carry["scene"], **render_kwargs)
+                return carry
 
         def export_flatten_sys(carry):
             # Flat [total_cams, ...] export views.
@@ -297,10 +333,17 @@ class Manager:
         render_builder.add_to_graph(export_flatten_sys, deps=(r_node,))
         run_graphs = tg.build_sequence()
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def step_fn(state: SimState, scene: SceneData):
-            carry = run_graphs({"state": state, "scene": scene})
-            return carry["state"], carry["frames"], carry["flat"]
+        if cfg.warmstart:
+            @partial(jax.jit, donate_argnums=(0,))
+            def step_fn(state: SimState, scene: SceneData, prev_depth):
+                carry = run_graphs({"state": state, "scene": scene,
+                                    "prev_depth": prev_depth})
+                return carry["state"], carry["frames"], carry["flat"]
+        else:
+            @partial(jax.jit, donate_argnums=(0,))
+            def step_fn(state: SimState, scene: SceneData):
+                carry = run_graphs({"state": state, "scene": scene})
+                return carry["state"], carry["frames"], carry["flat"]
 
         return step_fn
 
@@ -352,12 +395,17 @@ class Manager:
         if updates:
             self.state = dataclasses.replace(self.state, **updates)
 
+    def _step_args(self):
+        return ((self._prev_depth,) if self._uses_warmstart else ())
+
     def step(self) -> None:
         """Advance one step and render all views (OO path with mirrors)."""
         self._upload_mirrors()
         self.state, self._frames, self._flat_frames = self._step_fn(
-            self.state, self.scene
+            self.state, self.scene, *self._step_args()
         )
+        if self._uses_warmstart:
+            self._prev_depth = self._frames.depth
 
     def refresh_frames(self) -> None:
         """Re-render from the current state + mirror writes WITHOUT
@@ -367,23 +415,29 @@ class Manager:
         kept simulation state does not move)."""
         self._upload_mirrors()
         safe = jax.tree.map(jnp.array, self.state)
-        _, self._frames, self._flat_frames = self._step_fn(safe, self.scene)
+        _, self._frames, self._flat_frames = self._step_fn(
+            safe, self.scene, *self._step_args()
+        )
 
     # Functional API — the TPU-idiomatic path (no host round-trips):
-    def step_state(self, state: SimState):
+    def step_state(self, state: SimState, prev_depth=None):
         """Pure step: (state) → (state', frames, flat_frames).
 
         NOTE: ``state``'s buffers are donated (consumed) — use the returned
         state afterwards. Pass ``state.copy()``-style fresh buffers if you
-        need to keep the input alive.
+        need to keep the input alive. With ``warmstart=True`` pass the
+        previous frames' depth (defaults to the Manager's carried one).
         """
+        if self._uses_warmstart:
+            prev = prev_depth if prev_depth is not None else self._prev_depth
+            return self._step_fn(state, self.scene, prev)
         return self._step_fn(state, self.scene)
 
     def render_state(self, state: SimState) -> Frames:
         """Render a state without consuming it (the step program donates
         its input, so hand it a copy)."""
         safe = jax.tree.map(jnp.array, state)
-        _, frames, _ = self._step_fn(safe, self.scene)
+        _, frames, _ = self._step_fn(safe, self.scene, *self._step_args())
         return frames
 
     # ------------------------------------------------------------------ #

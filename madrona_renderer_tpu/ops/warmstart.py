@@ -41,22 +41,22 @@ def raytrace_warmstart(
     *,
     prev_depth,
     slack: float = 1.01,
-    far: float = 1000.0,
     **kw,
 ):
     """Render with a previous-frame depth warm start; bitwise-equal to
-    ``raytrace(state, scene, far=far, **kw)`` for ANY ``prev_depth``.
+    ``raytrace(state, scene, **kw)`` for ANY ``prev_depth``.
 
     prev_depth: [W, C, H, W] ray-t values (a previous Frames.depth).
     slack: multiplicative headroom for inter-frame motion; larger values
     repair fewer pixels but cull less.
     """
+    far = float(kw.get("far", 1000.0))
     seed = jnp.minimum(prev_depth.astype(jnp.float32) * slack, far)
-    f1 = raytrace(state, scene, far=far, seed_t=seed, **kw)
+    f1 = raytrace(state, scene, seed_t=seed, **kw)
     # Suspect = missed under a finite window (true hit may be beyond it).
     suspect = (f1.segmask < 0) & (seed < far)
     seed2 = jnp.where(suspect, jnp.float32(far), jnp.float32(0.0))
-    f2 = raytrace(state, scene, far=far, seed_t=seed2, **kw)
+    f2 = raytrace(state, scene, seed_t=seed2, **kw)
 
     def merge(a, b):
         m = suspect

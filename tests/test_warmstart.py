@@ -77,3 +77,51 @@ def test_adversarial_random_seeds_bitwise(terrain):
         rng.uniform(0.0, 1200.0, size=(2, 1, 128, 128)).astype(np.float32))
     fw = raytrace_warmstart(state, scene, prev_depth=prev, **KW)
     _assert_frames_equal(fw, f0)
+
+
+def test_manager_warmstart_bitwise_over_steps():
+    """Manager(warmstart=True) steps bit-identically to the cold
+    Manager, including under in-place transform mutation."""
+    from tests.fixtures import ensure_fixtures, smoke_scene
+    import madrona_renderer_tpu as m
+
+    kw = smoke_scene(ensure_fixtures())
+
+    def run(warm):
+        r = m.MadronaRenderer(
+            gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
+            batch_render_view_width=32, batch_render_view_height=32,
+            impl="pallas", warmstart=warm, **kw)
+        out = []
+        for i in range(3):
+            pos = r.instance_position_tensor().to_torch()
+            pos[0][2] += 2.0 * (i + 1)
+            r.step()
+            out.append((r.rgb_tensor().numpy().copy(),
+                        r.depth_tensor().numpy().copy(),
+                        r.segmask_tensor().numpy().copy()))
+        return out
+
+    cold = run(False)
+    warm = run(True)
+    for (cr, cd, cs), (wr, wd, ws) in zip(cold, warm):
+        np.testing.assert_array_equal(cr, wr)
+        np.testing.assert_array_equal(cd, wd)
+        np.testing.assert_array_equal(cs, ws)
+
+
+def test_manager_warmstart_gates():
+    from tests.fixtures import ensure_fixtures, smoke_scene
+    import madrona_renderer_tpu as m
+
+    kw = smoke_scene(ensure_fixtures())
+    with pytest.raises(NotImplementedError, match="Pallas"):
+        m.MadronaRenderer(
+            gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
+            batch_render_view_width=16, batch_render_view_height=16,
+            impl="jnp", warmstart=True, **kw)
+    with pytest.raises(NotImplementedError, match="Raytracer"):
+        m.MadronaRenderer(
+            gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Rasterizer,
+            batch_render_view_width=16, batch_render_view_height=16,
+            impl="pallas", warmstart=True, **kw)
