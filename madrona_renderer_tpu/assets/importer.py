@@ -65,7 +65,10 @@ class ImageImporter:
     def __init__(self) -> None:
         self._handlers: Dict[str, Callable[[bytes], np.ndarray]] = {
             "png": decode_png,
-            "ktx2": decode_ktx2,
+            # Multi-level KTX2 files yield their author-provided mip
+            # pyramid (ktx2.MipChain); bake_scene uses those levels
+            # verbatim instead of regenerating them (libktx parity).
+            "ktx2": lambda b: decode_ktx2(b, all_levels=True),
         }
         # Prefer the native C++ decoder when available (identical output,
         # cross-checked by tests; MRT_NATIVE=0 disables).

@@ -65,8 +65,33 @@ def _zstd_decompress(data: bytes, expected: int) -> bytes:
         ) from e
 
 
-def decode_ktx2(data: bytes) -> np.ndarray:
-    """Decode KTX2 bytes → RGBA8 [H, W, 4] (base mip level only)."""
+class MipChain:
+    """An author-provided mip pyramid from a container (level 0 first).
+
+    bake_scene uses these levels verbatim instead of regenerating them
+    by box filter (libktx uploads the file's own levels the same way,
+    reference ``src/mgr.cpp:199-212``); consumers that only want the
+    base image read ``.base``.
+    """
+
+    def __init__(self, levels: list):
+        assert levels
+        self.levels = list(levels)
+
+    @property
+    def base(self) -> np.ndarray:
+        return self.levels[0]
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+
+def decode_ktx2(data: bytes, all_levels: bool = False):
+    """Decode KTX2 bytes → RGBA8 [H, W, 4] (base level), or — with
+    ``all_levels=True`` and a multi-level file — a MipChain of every
+    stored level (BasisLZ files stay base-only: their slice streams are
+    per-image, outside the documented subset)."""
     if data[:12] != _KTX2_MAGIC:
         raise ValueError("not a KTX2 file")
     if len(data) < 12 + 36 + 32 + 24:
@@ -86,9 +111,10 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     # then levelCount * (u64 byteOffset, byteLength, uncompressedByteLength).
     level_index_off = 12 + 36 + 2 * 4 + 2 * 4 + 2 * 8
     levels = max(level_count, 1)
+    if len(data) < level_index_off + 24 * levels:
+        raise ValueError("truncated KTX2 file (level index)")
     level0 = struct.unpack_from("<3Q", data, level_index_off)
     byte_offset, byte_length, uncompressed_length = level0
-    del levels
     # Bounds-check byte ranges before slicing: Python slices silently
     # truncate, which would surface a corrupt file as an opaque downstream
     # decode error (or empty buffers for a bogus huge offset).
@@ -119,51 +145,90 @@ def decode_ktx2(data: bytes) -> np.ndarray:
             height or 1,
         )
 
-    payload = data[byte_offset : byte_offset + byte_length]
-    if supercompression == 2:
-        payload = _zstd_decompress(payload, uncompressed_length or (width * height * 4))
-    elif supercompression == 3:
-        payload = zlib.decompress(payload)
-    elif supercompression != 0:
-        raise NotImplementedError(f"KTX2: supercompression scheme {supercompression}")
+    def decode_level(level: int) -> np.ndarray:
+        lw = max(width >> level, 1)
+        lh = max((height or 1) >> level, 1)
+        off, length, unc = struct.unpack_from(
+            "<3Q", data, level_index_off + 24 * level)
+        if off + length > len(data):
+            raise ValueError(
+                f"truncated KTX2 file (level {level} data out of range)")
+        payload = data[off : off + length]
+        if supercompression == 2:
+            payload = _zstd_decompress(payload, unc or (lw * lh * 4))
+        elif supercompression == 3:
+            payload = zlib.decompress(payload)
+        elif supercompression != 0:
+            raise NotImplementedError(
+                f"KTX2: supercompression scheme {supercompression}")
 
-    if vk_format in _VK_ASTC_FORMATS:
-        # Standard ASTC payload: decode with the spec-derived LDR block
-        # decoder (the reference accepts ASTC KTX2 through libktx the
-        # same way, src/mgr.cpp:199-212; our bake target is raw RGBA8).
-        bw, bh, srgb = _VK_ASTC_FORMATS[vk_format]
-        from .astc import decode_astc_image
+        if vk_format in _VK_ASTC_FORMATS:
+            # Standard ASTC payload: decode with the spec-derived LDR
+            # block decoder (the reference accepts ASTC KTX2 through
+            # libktx the same way, src/mgr.cpp:199-212; our bake target
+            # is raw RGBA8).
+            bw, bh, srgb = _VK_ASTC_FORMATS[vk_format]
+            from .astc import decode_astc_image
 
-        return decode_astc_image(payload, width, height or 1, bw, bh, srgb)
-    if vk_format == 0:
-        # vkFormat UNDEFINED without BasisLZ = UASTC (DFD colorModel 166).
-        from .uastc import decode_uastc_image
+            return decode_astc_image(payload, lw, lh, bw, bh, srgb)
+        if vk_format == 0:
+            # vkFormat UNDEFINED without BasisLZ = UASTC (DFD 166).
+            from .uastc import decode_uastc_image
 
-        return decode_uastc_image(payload, width, height or 1)
-    if vk_format not in _VK_FORMATS:
-        raise NotImplementedError(
-            f"KTX2: VkFormat {vk_format} not supported (need 8-bit UNORM/SRGB)"
-        )
-    channels, _srgb = _VK_FORMATS[vk_format]
-    if height == 0:
-        height = 1
-    img = np.frombuffer(payload, np.uint8)[: width * height * channels]
-    img = img.reshape(height, width, channels)
-    out = np.zeros((height, width, 4), np.uint8)
-    out[..., 3] = 255
-    if channels == 1:
-        out[..., 0] = out[..., 1] = out[..., 2] = img[..., 0]
-    elif channels == 2:
-        out[..., 0] = out[..., 1] = out[..., 2] = img[..., 0]
-        out[..., 3] = img[..., 1]
-    else:
-        out[..., :channels] = img
-    return out
+            return decode_uastc_image(payload, lw, lh)
+        if vk_format not in _VK_FORMATS:
+            raise NotImplementedError(
+                f"KTX2: VkFormat {vk_format} not supported "
+                "(need 8-bit UNORM/SRGB, ASTC, UASTC, or BasisLZ)"
+            )
+        channels, _srgb = _VK_FORMATS[vk_format]
+        img = np.frombuffer(payload, np.uint8)[: lw * lh * channels]
+        if img.size < lw * lh * channels:
+            raise ValueError(f"truncated KTX2 level {level} payload")
+        img = img.reshape(lh, lw, channels)
+        out = np.zeros((lh, lw, 4), np.uint8)
+        out[..., 3] = 255
+        if channels == 1:
+            out[..., 0] = out[..., 1] = out[..., 2] = img[..., 0]
+        elif channels == 2:
+            out[..., 0] = out[..., 1] = out[..., 2] = img[..., 0]
+            out[..., 3] = img[..., 1]
+        else:
+            out[..., :channels] = img
+        return out
+
+    base = decode_level(0)
+    if not all_levels or levels == 1:
+        return base
+    return MipChain([base] + [decode_level(l) for l in range(1, levels)])
 
 
-def read_ktx2(path: str) -> np.ndarray:
+def read_ktx2(path: str, all_levels: bool = False):
     with open(path, "rb") as f:
-        return decode_ktx2(f.read())
+        return decode_ktx2(f.read(), all_levels=all_levels)
+
+
+def encode_ktx2_rgba8_mips(levels: list, srgb: bool = False) -> bytes:
+    """Encode an explicit RGBA8 mip pyramid (level 0 first) into a
+    multi-level KTX2 container (fixture writer; no supercompression)."""
+    imgs = [np.ascontiguousarray(np.asarray(im, np.uint8)) for im in levels]
+    h, w, c = imgs[0].shape
+    assert c == 4
+    vk_format = 43 if srgb else 37
+    header = _KTX2_MAGIC + struct.pack(
+        "<9I", vk_format, 1, w, h, 0, 0, 1, len(imgs), 0
+    )
+    index_fixed = struct.pack("<2I2I2Q", 0, 0, 0, 0, 0, 0)
+    data_offset = len(header) + len(index_fixed) + 24 * len(imgs)
+    level_index = b""
+    payloads = b""
+    off = data_offset
+    for im in imgs:
+        p = im.tobytes()
+        level_index += struct.pack("<3Q", off, len(p), len(p))
+        payloads += p
+        off += len(p)
+    return header + index_fixed + level_index + payloads
 
 
 def encode_ktx2_payload(payload: bytes, width: int, height: int,

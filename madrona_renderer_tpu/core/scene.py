@@ -194,7 +194,21 @@ def bake_scene(
         mat_metal[i] = mat.metalness
 
     # --- Texture pool (entry 0 = 1x1 white) ---
-    textures = [np.full((1, 1, 4), 255, np.uint8)] + list(assets.textures)
+    # Entries may be plain RGBA8 arrays or assets.ktx2.MipChain pyramids
+    # (author-provided container mips — used verbatim below, extended by
+    # the box filter only past their last stored level).
+    from ..assets.ktx2 import MipChain
+
+    provided_chains: dict[int, list] = {}
+    textures = [np.full((1, 1, 4), 255, np.uint8)]
+    for t in assets.textures:
+        if isinstance(t, MipChain):
+            provided_chains[len(textures)] = [
+                np.asarray(m, np.uint8) for m in t.levels
+            ]
+            textures.append(np.asarray(t.base, np.uint8))
+        else:
+            textures.append(t)
     k = len(textures)
     tex_offset = np.zeros((k,), np.int32)
     tex_width = np.zeros((k,), np.int32)
@@ -213,8 +227,17 @@ def bake_scene(
 
     if mipmaps:
         chains = []
-        for tex in textures:
-            chain = [tex]
+        for i, tex in enumerate(textures):
+            chain = list(provided_chains.get(i, [tex]))
+            for l in range(1, len(chain)):
+                pw, ph = chain[l - 1].shape[1], chain[l - 1].shape[0]
+                if (chain[l].shape[1], chain[l].shape[0]) != (
+                        max(pw // 2, 1), max(ph // 2, 1)):
+                    raise ValueError(
+                        f"texture {i}: container mip level {l} is "
+                        f"{chain[l].shape[1]}x{chain[l].shape[0]}, not the "
+                        f"half of level {l - 1} ({pw}x{ph})"
+                    )
             while chain[-1].shape[0] > 1 or chain[-1].shape[1] > 1:
                 chain.append(_mip_next(chain[-1]))
             chains.append(chain)

@@ -75,8 +75,13 @@ def build(
     mesh_materials=None,
     additional_mats: Sequence[AdditionalMaterial] = (),
     additional_textures: Sequence[str] = (),
+    texture_images: Sequence = (),
+    mipmaps="auto",
 ):
-    """Raw meshes + instances + cameras → (state, scene)."""
+    """Raw meshes + instances + cameras → (state, scene).
+
+    texture_images: in-memory RGBA8 arrays (or ktx2.MipChain pyramids)
+    appended to the texture table after the path-loaded ones."""
     if worlds is None:
         worlds = [
             WorldInit(
@@ -88,7 +93,8 @@ def build(
         ]
     geo = geo_from_meshes(meshes, uvs=uvs, materials=mesh_materials)
     merged = load_render_assets(geo, [], list(additional_mats), list(additional_textures))
-    scene = bake_scene(merged)
+    merged.textures.extend(texture_images)
+    scene = bake_scene(merged, mipmaps=mipmaps)
     state = init_state(list(instances), list(cameras), list(worlds))
     return state, scene
 
