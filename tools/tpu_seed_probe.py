@@ -106,11 +106,38 @@ def main():
         prev, sums = jax.lax.scan(body, prev0, None, length=n)
         return prev, jnp.sum(sums)
 
+    @partial(jax.jit, static_argnames=("n",))
+    def warmstart_rotating_rollout(carry0, n):
+        # The realistic case: the terrain rotates every step (same
+        # dynamics as the anchor), seeds are one frame stale, silhouette
+        # pixels go through the repair pass.
+        def body(carry, _):
+            s, prev = carry
+            half = jnp.float32(0.01)
+            dq = jnp.array([jnp.cos(half), 0.0, 0.0, jnp.sin(half)],
+                           jnp.float32)
+            s = dataclasses.replace(
+                s, time=s.time + 0.05,
+                instance_rot=quat_normalize(quat_multiply(dq, s.instance_rot)),
+            )
+            f = raytrace_warmstart(
+                s, scene, prev_depth=prev,
+                height=res, width=res, accel="binned")
+            return (s, f.depth), jnp.sum(
+                f.rgb[0, :, ::16, ::16].astype(jnp.int32))
+        carry, sums = jax.lax.scan(body, carry0, None, length=n)
+        return carry, jnp.sum(sums)
+
     W = args.worlds
     far_seed = jnp.full((W, 1, res, res), 1000.0, jnp.float32)
-    rollouts = {"far-seed baseline": make_rollout(False),
-                "ORACLE prev-depth seed": make_rollout(True),
-                "WARMSTART 2-pass (production)": warmstart_rollout}
+    rot_carry = (jax.tree.map(jnp.copy, state0), far_seed)
+    rollouts = {
+        "far-seed baseline": (make_rollout(False), far_seed),
+        "ORACLE prev-depth seed": (make_rollout(True), far_seed),
+        "WARMSTART 2-pass (production)": (warmstart_rollout, far_seed),
+        "WARMSTART rotating (realistic)": (warmstart_rotating_rollout,
+                                           rot_carry),
+    }
 
     def time_fn(fn, arg0, n_small, n_big):
         _, ck = fn(arg0, n_small)
@@ -135,9 +162,9 @@ def main():
         st, ck = anchor_rollout(st, n)
         float(np.asarray(ck))
     log("compiling + warming seeded rollouts...")
-    for name, fn in rollouts.items():
+    for name, (fn, arg0) in rollouts.items():
         for n in args.steps:
-            _, ck = fn(far_seed, n)
+            _, ck = fn(arg0, n)
             float(np.asarray(ck))
 
     def anchor_read():
@@ -183,8 +210,8 @@ def main():
 
     results = {k: [] for k in rollouts}
     for rnd in range(args.rounds):
-        for name, fn in rollouts.items():
-            fps, per = time_fn(fn, far_seed, n_small, n_big)
+        for name, (fn, arg0) in rollouts.items():
+            fps, per = time_fn(fn, arg0, n_small, n_big)
             results[name].append(fps)
             log(f"round {rnd} [{name}]: {fps:,.1f} f/s ({per*1e3:.2f} ms)")
     for name, vals in results.items():
