@@ -166,8 +166,13 @@ def decode_ktx2(data: bytes, all_levels: bool = False):
             # Standard ASTC payload: decode with the spec-derived LDR
             # block decoder (the reference accepts ASTC KTX2 through
             # libktx the same way, src/mgr.cpp:199-212; our bake target
-            # is raw RGBA8).
+            # is raw RGBA8). The native twin (astc.cpp) is preferred —
+            # CI differential-fuzzes it bitwise against the Python tier.
             bw, bh, srgb = _VK_ASTC_FORMATS[vk_format]
+            from ..native import available, decode_astc_native
+
+            if available():
+                return decode_astc_native(payload, lw, lh, bw, bh, srgb)
             from .astc import decode_astc_image
 
             return decode_astc_image(payload, lw, lh, bw, bh, srgb)

@@ -29,6 +29,7 @@ _SRC = os.path.join(_THIS_DIR, "importer.cpp")
 _SRC_ETC1S = os.path.join(_THIS_DIR, "etc1s.cpp")
 _SRC_PYMOD = os.path.join(_THIS_DIR, "pymodule.cpp")
 _SRC_GLTF = os.path.join(_THIS_DIR, "gltf.cpp")
+_SRC_ASTC = os.path.join(_THIS_DIR, "astc.cpp")
 _HDR_COMMON = os.path.join(_THIS_DIR, "common.h")
 _LIB = os.path.join(_THIS_DIR, f"_mrt_native_{sys.implementation.cache_tag}.so")
 
@@ -52,7 +53,7 @@ def _build_ext() -> bool:
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
         f"-I{sysconfig.get_paths()['include']}",
-        _SRC_PYMOD, _SRC, _SRC_ETC1S, _SRC_GLTF, "-o", out, "-lz",
+        _SRC_PYMOD, _SRC, _SRC_ETC1S, _SRC_GLTF, _SRC_ASTC, "-o", out, "-lz",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=180)
@@ -75,7 +76,7 @@ def load_ext():
         return None
     path = _ext_lib_path()
     try:
-        srcs = (_SRC, _SRC_ETC1S, _SRC_PYMOD, _SRC_GLTF, _HDR_COMMON)
+        srcs = (_SRC, _SRC_ETC1S, _SRC_PYMOD, _SRC_GLTF, _SRC_ASTC, _HDR_COMMON)
         src_mtime = max(os.path.getmtime(s) for s in srcs)
         if not os.path.exists(path) or os.path.getmtime(path) < src_mtime:
             if not _build_ext():
@@ -94,7 +95,7 @@ def load_ext():
 def _build() -> bool:
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        _SRC, _SRC_ETC1S, _SRC_GLTF, "-o", _LIB, "-lz",
+        _SRC, _SRC_ETC1S, _SRC_GLTF, _SRC_ASTC, "-o", _LIB, "-lz",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -116,7 +117,8 @@ def load() -> Optional[ctypes.CDLL]:
     try:
         src_mtime = max(
             os.path.getmtime(_SRC), os.path.getmtime(_SRC_ETC1S),
-            os.path.getmtime(_SRC_GLTF), os.path.getmtime(_HDR_COMMON),
+            os.path.getmtime(_SRC_GLTF), os.path.getmtime(_SRC_ASTC),
+            os.path.getmtime(_HDR_COMMON),
         )
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
             if not _build():
@@ -174,6 +176,14 @@ def load() -> Optional[ctypes.CDLL]:
     ]
     lib.mrt_basislz_error.restype = ctypes.c_char_p
     lib.mrt_basislz_error.argtypes = []
+    lib.mrt_astc_decode.restype = ctypes.c_int
+    lib.mrt_astc_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.mrt_astc_error.restype = ctypes.c_char_p
+    lib.mrt_astc_error.argtypes = []
     _lib = lib
     return lib
 
@@ -441,4 +451,31 @@ def decode_basislz_native(
         if "not supported" in msg:
             raise NotImplementedError(f"KTX2 BasisLZ: {msg}")
         raise ValueError(f"KTX2 BasisLZ: {msg}")
+    return out
+
+
+def decode_astc_native(payload: bytes, width: int, height: int,
+                       block_w: int = 4, block_h: int = 4,
+                       srgb: bool = False) -> np.ndarray:
+    """Decode an ASTC LDR payload → RGBA8 [H, W, 4] via the native
+    decoder (astc.cpp — the C++ twin of assets/astc.py, differential-
+    fuzzed against it). NotImplementedError for HDR/mixed-CEM blocks,
+    ValueError for corrupt data."""
+    if load_ext() is not None:
+        rgba = _ext.astc_decode(payload, width, height, block_w, block_h,
+                                int(srgb))
+        return np.frombuffer(rgba, np.uint8).reshape(height, width, 4).copy()
+    lib = load()
+    assert lib is not None
+    out = np.zeros((height, width, 4), np.uint8)
+    rc = lib.mrt_astc_decode(
+        payload, len(payload), width, height, block_w, block_h, int(srgb),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        err = lib.mrt_astc_error()
+        msg = err.decode() if err else "ASTC decode failed"
+        if "HDR" in msg or "mixed" in msg or "unimplemented" in msg:
+            raise NotImplementedError(msg)
+        raise ValueError(msg)
     return out

@@ -40,6 +40,10 @@ int mrt_basislz_decode(const uint8_t *sgd, long sgd_len, const uint8_t *level,
                        long level_len, int width, int height,
                        uint8_t *out_rgba);
 const char *mrt_basislz_error();
+int mrt_astc_decode(const uint8_t *payload, size_t payload_len, int width,
+                    int height, int block_w, int block_h, int srgb,
+                    uint8_t *out);
+const char *mrt_astc_error();
 void *mrt_gltf_parse(const char *path);
 int mrt_gltf_material_image_info(void *h, int i, int *w, int *hh);
 void mrt_gltf_material_image(void *h, int i, uint8_t *rgba);
@@ -237,6 +241,40 @@ PyObject *py_basislz_decode(PyObject *, PyObject *args) {
     return bytes;
 }
 
+PyObject *py_astc_decode(PyObject *, PyObject *args) {
+    Py_buffer payload;
+    int w, h, bw, bh, srgb;
+    if (!PyArg_ParseTuple(args, "y*iiiii", &payload, &w, &h, &bw, &bh,
+                          &srgb))
+        return nullptr;
+    if (w <= 0 || h <= 0) {
+        PyBuffer_Release(&payload);
+        PyErr_SetString(PyExc_ValueError, "ASTC: bad dimensions");
+        return nullptr;
+    }
+    PyObject *bytes = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)w * h * 4);
+    if (!bytes) {
+        PyBuffer_Release(&payload);
+        return nullptr;
+    }
+    int rc = mrt_astc_decode((const uint8_t *)payload.buf,
+                             (size_t)payload.len, w, h, bw, bh, srgb,
+                             (uint8_t *)PyBytes_AS_STRING(bytes));
+    PyBuffer_Release(&payload);
+    if (rc != 0) {
+        Py_DECREF(bytes);
+        const char *err = mrt_astc_error();
+        std::string msg = err ? err : "ASTC decode failed";
+        bool ni = msg.find("HDR") != std::string::npos ||
+                  msg.find("mixed") != std::string::npos ||
+                  msg.find("unimplemented") != std::string::npos;
+        PyErr_SetString(ni ? PyExc_NotImplementedError : PyExc_ValueError,
+                        msg.c_str());
+        return nullptr;
+    }
+    return bytes;
+}
+
 PyMethodDef kMethods[] = {
     {"obj_parse", py_obj_parse, METH_VARARGS,
      "Parse an OBJ(+MTL) file -> (materials, meshes) of plain dicts; "
@@ -249,6 +287,9 @@ PyMethodDef kMethods[] = {
      "Decode PNG bytes -> (width, height, rgba8 bytes)."},
     {"basislz_decode", py_basislz_decode, METH_VARARGS,
      "Decode KTX2 BasisLZ (sgd, level, w, h) -> rgba8 bytes."},
+    {"astc_decode", py_astc_decode, METH_VARARGS,
+     "Decode an ASTC LDR payload (payload, w, h, bw, bh, srgb) -> "
+     "rgba8 bytes."},
     {nullptr, nullptr, 0, nullptr},
 };
 
