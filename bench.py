@@ -92,6 +92,7 @@ def run_config(
     warmup: int = 3,
     scene: str = "demo",
     move_cams: bool = False,
+    warmstart: bool = False,
 ) -> float:
     """Returns frames/sec (steps × worlds / elapsed) for the steady-state
     loop, timed like the reference headless bench (src/headless.cpp:57-78)
@@ -162,18 +163,58 @@ def run_config(
     # of the timed region.
     import numpy as np
 
-    @partial(jax.jit, static_argnames=("n",))
-    def rollout(state, scene, n):
-        def body(st, _):
-            st, frames = step(st, scene)
-            return st, frames.rgb
-
-        st, stack = jax.lax.scan(body, state, None, length=n)
+    if warmstart:
+        # Temporal warm-start rollout (ops/warmstart.py): same dynamics,
+        # the previous frame's depth carried through the scan. Output is
+        # bitwise-equal to the cold rollout by construction.
         import jax.numpy as jnp
 
-        # Return the stack too so the rollout buffer is really materialized
-        # in HBM (only the checksum is fetched).
-        return st, stack, jnp.sum(stack[:, 0].astype(jnp.int32))
+        from madrona_renderer_tpu.ops.warmstart import raytrace_warmstart
+
+        assert mode_str == "rt" and impl == "pallas"
+        C = state.camera_pos.shape[1]
+        prev0 = jnp.full((num_worlds, C, height, width), cfg.far_plane,
+                         jnp.float32)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def rollout(state, scene, n):
+            def body(carry, _):
+                st, prev = carry
+                st, _frames = dynamics_only(st)
+                frames = raytrace_warmstart(
+                    st, scene, prev_depth=prev, height=height, width=width,
+                    near=near, far=cfg.far_plane)
+                return (st, frames.depth), frames.rgb
+
+            (st, _), stack = jax.lax.scan(body, (state, prev0), None,
+                                          length=n)
+            return st, stack, jnp.sum(stack[:, 0].astype(jnp.int32))
+
+        def dynamics_only(st):
+            import jax.numpy as jnp
+
+            half = jnp.float32(0.015)
+            dq = jnp.array([jnp.cos(half), 0.0, 0.0, jnp.sin(half)],
+                           jnp.float32)
+            st = dataclasses.replace(
+                st, time=st.time + 0.05,
+                instance_rot=quat_normalize(
+                    quat_multiply(dq, st.instance_rot)),
+            )
+            return st, None
+    else:
+        @partial(jax.jit, static_argnames=("n",))
+        def rollout(state, scene, n):
+            def body(st, _):
+                st, frames = step(st, scene)
+                return st, frames.rgb
+
+            st, stack = jax.lax.scan(body, state, None, length=n)
+            import jax.numpy as jnp
+
+            # Return the stack too so the rollout buffer is really
+            # materialized in HBM (only the checksum is fetched).
+            return st, stack, jnp.sum(stack[:, 0].astype(jnp.int32))
 
     n_small = max(2, steps // 4)
     n_big = max(steps, n_small + 1)
@@ -228,7 +269,12 @@ BASELINE_CONFIGS = [
     # a DMA-streamed ~21k-tri/world mesh and a paged 256² texture.
     ("bigmesh_512w", 512, 4, "rt", 64, 64, "terrain", False),
     ("textured256_4096w", 4096, 10, "rt", 64, 64, "textured256", False),
+    # Round-4: the same big-mesh row with the temporal warm-start tier
+    # (ops/warmstart.py; bitwise-equal output, previous-frame depth
+    # seeds). Its honest baseline is the cold bigmesh row's canonical.
+    ("bigmesh_512w_warm", 512, 4, "rt", 64, 64, "terrain", False),
 ]
+_WARMSTART_ROWS = {"bigmesh_512w_warm"}
 
 
 # Canonical healthy-session values per ladder row (round-3 record,
@@ -245,6 +291,7 @@ CANONICAL_FPS = {
     "dynamic_8192w": 531922.0,
     "textured_4096w": 401039.0,
     "bigmesh_512w": 1971.0,
+    "bigmesh_512w_warm": 1971.0,  # baseline = the cold bigmesh canonical
     "textured256_4096w": 181073.0,
     "ppo_streaming_16384w": 396610.0,
     "north_star": 518575.0,
@@ -252,7 +299,8 @@ CANONICAL_FPS = {
 # Rows whose honest baseline is the per-row canonical, not the 1e5
 # north-star target (10.6M resident triangles / paged 256² textures are
 # different workloads than the 4096-world demo scene).
-_SCALE_ROWS = ("bigmesh_512w", "textured256_4096w", "cpu_sanity_1w")
+_SCALE_ROWS = ("bigmesh_512w", "bigmesh_512w_warm",
+               "textured256_4096w", "cpu_sanity_1w")
 
 
 def run_ppo_streaming(num_worlds: int = 16384, updates: int = 3, res: int = 64) -> float:
@@ -311,6 +359,12 @@ def run_baseline_suite(impl: str) -> dict:
                 with jax.default_device(jax.devices("cpu")[0]):
                     fps = run_config(_scaled(worlds), steps, mode, w, h,
                                      "jnp", scene=scene, move_cams=move_cams)
+            elif name in _WARMSTART_ROWS:
+                # warmstart is a Pallas-kernel feature; force that impl
+                # (interpret mode on CPU smoke, compiled on TPU).
+                fps = run_config(_scaled(worlds), steps, mode, w, h,
+                                 "pallas", scene=scene, move_cams=move_cams,
+                                 warmstart=True)
             else:
                 fps = run_config(_scaled(worlds), steps, mode, w, h, impl,
                                  scene=scene, move_cams=move_cams)
