@@ -107,6 +107,12 @@ def decode_ktx2(data: bytes, all_levels: bool = False):
         level_count,
         supercompression,
     ) = struct.unpack_from("<9I", data, 12)
+    # Hostile-dimension guard: a corrupt header must fail loudly here,
+    # not overflow a downstream allocation or native int (fuzz-found).
+    if width == 0 or width > 1 << 16 or height > 1 << 16:
+        raise ValueError(f"KTX2: implausible dimensions {width}x{height}")
+    if width * max(height, 1) > 1 << 26:
+        raise ValueError("KTX2: image exceeds the 64M-texel bound")
     # Index: dfd / kvd (u32 offset+length each), sgd (u64 offset+length)
     # then levelCount * (u64 byteOffset, byteLength, uncompressedByteLength).
     level_index_off = 12 + 36 + 2 * 4 + 2 * 4 + 2 * 8

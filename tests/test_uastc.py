@@ -327,3 +327,26 @@ def test_synthetic_layout_is_marked():
     with open(LAYOUT_PATH) as f:
         raw = json.load(f)
     assert "SYNTHETIC" in raw["_comment"]
+
+
+def test_hostile_astc_containers_fail_cleanly(rng):
+    """Byte-mutated ASTC/UASTC KTX2 containers must decode or raise a
+    clean ValueError/NotImplementedError — never crash or hang."""
+    img = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    base = bytearray(encode_ktx2_payload(astc.encode_astc_image(img),
+                                         8, 8, vk_format=157))
+    for trial in range(200):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 5))):
+            data[int(rng.integers(len(data)))] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_ktx2(bytes(data))
+            assert out.shape[-1] == 4
+        except (ValueError, NotImplementedError, KeyError):
+            pass
+    for cut in range(0, len(base), 11):
+        try:
+            decode_ktx2(bytes(base[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
