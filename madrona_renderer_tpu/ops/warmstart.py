@@ -49,9 +49,20 @@ def raytrace_warmstart(
     prev_depth: [W, C, H, W] ray-t values (a previous Frames.depth).
     slack: multiplicative headroom for inter-frame motion; larger values
     repair fewer pixels but cull less.
+
+    Non-positive prev depths (``Frames.depth`` stores 0 for misses) map
+    to ``far`` — the unseeded window — so previously-background pixels
+    render normally in the MAIN pass and a re-miss is recognized as a
+    true miss instead of a suspect. Without this, every sky pixel would
+    ride the repair pass every frame.
     """
     far = float(kw.get("far", 1000.0))
-    seed = jnp.minimum(prev_depth.astype(jnp.float32) * slack, far)
+    prev = prev_depth.astype(jnp.float32)
+    seed = jnp.where(
+        prev > 0.0,
+        jnp.minimum(prev * slack, far),
+        jnp.float32(far),
+    )
     f1 = raytrace(state, scene, seed_t=seed, **kw)
     # Suspect = missed under a finite window (true hit may be beyond it).
     suspect = (f1.segmask < 0) & (seed < far)
@@ -70,3 +81,53 @@ def raytrace_warmstart(
         b = getattr(f2, fld.name)
         out[fld.name] = merge(a, b) if a is not None else None
     return type(f1)(**out)
+
+
+def raytrace_prepass(
+    state,
+    scene,
+    *,
+    factor: int = 8,
+    slack: float = 1.02,
+    height: int,
+    width: int,
+    **kw,
+):
+    """Coarse-depth-prepass warm start (VERDICT r3 #3's second lever):
+    render a 1/``factor``-resolution depth map first, conservatively
+    max-pool it 3x3, and use it to seed the full-resolution render via
+    the same two-pass repair merge as :func:`raytrace_warmstart` —
+    bitwise-equal to an unseeded ``raytrace`` for ANY scene.
+
+    Unlike the temporal warm start this needs no previous frame, so it
+    covers cold starts, teleports, and single-shot renders. Coarse
+    misses map to ``far`` BEFORE pooling, so silhouette neighborhoods
+    get the full (conservative) search window rather than a too-small
+    neighbor depth; the repair pass catches whatever conservatism
+    misses (coarse pixel centers differ from fine ones, so a coarse
+    sample is a heuristic, never trusted for correctness).
+    """
+    if factor < 2:
+        raise ValueError("prepass factor must be >= 2")
+    far = float(kw.get("far", 1000.0))
+    hc = max(height // factor, 8)
+    wc = max(width // factor, 8)
+    coarse = raytrace(state, scene, height=hc, width=wc, **kw)
+    d = jnp.where(coarse.segmask >= 0, coarse.depth, jnp.float32(far))
+    # 3x3 conservative max-pool (edge-padded).
+    dp = jnp.pad(d, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    m = d
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            m = jnp.maximum(m, dp[:, :, dy:dy + hc, dx:dx + wc])
+    # Nearest-neighbour upsample to (height, width). Coarse pixel i
+    # covers fine rows [i*height/hc, (i+1)*height/hc) — indexing by
+    # floor(j*hc/height) is exact for divisible sizes and conservative
+    # enough otherwise (the max-pool already absorbed +-1 coarse px).
+    ys = (jnp.arange(height) * hc) // height
+    xs = (jnp.arange(width) * wc) // width
+    up = m[:, :, ys][:, :, :, xs]
+    return raytrace_warmstart(
+        state, scene, prev_depth=up, slack=slack,
+        height=height, width=width, **kw,
+    )

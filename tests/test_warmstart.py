@@ -110,6 +110,31 @@ def test_manager_warmstart_bitwise_over_steps():
         np.testing.assert_array_equal(cs, ws)
 
 
+@pytest.mark.parametrize("factor", [4, 8])
+def test_prepass_bitwise(terrain, factor):
+    from madrona_renderer_tpu.ops.warmstart import raytrace_prepass
+
+    state, scene = terrain
+    f0 = raytrace(state, scene, **KW)
+    fp = raytrace_prepass(state, scene, factor=factor, **KW)
+    _assert_frames_equal(fp, f0)
+
+
+def test_prepass_bitwise_moved_scene(terrain):
+    from madrona_renderer_tpu.ops.warmstart import raytrace_prepass
+
+    state, scene = terrain
+    half = jnp.float32(0.07)
+    dq = jnp.array([jnp.cos(half), 0.0, 0.0, jnp.sin(half)], jnp.float32)
+    moved = dataclasses.replace(
+        state,
+        instance_rot=quat_normalize(quat_multiply(dq, state.instance_rot)),
+    )
+    f0 = raytrace(moved, scene, **KW)
+    fp = raytrace_prepass(moved, scene, factor=8, **KW)
+    _assert_frames_equal(fp, f0)
+
+
 def test_manager_warmstart_gates():
     from tests.fixtures import ensure_fixtures, smoke_scene
     import madrona_renderer_tpu as m

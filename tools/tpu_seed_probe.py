@@ -106,6 +106,27 @@ def main():
         prev, sums = jax.lax.scan(body, prev0, None, length=n)
         return prev, jnp.sum(sums)
 
+    from madrona_renderer_tpu.ops.warmstart import raytrace_prepass
+
+    @partial(jax.jit, static_argnames=("n",))
+    def prepass_rotating_rollout(carry0, n):
+        # Cold-start pattern: every frame pays the 1/8-res coarse render
+        # + repair merge with NO temporal reuse (rotation defeats XLA
+        # loop-hoisting, same dynamics as the anchor).
+        def body(s, _):
+            half = jnp.float32(0.01)
+            dq = jnp.array([jnp.cos(half), 0.0, 0.0, jnp.sin(half)],
+                           jnp.float32)
+            s = dataclasses.replace(
+                s, time=s.time + 0.05,
+                instance_rot=quat_normalize(quat_multiply(dq, s.instance_rot)),
+            )
+            f = raytrace_prepass(
+                s, scene, height=res, width=res, accel="binned")
+            return s, jnp.sum(f.rgb[0, :, ::16, ::16].astype(jnp.int32))
+        s, sums = jax.lax.scan(body, carry0, None, length=n)
+        return s, jnp.sum(sums)
+
     @partial(jax.jit, static_argnames=("n",))
     def warmstart_rotating_rollout(carry0, n):
         # The realistic case: the terrain rotates every step (same
@@ -137,6 +158,8 @@ def main():
         "WARMSTART 2-pass (production)": (warmstart_rollout, far_seed),
         "WARMSTART rotating (realistic)": (warmstart_rotating_rollout,
                                            rot_carry),
+        "PREPASS 1/8 rotating (cold-start)": (
+            prepass_rotating_rollout, jax.tree.map(jnp.copy, state0)),
     }
 
     def time_fn(fn, arg0, n_small, n_big):
