@@ -510,16 +510,20 @@ def select_partition(seed: int, x: int, y: int, partition_count: int,
     else:
         sh1 = 6 if partition_count == 3 else 5
         sh2 = 4 if seed & 2 else 5
+    sh3 = sh1 if seed & 0x10 else sh2
     s1, s2, s3, s4, s5, s6, s7, s8 = (
         sq[0] >> sh1, sq[1] >> sh2, sq[2] >> sh1, sq[3] >> sh2,
         sq[4] >> sh1, sq[5] >> sh2, sq[6] >> sh1, sq[7] >> sh2,
     )
-    s9, s10, s11, s12 = (seed9 >> sh2, seed10 >> sh1,
-                         seed11 >> sh2, seed12 >> sh1)
-    a = (s1 * x + s2 * y + s3 * z + (rnum >> 14)) & 0x3F
-    b = (s4 * x + s5 * y + s6 * z + (rnum >> 10)) & 0x3F
-    c = (s7 * x + s8 * y + s9 * z + (rnum >> 6)) & 0x3F
-    d = (s10 * x + s11 * y + s12 * z + (rnum >> 2)) & 0x3F
+    s9, s10, s11, s12 = (seed9 >> sh3, seed10 >> sh3,
+                         seed11 >> sh3, seed12 >> sh3)
+    # Plane equations per the spec: x/y coefficients come in seed pairs
+    # (s1,s2)/(s3,s4)/(s5,s6)/(s7,s8); s9-s12 are z-only (cross-assigned
+    # 11/12/9/10), inert here with z = 0.
+    a = (s1 * x + s2 * y + s11 * z + (rnum >> 14)) & 0x3F
+    b = (s3 * x + s4 * y + s12 * z + (rnum >> 10)) & 0x3F
+    c = (s5 * x + s6 * y + s9 * z + (rnum >> 6)) & 0x3F
+    d = (s7 * x + s8 * y + s10 * z + (rnum >> 2)) & 0x3F
     if partition_count <= 3:
         d = 0
     if partition_count <= 2:
@@ -700,6 +704,8 @@ def _decode_block_mode_2d(bm: int) -> tuple[int, int, int, bool, bool]:
             D = 0
             H = 0
         else:
+            # 6x10/10x6 rows: bits 10/9 still carry D/H (only the
+            # (A+6)x(B+6) row above repurposes them for B).
             sub = (bm >> 5) & 3
             if sub == 0:
                 gw, gh = 6, 10
@@ -707,8 +713,6 @@ def _decode_block_mode_2d(bm: int) -> tuple[int, int, int, bool, bool]:
                 gw, gh = 10, 6
             else:
                 raise ValueError("ASTC: reserved block mode")
-            D = 0
-            H = 0
     # base_quant is a 3-bit value >= 2; with H it selects the weight range
     if base_quant < 2:
         raise ValueError("ASTC: reserved weight range in block mode")
@@ -763,6 +767,8 @@ def decode_astc_block(data: bytes, block_w: int = 4, block_h: int = 4,
         raise ValueError("ASTC: dual plane with 4 partitions is illegal")
 
     n_weights = gw * gh * (2 if dual else 1)
+    if n_weights > 64:
+        raise ValueError(f"ASTC: {n_weights} weights exceeds the 64 cap")
     wcfg = _WT_RANGES[wrng]
     wbits = ise_sequence_bits(n_weights, wcfg)
     if not 24 <= wbits <= 96:

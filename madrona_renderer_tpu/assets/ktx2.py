@@ -184,9 +184,18 @@ def decode_ktx2(data: bytes, all_levels: bool = False):
             return decode_astc_image(payload, lw, lh, bw, bh, srgb)
         if vk_format == 0:
             # vkFormat UNDEFINED without BasisLZ = UASTC (DFD 166).
+            # sRGB-ness lives in the DFD transferFunction byte (vkFormat
+            # carries no UNORM/SRGB split here): basic-DFD byte 2 of the
+            # first block body, KHR_DF_TRANSFER_SRGB = 2.
+            dfd_off, dfd_len = struct.unpack_from("<2I", data, 12 + 36)
+            srgb = (
+                dfd_len >= 16
+                and dfd_off + 15 <= len(data)
+                and data[dfd_off + 14] == 2
+            )
             from .uastc import decode_uastc_image
 
-            return decode_uastc_image(payload, lw, lh)
+            return decode_uastc_image(payload, lw, lh, srgb=srgb)
         if vk_format not in _VK_FORMATS:
             raise NotImplementedError(
                 f"KTX2: VkFormat {vk_format} not supported "

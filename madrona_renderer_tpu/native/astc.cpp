@@ -325,13 +325,16 @@ int select_partition(int seed, int x, int y, int pc, bool small_block) {
         sh1 = (pc == 3) ? 6 : 5;
         sh2 = (seed & 2) ? 4 : 5;
     }
+    int sh3 = (seed & 0x10) ? sh1 : sh2;
     s[0] >>= sh1; s[1] >>= sh2; s[2] >>= sh1; s[3] >>= sh2;
     s[4] >>= sh1; s[5] >>= sh2; s[6] >>= sh1; s[7] >>= sh2;
-    s9 >>= sh2; s10 >>= sh1; s11 >>= sh2; s12 >>= sh1;
-    int a = (s[0]*x + s[1]*y + s[2]*z + (int)(rnum >> 14)) & 0x3F;
-    int b = (s[3]*x + s[4]*y + s[5]*z + (int)(rnum >> 10)) & 0x3F;
-    int c = (s[6]*x + s[7]*y + s9*z + (int)(rnum >> 6)) & 0x3F;
-    int d = (s10*x + s11*y + s12*z + (int)(rnum >> 2)) & 0x3F;
+    s9 >>= sh3; s10 >>= sh3; s11 >>= sh3; s12 >>= sh3;
+    // Spec plane equations: x/y coefficients in seed pairs, s9-s12
+    // z-only (cross-assigned 11/12/9/10; inert here with z = 0).
+    int a = (s[0]*x + s[1]*y + s11*z + (int)(rnum >> 14)) & 0x3F;
+    int b = (s[2]*x + s[3]*y + s12*z + (int)(rnum >> 10)) & 0x3F;
+    int c = (s[4]*x + s[5]*y + s9*z + (int)(rnum >> 6)) & 0x3F;
+    int d = (s[6]*x + s[7]*y + s10*z + (int)(rnum >> 2)) & 0x3F;
     if (pc <= 3) d = 0;
     if (pc <= 2) c = 0;
     if (a >= b && a >= c && a >= d) return 0;
@@ -421,12 +424,13 @@ bool decode_block_mode(int bm, int& gw, int& gh, int& wrng, bool& dual) {
         case 1: gw = A + 2; gh = 12; break;
         case 2: gw = A + 6; gh = B + 6; D = 0; H = 0; break;
         case 3:
+            // bits 10/9 still carry D/H here (only the (A+6)x(B+6)
+            // row above repurposes them for B)
             switch ((bm >> 5) & 3) {
             case 0: gw = 6; gh = 10; break;
             case 1: gw = 10; gh = 6; break;
             default: set_err("ASTC: reserved block mode"); return false;
             }
-            D = 0; H = 0;
             break;
         }
     }
