@@ -132,6 +132,70 @@ def ensure_fixtures() -> str:
     return FIXTURE_DIR
 
 
+# SYNTHETIC UASTC mode-layout table (see assets/uastc.py): exercises the
+# decode machinery end-to-end in CI while the authoritative vendor table
+# stays a loud runtime gate. Mode shapes are pinned by tests/test_uastc.py;
+# every mode's bit budget is verified <= 128 at generation time.
+_UASTC_LAYOUT_MODES = [
+    # the encoder's pick — first single-subset single-plane CEM8,
+    # endpoint range 19 (192 levels)
+    dict(mode=0, code=1, code_len=4, kind="astc", cem=8, subsets=1, planes=1,
+         endpoint_range=19, weight_range=8, hint_bits=0, pattern_bits=0,
+         pattern_seeds=[]),
+    # RGBA (CEM 12) single-subset
+    dict(mode=1, code=3, code_len=5, kind="astc", cem=12, subsets=1, planes=1,
+         endpoint_range=19, weight_range=5, hint_bits=0, pattern_bits=0,
+         pattern_seeds=[]),
+    # 2-subset with hint bits + 30-entry pattern seed table
+    dict(mode=2, code=31, code_len=5, kind="astc", cem=8, subsets=2, planes=1,
+         endpoint_range=16, weight_range=2, hint_bits=3, pattern_bits=5,
+         pattern_seeds=[(i * 37 + 13) % 1024 for i in range(30)]),
+    # hint-bit exerciser, coarse endpoints / fine weights
+    dict(mode=5, code=7, code_len=5, kind="astc", cem=8, subsets=1, planes=1,
+         endpoint_range=11, weight_range=11, hint_bits=2, pattern_bits=0,
+         pattern_seeds=[]),
+    # dual-plane (CCS)
+    dict(mode=6, code=15, code_len=5, kind="astc", cem=8, subsets=1, planes=2,
+         endpoint_range=18, weight_range=2, hint_bits=0, pattern_bits=0,
+         pattern_seeds=[]),
+    # solid color
+    dict(mode=8, code=0, code_len=5, kind="solid"),
+]
+
+
+def ensure_uastc_layout() -> str:
+    """Write the synthetic UASTC layout fixture (idempotent); return its path."""
+    import json
+
+    from madrona_renderer_tpu.assets import astc
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(FIXTURE_DIR, "uastc_layout_synthetic.json")
+    if os.path.exists(path):
+        return path
+    for m in _UASTC_LAYOUT_MODES:
+        if m["kind"] == "solid":
+            continue
+        n_ep = m["subsets"] * 2 * ((m["cem"] >> 2) + 1)
+        bits = (m["code_len"] + m["hint_bits"] + m["pattern_bits"]
+                + (2 if m["planes"] == 2 else 0)
+                + astc.ise_sequence_bits(n_ep, astc._EP_RANGES[m["endpoint_range"]])
+                + astc.ise_sequence_bits(16 * m["planes"],
+                                         astc._WT_RANGES[m["weight_range"]]))
+        assert bits <= 128, (m, bits)
+    out = {
+        "_comment": ("SYNTHETIC layout table for CI only — exercises the UASTC "
+                     "decode machinery end-to-end. NOT the authoritative "
+                     "basis_universal mode layout; real UASTC files need "
+                     "MRT_UASTC_LAYOUT pointed at the vendor table "
+                     "(schema: assets/uastc.py)."),
+        "modes": _UASTC_LAYOUT_MODES,
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return path
+
+
 # The canonical smoke-test viewpoint of the reference
 # (scripts/test.py:51-56) — the de-facto golden camera.
 GOLDEN_CAMERA_POS = [-22.343935, -21.845375, 27.061676]

@@ -7,7 +7,6 @@ narrow gate (see assets/uastc.py docstring).
 """
 
 import json
-import os
 
 import numpy as np
 import pytest
@@ -18,8 +17,9 @@ from madrona_renderer_tpu.assets.ktx2 import (
     encode_ktx2_payload,
 )
 
-FIXDIR = os.path.join(os.path.dirname(__file__), "_fixtures")
-LAYOUT_PATH = os.path.join(FIXDIR, "uastc_layout_synthetic.json")
+from tests.fixtures import ensure_uastc_layout
+
+LAYOUT_PATH = ensure_uastc_layout()
 
 
 @pytest.fixture
