@@ -742,6 +742,7 @@ def _render_kernel(
     shadows: bool = False,
     tiles_x: int = 1,
     tex_paged: bool = False,
+    tex_reuse: bool = True,
     n_levels: int = 1,
     deferred: bool = False,
     prep: bool = False,
@@ -885,9 +886,9 @@ def _render_kernel(
         assert wpp == 1 or (tpp == n_tiles and num_cams == 1)
 
     def kernel(*refs):
-        scratch = sem = tex_scratch = tex_sem = None
+        scratch = sem = tex_scratch = tex_sem = tex_state = None
         geo_scratch = geo_sem = attr_scratch = attr_sem = None
-        n_scratch = (2 if dma_tris else 0) + (2 if tex_paged else 0)
+        n_scratch = (2 if dma_tris else 0) + (3 if tex_paged else 0)
         if deferred:
             n_scratch += 2  # attr slab + sem (geo uses the 2-slot pair)
         if n_scratch:
@@ -899,7 +900,8 @@ def _render_kernel(
                 geo_scratch, geo_sem = scratch, sem
                 attr_scratch, attr_sem = extra.pop(0), extra.pop(0)
             if tex_paged:
-                tex_scratch, tex_sem = extra.pop(0), extra.pop(0)
+                tex_scratch, tex_sem, tex_state = (
+                    extra.pop(0), extra.pop(0), extra.pop(0))
         attr_ref = None
         if defer_attrs:
             # VMEM attr block rides as input #2, right after the geometry.
@@ -3067,7 +3069,29 @@ def _render_kernel(
                     tex_sem,
                 )
 
-                @pl.when(need_page)
+                if tex_reuse:
+                    # Cross-program window reuse (VERDICT r3 #6): scratch
+                    # persists across the sequential grid, and consecutive
+                    # programs (neighbor tiles; in the many-worlds regime,
+                    # the same tile of consecutive worlds) usually anchor
+                    # the IDENTICAL window — the window choice is a pure
+                    # function of the tile's taps, so an exact base match
+                    # means tex_scratch already holds the rows and the
+                    # DMA (start+wait latency per program) can be skipped.
+                    # tex_state[0] = resident window base, -1 = none; the
+                    # sentinel is set at the first program because scratch
+                    # is uninitialized at kernel entry.
+                    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+                    @pl.when(first)
+                    def _state_init():
+                        tex_state[0] = jnp.int32(-1)
+
+                    need_dma = need_page & (tex_state[0] != base_row)
+                else:
+                    need_dma = need_page
+
+                @pl.when(need_dma)
                 def _page_start():
                     dmac.start()
 
@@ -3079,9 +3103,11 @@ def _render_kernel(
                 )
                 flats = tap_flats(taps)
 
-                @pl.when(need_page)
+                @pl.when(need_dma)
                 def _page_wait():
                     dmac.wait()
+                    if tex_reuse:
+                        tex_state[0] = base_row
 
                 # Fetch sweeps are scalar-gated: all-fine tiles skip the
                 # 64-row fallback sweep, all-coarse (or overflowed) tiles
@@ -4251,6 +4277,7 @@ def render_core(
             tex_filter=texture_filter, binned=binned,
             n_lights=int(scene.light_dir.shape[0]), shadows=shadows,
             tiles_x=tiles_x, tex_paged=tex_paged, n_levels=n_levels,
+            tex_reuse=_os.environ.get("MRT_TEX_REUSE", "1") == "1",
             deferred=deferred, prep=prep_stream or prep_resident,
             dmxu=dmxu, rowskip=rowskip,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
@@ -4410,6 +4437,7 @@ def render_core(
             scratch_shapes = scratch_shapes + [
                 pltpu.VMEM((TEX_PAGE_ROWS, _TILE_LANE), jnp.int32),
                 pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((1,), jnp.int32),  # resident window base
             ]
         attr_specs, attr_inputs = [], ()
         if defer_attrs:
@@ -4438,6 +4466,7 @@ def render_core(
             tex_filter=texture_filter, n_lights=int(scene.light_dir.shape[0]),
             shadows=shadows, tiles_x=tiles_x,
             tex_paged=tex_paged, n_levels=n_levels,
+            tex_reuse=_os.environ.get("MRT_TEX_REUSE", "1") == "1",
             prep=prep_resident,
             defer_attrs=defer_attrs, sweep_unroll=sweep_unroll,
             uv_defer=uv_defer,
@@ -4459,7 +4488,8 @@ def render_core(
             out_shape=out_shape,
             scratch_shapes=(
                 [pltpu.VMEM((TEX_PAGE_ROWS, _TILE_LANE), jnp.int32),
-                 pltpu.SemaphoreType.DMA] if tex_paged else []
+                 pltpu.SemaphoreType.DMA,
+                 pltpu.SMEM((1,), jnp.int32)] if tex_paged else []
             ),
             interpret=interpret,
         )(tris, *attr_inputs, cams, *tex_inputs, *seed_inputs)

@@ -58,7 +58,8 @@ def _checker_png(size=256, cell=4):
     return path, img
 
 
-def _scene(tex_path, uv_scale=7.3, mipmaps="auto", extra_mesh=None):
+def _scene(tex_path, uv_scale=7.3, mipmaps="auto", extra_mesh=None,
+           n_worlds=1):
     meshes = [quad_xz(half=60.0, y=0.0)]
     uvs = [quad_uvs() * uv_scale]
     mats = [0]
@@ -92,7 +93,7 @@ def _scene(tex_path, uv_scale=7.3, mipmaps="auto", extra_mesh=None):
         instances,
         [ImportedCamera(position=[0, 0, 0], rotation=[1, 0, 0, 0])],
         [WorldInit(num_instances=len(instances), instance_offset=0,
-                   num_cameras=1, camera_offset=0)],
+                   num_cameras=1, camera_offset=0)] * n_worlds,
     )
     return state, scene
 
@@ -211,6 +212,37 @@ def test_paged_parity_smooth(filt, hw):
     assert d.max() <= 2, (filt, hw, d.max())
     # Depth/segmask unaffected by texturing: exact.
     assert np.allclose(np.asarray(a.depth), np.asarray(b.depth), atol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(48, 48), (64, 256)])
+def test_paged_window_reuse_bitwise(hw, monkeypatch):
+    """MRT_TEX_REUSE (cross-program page-window reuse) is a pure DMA
+    skip: identical windows re-use the resident scratch, so outputs must
+    be BITWISE identical with the knob on and off. 3 identical worlds at
+    48² give single-tile worlds whose consecutive programs share the
+    window (guaranteed reuse hits); 64×256 mixes per-tile windows
+    (hit + miss + re-DMA transitions within each world)."""
+    h, w = hw
+    path, _ = _gradient_png(256)
+    state, scene = _scene(path, extra_mesh=quad_xz(half=2.0, y=4.0),
+                          n_worlds=3)
+    assert int(scene.tex_mip_offset.shape[1]) > 1
+
+    def render(reuse):
+        monkeypatch.setenv("MRT_TEX_REUSE", reuse)
+        rt_pal.clear_cache()  # knobs are read at trace time
+        return rt_pal(state, scene, height=h, width=w, interpret=True)
+
+    on = render("1")
+    off = render("0")
+    monkeypatch.delenv("MRT_TEX_REUSE")
+    rt_pal.clear_cache()
+    np.testing.assert_array_equal(np.asarray(on.rgb), np.asarray(off.rgb))
+    np.testing.assert_array_equal(np.asarray(on.depth),
+                                  np.asarray(off.depth))
+    a = rt_ref(state, scene, height=h, width=w)
+    d = np.abs(np.asarray(a.rgb, np.int16) - np.asarray(on.rgb, np.int16))
+    assert d.max() <= 2, d.max()
 
 
 def test_paged_overflow_clamp_parity():
