@@ -562,10 +562,38 @@ def _bit_transfer_signed(a: int, b: int) -> tuple[int, int]:
 def decode_cem_ldr(cem: int, v: list[int]) -> tuple[tuple[int, int, int, int],
                                                     tuple[int, int, int, int]]:
     """Decode unquantized endpoint values -> (e0, e1) RGBA8 endpoints."""
+    def _clamp(e):
+        return tuple(min(255, max(0, c)) for c in e)
+
     if cem == 0:  # luminance, direct
         return (v[0], v[0], v[0], 255), (v[1], v[1], v[1], 255)
+    if cem == 1:  # luminance, base+offset
+        l0 = (v[0] >> 2) | (v[1] & 0xC0)
+        l1 = min(l0 + (v[1] & 0x3F), 0xFF)
+        return (l0, l0, l0, 255), (l1, l1, l1, 255)
     if cem == 4:  # luminance + alpha, direct
         return (v[0], v[0], v[0], v[2]), (v[1], v[1], v[1], v[3])
+    if cem == 5:  # luminance + alpha, base+offset
+        d_l, b_l = _bit_transfer_signed(v[1], v[0])
+        d_a, b_a = _bit_transfer_signed(v[3], v[2])
+        e0 = (b_l, b_l, b_l, b_a)
+        e1 = (b_l + d_l, b_l + d_l, b_l + d_l, b_a + d_a)
+        return _clamp(e0), _clamp(e1)
+    if cem == 9 or cem == 13:  # RGB(A), base+offset
+        d_r, b_r = _bit_transfer_signed(v[1], v[0])
+        d_g, b_g = _bit_transfer_signed(v[3], v[2])
+        d_b, b_b = _bit_transfer_signed(v[5], v[4])
+        if cem == 13:
+            d_a, b_a = _bit_transfer_signed(v[7], v[6])
+        else:
+            d_a, b_a = 0, 255
+        if d_r + d_g + d_b >= 0:
+            e0 = (b_r, b_g, b_b, b_a)
+            e1 = (b_r + d_r, b_g + d_g, b_b + d_b, b_a + d_a)
+        else:
+            e0 = _blue_contract(b_r + d_r, b_g + d_g, b_b + d_b, b_a + d_a)
+            e1 = _blue_contract(b_r, b_g, b_b, b_a)
+        return _clamp(e0), _clamp(e1)
     if cem == 6:  # RGB scale
         e1 = (v[0], v[1], v[2], 255)
         e0 = ((v[0] * v[3]) >> 8, (v[1] * v[3]) >> 8, (v[2] * v[3]) >> 8, 255)
@@ -584,7 +612,8 @@ def decode_cem_ldr(cem: int, v: list[int]) -> tuple[tuple[int, int, int, int],
         return e0, e1
     raise NotImplementedError(
         f"ASTC CEM {cem} is outside the implemented LDR subset "
-        "(0, 4, 6, 8, 10, 12)"
+        "(0, 1, 4, 5, 6, 8, 9, 10, 12, 13 — the HDR modes 2/3/7/11/14/15 "
+        "are out of LDR-profile scope)"
     )
 
 
@@ -727,10 +756,13 @@ def decode_astc_block(data: bytes, block_w: int = 4, block_h: int = 4,
                       srgb: bool = False) -> np.ndarray:
     """Decode one standard ASTC LDR 2D block -> [block_h, block_w, 4] u8.
 
-    Structural features outside the implemented LDR subset (HDR blocks,
-    mixed per-subset CEM classes, >2 partitions with mixed CEMs) raise
-    NotImplementedError — every such feature is explicit in the block
-    header, so unsupported inputs fail loudly, never silently.
+    Covers the full LDR profile: every LDR CEM (direct + base-offset),
+    shared and mixed per-partition CEMs (the spec C.2.11 encoded-type
+    split across the CEM field and the bits below the weight data),
+    dual-plane, 1-4 partitions, decimated weight grids. HDR features
+    (HDR CEMs 2/3/7/11/14/15, HDR void-extent) raise NotImplementedError
+    — every such feature is explicit in the block header, so unsupported
+    inputs fail loudly, never silently.
     """
     if len(data) != 16:
         raise ValueError("ASTC block must be 16 bytes")
@@ -747,22 +779,6 @@ def decode_astc_block(data: bytes, block_w: int = 4, block_h: int = 4,
     if gw > block_w or gh > block_h:
         raise ValueError("ASTC: weight grid exceeds block footprint")
     part_count = ((v >> 11) & 3) + 1
-    seed = 0
-    if part_count == 1:
-        cem = (v >> 13) & 0xF
-        ep_start = 17
-    else:
-        seed = (v >> 13) & 0x3FF
-        cem_sel = (v >> 23) & 0x3F
-        if cem_sel & 3:
-            raise NotImplementedError(
-                "ASTC: mixed per-subset endpoint-mode classes are outside "
-                "the implemented LDR subset"
-            )
-        cem = cem_sel >> 2
-        ep_start = 29
-    if cem in (2, 3, 7, 11, 14, 15):
-        raise NotImplementedError(f"ASTC: HDR endpoint mode {cem}")
     if dual and part_count == 4:
         raise ValueError("ASTC: dual plane with 4 partitions is illegal")
 
@@ -774,12 +790,53 @@ def decode_astc_block(data: bytes, block_w: int = 4, block_h: int = 4,
     if not 24 <= wbits <= 96:
         raise ValueError(f"ASTC: weight stream of {wbits} bits is illegal")
     below_weights = 128 - wbits
+
+    seed = 0
+    if part_count == 1:
+        cems = [(v >> 13) & 0xF]
+        ep_start = 17
+    else:
+        seed = (v >> 13) & 0x3FF
+        cem_sel = (v >> 23) & 0x3F
+        ep_start = 29
+        if (cem_sel & 3) == 0:
+            # All partitions share one CEM (the 4 high field bits).
+            cems = [cem_sel >> 2] * part_count
+        else:
+            # Mixed per-partition CEMs (spec C.2.11): the encoded-type
+            # sequence is 2 selector bits, then one class bit per
+            # partition, then 2 mode-low bits per partition — its first
+            # 6 bits are the CEM field, the remaining (3·P − 4) bits sit
+            # DIRECTLY BELOW the weight data (above the CCS when
+            # dual-plane). Partition i's CEM class = (selector − 1) +
+            # class_bit_i; CEM = class·4 + mode_low_i.
+            highpart = 3 * part_count - 4
+            below_weights -= highpart
+            high = (v >> below_weights) & ((1 << highpart) - 1)
+            enc = cem_sel | (high << 6)
+            base = (enc & 3) - 1
+            bitpos = 2
+            cems = []
+            for _ in range(part_count):
+                cems.append((base + ((enc >> bitpos) & 1)) << 2)
+                bitpos += 1
+            for i in range(part_count):
+                cems[i] |= (enc >> bitpos) & 3
+                bitpos += 2
+    for c in cems:
+        if c in (2, 3, 7, 11, 14, 15):
+            raise NotImplementedError(f"ASTC: HDR endpoint mode {c}")
+
     ccs = 0
     extra = 2 if dual else 0
     if extra:
         ccs = (v >> (below_weights - extra)) & 3
     # endpoint values: per subset, 2*(class+1) integers; one ISE stream
-    n_ep_vals = part_count * 2 * ((cem >> 2) + 1)
+    n_ep_vals = sum(2 * ((c >> 2) + 1) for c in cems)
+    if n_ep_vals > 18:
+        raise ValueError(
+            f"ASTC: {n_ep_vals} endpoint values exceeds the 18-value cap"
+        )
     avail = below_weights - extra - ep_start
     if avail < 0:
         raise ValueError("ASTC: endpoint field overruns the weight data")
@@ -797,11 +854,12 @@ def decode_astc_block(data: bytes, block_w: int = 4, block_h: int = 4,
     ep_reader = BitReader(data)
     ep_reader.pos = ep_start
     ep_vals = _ise_decode(ep_reader, n_ep_vals, _EP_RANGES[ep_rng])
-    per_sub = 2 * ((cem >> 2) + 1)
-    endpoints = tuple(
-        tuple(ep_vals[s * per_sub:(s + 1) * per_sub])
-        for s in range(part_count)
-    )
+    endpoints = []
+    off = 0
+    for c in cems:  # per-partition value counts differ under mixed CEMs
+        per_sub = 2 * ((c >> 2) + 1)
+        endpoints.append(tuple(ep_vals[off:off + per_sub]))
+        off += per_sub
 
     # weights: the top bits of the block, bit-reversed
     rev = int(f"{v:0128b}"[::-1], 2)  # bit-reversed block, LSB-first now
@@ -822,9 +880,9 @@ def decode_astc_block(data: bytes, block_w: int = 4, block_h: int = 4,
         grids = [_infill_weights(g, gw, gh, block_w, block_h)]
 
     eps = []
-    for sub in endpoints:
+    for c, sub in zip(cems, endpoints):
         vals = [unquant_color(ep_rng, d, m) for (d, m) in sub]
-        eps.append(decode_cem_ldr(cem, vals))
+        eps.append(decode_cem_ldr(c, vals))
     out = np.zeros((block_h, block_w, 4), np.uint8)
     small = block_w * block_h < 31
     for y in range(block_h):

@@ -351,17 +351,67 @@ RGBA blue_contract(int r, int g, int b, int a) {
     return {(r + b) >> 1, (g + b) >> 1, b, a};
 }
 
+// spec bit_transfer_signed: a -> signed 6-bit offset, b gains a's MSB
+void bit_transfer_signed(int& a, int& b) {
+    b = (b >> 1) | (a & 0x80);
+    a = (a >> 1) & 0x3F;
+    if (a & 0x20) a -= 0x40;
+}
+
+int clamp_u8(int c) { return c < 0 ? 0 : (c > 255 ? 255 : c); }
+
+RGBA clamp_rgba(RGBA e) {
+    return {clamp_u8(e.r), clamp_u8(e.g), clamp_u8(e.b), clamp_u8(e.a)};
+}
+
 // returns false for unimplemented CEMs
-bool decode_cem(int cem, const int* v, RGBA& e0, RGBA& e1) {
+bool decode_cem(int cem, const int* vin, RGBA& e0, RGBA& e1) {
+    int v[8];
+    for (int i = 0; i < 8; i++) v[i] = vin[i];
     switch (cem) {
     case 0:
         e0 = {v[0], v[0], v[0], 255};
         e1 = {v[1], v[1], v[1], 255};
         return true;
+    case 1: {  // luminance, base+offset
+        int l0 = (v[0] >> 2) | (v[1] & 0xC0);
+        int l1 = l0 + (v[1] & 0x3F);
+        if (l1 > 0xFF) l1 = 0xFF;
+        e0 = {l0, l0, l0, 255};
+        e1 = {l1, l1, l1, 255};
+        return true; }
     case 4:
         e0 = {v[0], v[0], v[0], v[2]};
         e1 = {v[1], v[1], v[1], v[3]};
         return true;
+    case 5: {  // luminance + alpha, base+offset
+        bit_transfer_signed(v[1], v[0]);
+        bit_transfer_signed(v[3], v[2]);
+        e0 = clamp_rgba({v[0], v[0], v[0], v[2]});
+        e1 = clamp_rgba({v[0] + v[1], v[0] + v[1], v[0] + v[1],
+                         v[2] + v[3]});
+        return true; }
+    case 9:
+    case 13: {  // RGB(A), base+offset
+        bit_transfer_signed(v[1], v[0]);
+        bit_transfer_signed(v[3], v[2]);
+        bit_transfer_signed(v[5], v[4]);
+        int a0 = 255, a1 = 255;
+        if (cem == 13) {
+            bit_transfer_signed(v[7], v[6]);
+            a0 = v[6];
+            a1 = v[6] + v[7];
+        }
+        if (v[1] + v[3] + v[5] >= 0) {
+            e0 = {v[0], v[2], v[4], a0};
+            e1 = {v[0] + v[1], v[2] + v[3], v[4] + v[5], a1};
+        } else {
+            e0 = blue_contract(v[0] + v[1], v[2] + v[3], v[4] + v[5], a1);
+            e1 = blue_contract(v[0], v[2], v[4], a0);
+        }
+        e0 = clamp_rgba(e0);
+        e1 = clamp_rgba(e1);
+        return true; }
     case 6:
         e1 = {v[0], v[1], v[2], 255};
         e0 = {(v[0]*v[3]) >> 8, (v[1]*v[3]) >> 8, (v[2]*v[3]) >> 8, 255};
@@ -495,26 +545,6 @@ bool decode_block(const uint8_t* blk, int bw, int bh, bool srgb,
         return false;
     }
     int part_count = (int)((lo >> 11) & 3) + 1;
-    int seed = 0, cem, ep_start;
-    if (part_count == 1) {
-        cem = (int)((lo >> 13) & 0xF);
-        ep_start = 17;
-    } else {
-        seed = (int)((lo >> 13) & 0x3FF);
-        int cem_sel = (int)((lo >> 23) & 0x3F);
-        if (cem_sel & 3) {
-            set_err("ASTC: mixed per-subset endpoint-mode classes are "
-                    "outside the implemented LDR subset");
-            return false;
-        }
-        cem = cem_sel >> 2;
-        ep_start = 29;
-    }
-    if (cem == 2 || cem == 3 || cem == 7 || cem == 11 || cem == 14 ||
-        cem == 15) {
-        set_err("ASTC: HDR endpoint mode");
-        return false;
-    }
     if (dual && part_count == 4) {
         set_err("ASTC: dual plane with 4 partitions is illegal");
         return false;
@@ -529,6 +559,48 @@ bool decode_block(const uint8_t* blk, int bw, int bh, bool srgb,
         return false;
     }
     int below_weights = 128 - wbits;
+
+    int seed = 0, ep_start;
+    int cems[4];
+    if (part_count == 1) {
+        cems[0] = (int)((lo >> 13) & 0xF);
+        ep_start = 17;
+    } else {
+        seed = (int)((lo >> 13) & 0x3FF);
+        int cem_sel = (int)((lo >> 23) & 0x3F);
+        ep_start = 29;
+        if ((cem_sel & 3) == 0) {
+            for (int i = 0; i < part_count; i++) cems[i] = cem_sel >> 2;
+        } else {
+            // Mixed per-partition CEMs (spec C.2.11): 2 selector bits +
+            // P class bits + 2P mode-low bits; the first 6 bits are the
+            // CEM field, the remaining 3P-4 sit directly below the
+            // weight data (above the CCS when dual-plane).
+            int highpart = 3 * part_count - 4;
+            below_weights -= highpart;
+            Bits128 brh{lo, hi};
+            brh.pos = below_weights;
+            int enc = cem_sel | ((int)brh.read(highpart) << 6);
+            int base = (enc & 3) - 1;
+            int bitpos = 2;
+            for (int i = 0; i < part_count; i++) {
+                cems[i] = (base + ((enc >> bitpos) & 1)) << 2;
+                bitpos++;
+            }
+            for (int i = 0; i < part_count; i++) {
+                cems[i] |= (enc >> bitpos) & 3;
+                bitpos += 2;
+            }
+        }
+    }
+    for (int i = 0; i < part_count; i++) {
+        int c = cems[i];
+        if (c == 2 || c == 3 || c == 7 || c == 11 || c == 14 || c == 15) {
+            set_err("ASTC: HDR endpoint mode");
+            return false;
+        }
+    }
+
     int extra = dual ? 2 : 0;
     int ccs = 0;
     Bits128 brc{lo, hi};
@@ -536,7 +608,12 @@ bool decode_block(const uint8_t* blk, int bw, int bh, bool srgb,
         brc.pos = below_weights - extra;
         ccs = (int)brc.read(2);
     }
-    int n_ep = part_count * 2 * ((cem >> 2) + 1);
+    int n_ep = 0;
+    for (int i = 0; i < part_count; i++) n_ep += 2 * ((cems[i] >> 2) + 1);
+    if (n_ep > 18) {
+        set_err("ASTC: endpoint values exceed the 18-value cap");
+        return false;
+    }
     int avail = below_weights - extra - ep_start;
     if (avail < 0) {
         set_err("ASTC: endpoint field overruns the weight data");
@@ -583,14 +660,16 @@ bool decode_block(const uint8_t* blk, int bw, int bh, bool srgb,
     }
 
     RGBA e0s[4], e1s[4];
-    int per_sub = 2 * ((cem >> 2) + 1);
+    int off = 0;  // per-partition value counts differ under mixed CEMs
     for (int s = 0; s < part_count; s++) {
-        int vals[8];
+        int per_sub = 2 * ((cems[s] >> 2) + 1);
+        int vals[8] = {0, 0, 0, 0, 0, 0, 0, 0};
         for (int i = 0; i < per_sub; i++) {
-            vals[i] = unq_color(EP_RANGES[ep_rng], ep_d[s * per_sub + i],
-                                ep_m[s * per_sub + i]);
+            vals[i] = unq_color(EP_RANGES[ep_rng], ep_d[off + i],
+                                ep_m[off + i]);
         }
-        if (!decode_cem(cem, vals, e0s[s], e1s[s])) {
+        off += per_sub;
+        if (!decode_cem(cems[s], vals, e0s[s], e1s[s])) {
             set_err("ASTC: unimplemented endpoint mode");
             return false;
         }

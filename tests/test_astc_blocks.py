@@ -114,13 +114,89 @@ def test_hdr_void_extent_gates():
         astc.decode_astc_block(v.to_bytes(16, "little"))
 
 
-def test_mixed_cem_classes_gate():
-    ep = [0] * 6
-    blk = _build_block(BM_4X4_W2, 2, 8, ep, [0] * 16)
-    v = int.from_bytes(blk, "little")
-    v |= 1 << 23  # non-zero CEM class selector low bits
-    with pytest.raises(NotImplementedError, match="mixed"):
-        astc.decode_astc_block(v.to_bytes(16, "little"))
+def test_cem1_luminance_base_offset():
+    # v0=180, v1=214: L0 = (180>>2)|(214&0xC0) = 45|192 = 237;
+    # L1 = min(237 + (214&0x3F)=22, 255) = 255 (clamped).
+    blk = _build_block(BM_4X4_W2, 1, 1, [180, 214], [0, 3] * 8)
+    out = astc.decode_astc_block(blk)
+    assert (out[0, 0] == [237, 237, 237, 255]).all()
+    assert (out[0, 1] == [255, 255, 255, 255]).all()
+
+
+def test_cem5_luminance_alpha_base_offset():
+    # lum: bts(10, 200) -> base (200>>1)|0 = 100, offset (10>>1)&63 = 5
+    # alpha: bts(255, 100) -> base (100>>1)|128 = 178,
+    #        offset (255>>1)&63 = 63 -> signed -1
+    blk = _build_block(BM_4X4_W2, 1, 5, [200, 10, 100, 255], [0, 3] * 8)
+    out = astc.decode_astc_block(blk)
+    assert (out[0, 0] == [100, 100, 100, 178]).all()  # e0
+    assert (out[0, 1] == [105, 105, 105, 177]).all()  # e1 = base+offset
+
+
+def test_cem9_rgb_base_offset_positive_branch():
+    # bases (200>>1, 100>>1, 50>>1) = (100, 50, 25); offsets
+    # (10>>1, 20>>1, 30>>1) = (5, 10, 15), all positive -> no contract.
+    blk = _build_block(BM_4X4_W2, 1, 9, [200, 10, 100, 20, 50, 30],
+                       [0, 3] * 8)
+    out = astc.decode_astc_block(blk)
+    assert (out[0, 0] == [100, 50, 25, 255]).all()
+    assert (out[0, 1] == [105, 60, 40, 255]).all()
+
+
+def test_cem9_rgb_base_offset_blue_contract_swap():
+    # offsets: r (130>>1)&63 = 1, g (131>>1)&63 = 1,
+    # b (250>>1)&63 = 61 -> signed -3; sum = -1 < 0 -> blue-contract
+    # branch: e0 = bc(base+offset), e1 = bc(base); bases gain the
+    # offsets' MSBs: r (200>>1)|128 = 228, g (100>>1)|128 = 178,
+    # b (50>>1)|128 = 153.
+    blk = _build_block(BM_4X4_W2, 1, 9, [200, 130, 100, 131, 50, 250],
+                       [0, 3] * 8)
+    out = astc.decode_astc_block(blk)
+    e0 = ((229 + 150) >> 1, (179 + 150) >> 1, 150, 255)
+    e1 = ((228 + 153) >> 1, (178 + 153) >> 1, 153, 255)
+    assert tuple(out[0, 0]) == e0
+    assert tuple(out[0, 1]) == e1
+
+
+def test_cem13_rgba_base_offset():
+    # RGB part = the positive-branch CEM 9 vector; alpha bts(4, 60):
+    # base (60>>1)|0 = 30, offset (4>>1)&63 = 2.
+    blk = _build_block(BM_4X4_W2, 1, 13,
+                       [200, 10, 100, 20, 50, 30, 60, 4], [0, 3] * 8)
+    out = astc.decode_astc_block(blk)
+    assert (out[0, 0] == [100, 50, 25, 30]).all()
+    assert (out[0, 1] == [105, 60, 40, 32]).all()
+
+
+def test_mixed_cem_two_partitions_decodes():
+    """Mixed per-partition CEMs (spec C.2.11): partition 0 CEM 8 (class
+    2), partition 1 CEM 13 (class 3) -> selector M=3, classes M-1+C_i;
+    the encoded-type sequence spills 2 bits (partition 1's mode-low bit
+    set) into the field directly below the weight data."""
+    # S = [M0,M1, C0,C1, M0lo(2), M1lo(2)] = 1,1, 0,1, 00, 10
+    cem_sel = 0b001011  # S0..S5: 1+2+8
+    seed = 19
+    n_ep_vals = 6 + 8
+    # BM_4X4_W2: 32 weight bits; high part = 3*2-4 = 2 bits at
+    # below_weights = 96-2 = 94; endpoint range: largest fitting
+    # 94-29 = 65 bits for 14 values = range 10 (24 levels).
+    ep_rng = 10
+    want = [40, 41, 160, 161, 80, 81,          # CEM 8: rg/gb pairs
+            200, 10, 100, 20, 50, 30, 60, 4]   # CEM 13 offset vector
+    pairs = [astc.quantize_color(ep_rng, v) for v in want]
+    stream, nbits = astc._ise_encode(pairs, astc._EP_RANGES[ep_rng])
+    assert 29 + nbits <= 94
+    v = BM_4X4_W2 | (1 << 11) | (seed << 13) | (cem_sel << 23)
+    v |= stream << 29
+    v |= 0b01 << 94  # S6=1 (CEM 13 mode-low bit 0), S7=0
+    out = astc.decode_astc_block(v.to_bytes(16, "little"))  # weights 0
+    got = [astc.unquant_color(ep_rng, d, m) for (d, m) in pairs]
+    col0 = astc.decode_cem_ldr(8, got[:6])[0]
+    col1 = astc.decode_cem_ldr(13, got[6:])[0]
+    for y in range(4):
+        for x in range(4):
+            sub = astc.select_partition(seed, x, y, 2)
+            assert tuple(out[y, x]) == (col0 if sub == 0 else col1)
 
 
 def test_hdr_cem_gates():
