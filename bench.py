@@ -171,7 +171,10 @@ def run_config(
 
         from madrona_renderer_tpu.ops.warmstart import raytrace_warmstart
 
-        assert mode_str == "rt" and impl == "pallas"
+        # move_cams is unsupported here: dynamics_only applies only the
+        # instance rotation, so a warm row with camera bob would bench
+        # different dynamics than its cold baseline — keep that loud.
+        assert mode_str == "rt" and impl == "pallas" and not move_cams
         C = state.camera_pos.shape[1]
         prev0 = jnp.full((num_worlds, C, height, width), cfg.far_plane,
                          jnp.float32)

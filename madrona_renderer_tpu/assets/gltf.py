@@ -205,7 +205,12 @@ def parse_gltf(path: str) -> SourceObject:
         elif raw[:12] == b"\xabKTX 20\xbb\r\n\x1a\n":
             from .ktx2 import decode_ktx2
 
-            image_cache[img_idx] = decode_ktx2(raw)
+            # all_levels: a multi-level embedded KTX2 feeds its
+            # author-provided mip pyramid into the bake verbatim,
+            # exactly like the same file referenced by path
+            # (importer.py ktx2 handler) — the two routes must not
+            # produce different trilinear output for identical bytes.
+            image_cache[img_idx] = decode_ktx2(raw, all_levels=True)
         else:
             # JPEG (core glTF) and the long tail via the Pillow tier;
             # loud NotImplementedError if Pillow is absent.

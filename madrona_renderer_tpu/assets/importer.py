@@ -59,11 +59,14 @@ class ImageImporter:
     """Extension-dispatched image decoder with pluggable handlers.
 
     Analog of ``imp::ImageImporter`` (+ ``addHandler("ktx2", fn)`` usage,
-    reference ``src/mgr.cpp:297-298``). Handlers map file bytes → RGBA8.
+    reference ``src/mgr.cpp:297-298``). Handlers map file bytes → an
+    RGBA8 ``[H, W, 4]`` array, or an ``assets.ktx2.MipChain`` when the
+    container carries an author-provided mip pyramid (``bake_scene``
+    accepts either; plain-array consumers should check ``isinstance``).
     """
 
     def __init__(self) -> None:
-        self._handlers: Dict[str, Callable[[bytes], np.ndarray]] = {
+        self._handlers: Dict[str, Callable[[bytes], "np.ndarray"]] = {
             "png": decode_png,
             # Multi-level KTX2 files yield their author-provided mip
             # pyramid (ktx2.MipChain); bake_scene uses those levels
@@ -84,10 +87,13 @@ class ImageImporter:
             for ext in ("jpg", "jpeg", "bmp", "tga", "webp"):
                 self._handlers[ext] = decode_pil
 
-    def add_handler(self, ext: str, fn: Callable[[bytes], np.ndarray]) -> None:
+    def add_handler(self, ext: str, fn: Callable[[bytes], "np.ndarray"]) -> None:
+        """fn: bytes -> RGBA8 array (or a ktx2.MipChain pyramid)."""
         self._handlers[ext.lower().lstrip(".")] = fn
 
-    def import_image(self, path: str) -> np.ndarray:
+    def import_image(self, path: str):
+        """-> RGBA8 [H, W, 4] array, or ktx2.MipChain for multi-level
+        containers (see class docstring)."""
         ext = os.path.splitext(path)[1].lower().lstrip(".")
         handler = self._handlers.get(ext)
         if handler is None:

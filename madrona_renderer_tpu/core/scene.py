@@ -140,7 +140,13 @@ TEX_RESIDENT_ROWS = 128
 # Read once at import — A/B these across PROCESSES, not within one.
 TEX_FB_ROWS = int(os.environ.get("MRT_TEX_FB_ROWS", "64"))
 TEX_PAGE_ROWS = int(os.environ.get("MRT_TEX_PAGE_ROWS", "128"))
-assert TEX_FB_ROWS in (16, 32, 64, 128) and TEX_PAGE_ROWS in (32, 64, 128, 256)
+if TEX_FB_ROWS not in (16, 32, 64, 128) or TEX_PAGE_ROWS not in (32, 64, 128, 256):
+    # ValueError, not assert: python -O must not let an unvetted knob
+    # value into the pool layout / kernel row math.
+    raise ValueError(
+        f"MRT_TEX_FB_ROWS={TEX_FB_ROWS} must be one of 16/32/64/128 and "
+        f"MRT_TEX_PAGE_ROWS={TEX_PAGE_ROWS} one of 32/64/128/256"
+    )
 
 
 def _mip_next(img: np.ndarray) -> np.ndarray:

@@ -233,8 +233,8 @@ class Manager:
             if impl != "pallas":
                 # Quality-tier intersector (jnp path only): the Pallas
                 # kernel keeps the ε-slack sweep (docs/design.md).
-                render_kwargs["watertight"] = cfg.watertight
-            elif cfg.watertight:
+                render_kwargs["watertight"] = self._watertight_effective()
+            elif self._watertight_effective():
                 raise NotImplementedError(
                     "watertight=True with an explicit impl='pallas' is "
                     "contradictory: the watertight intersector is a "
@@ -267,8 +267,8 @@ class Manager:
                 shadows=cfg.shadows,
             )
             if impl != "pallas":
-                render_kwargs["watertight"] = cfg.watertight
-            elif cfg.watertight:
+                render_kwargs["watertight"] = self._watertight_effective()
+            elif self._watertight_effective():
                 raise NotImplementedError(
                     "watertight=True with an explicit impl='pallas' is "
                     "contradictory: the watertight intersector is a "
@@ -347,10 +347,22 @@ class Manager:
 
         return step_fn
 
+    def _watertight_effective(self) -> bool:
+        """cfg.watertight with its documented env default resolved
+        (config.py: None = MRT_WATERTIGHT decides). Every routing/raise
+        decision must use this, not cfg.watertight — otherwise
+        watertight=None + MRT_WATERTIGHT=1 silently renders ε-slack on
+        the Pallas path the env asked to avoid."""
+        import os
+
+        if self.cfg.watertight is None:
+            return os.environ.get("MRT_WATERTIGHT", "0") == "1"
+        return bool(self.cfg.watertight)
+
     def _resolve_impl(self) -> str:
         impl = self.cfg.impl
         if impl == "auto":
-            if self.cfg.watertight:
+            if self._watertight_effective():
                 # The Woop watertight intersector is a quality tier of
                 # the jnp path only; under 'auto' the config routes
                 # there instead of raising (VERDICT r3 #5 — the Pallas

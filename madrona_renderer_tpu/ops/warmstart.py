@@ -112,7 +112,12 @@ def raytrace_prepass(
     far = float(kw.get("far", 1000.0))
     hc = max(height // factor, 8)
     wc = max(width // factor, 8)
-    coarse = raytrace(state, scene, height=hc, width=wc, **kw)
+    # Only coarse.depth/segmask are consumed — render the coarse pass
+    # with the cheapest shading (no shadow sweeps, nearest sampling);
+    # neither affects depth or segmask, so the final merge stays
+    # bitwise-equal to an unseeded full-shading render.
+    ckw = dict(kw, shadows=False, texture_filter="nearest")
+    coarse = raytrace(state, scene, height=hc, width=wc, **ckw)
     d = jnp.where(coarse.segmask >= 0, coarse.depth, jnp.float32(far))
     # 3x3 conservative max-pool (edge-padded).
     dp = jnp.pad(d, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")

@@ -90,6 +90,11 @@ class Viewer:
                 self.mgr.camera_rotation_tensor().numpy()[i] = self._saved_pose[1]
             self._saved_pose = None
         self.fly = False
+        if self.paused:
+            # While paused, tick() no longer re-renders once fly is off;
+            # without this the last fly-camera frame would stay on screen
+            # after the agent pose was restored.
+            self.mgr.refresh_frames()
 
     def _fly_quat(self) -> np.ndarray:
         sx, cx = np.sin(self._fly_pitch * 0.5), np.cos(self._fly_pitch * 0.5)

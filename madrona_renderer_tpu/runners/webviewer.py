@@ -87,13 +87,24 @@ img.addEventListener('mousedown', (e) => {
   dragging = true; lastX = e.clientX; lastY = e.clientY; e.preventDefault();
 });
 document.addEventListener('mouseup', () => { dragging = false; });
-document.addEventListener('mousemove', (e) => {
-  if (!dragging) return;
-  const dx = e.clientX - lastX, dy = e.clientY - lastY;
-  lastX = e.clientX; lastY = e.clientY;
+// Coalesce drag deltas and flush one /key per animation frame: raw
+// mousemove fires ~60+/s and each fetch is a request the single-threaded
+// server must handle between renders — un-coalesced drags queue up and
+// the camera lags/jumps.
+let accX = 0, accY = 0, flushQueued = false;
+function flushLook() {
+  flushQueued = false;
+  if (accX === 0 && accY === 0) return;
+  const dx = accX, dy = accY; accX = 0; accY = 0;
   // +dx drag right -> yaw right (negative yaw), +dy drag down -> pitch down
   fetch('/key?k=' + encodeURIComponent(
     `look:${(-dx * 0.005).toFixed(4)}:${(-dy * 0.005).toFixed(4)}`));
+}
+document.addEventListener('mousemove', (e) => {
+  if (!dragging) return;
+  accX += e.clientX - lastX; accY += e.clientY - lastY;
+  lastX = e.clientX; lastY = e.clientY;
+  if (!flushQueued) { flushQueued = true; requestAnimationFrame(flushLook); }
 });
 refresh();
 </script></body></html>

@@ -287,3 +287,39 @@ def test_embedded_ktx2_texture_khr_basisu(tmp_path, rng):
     np.testing.assert_array_equal(
         obj.materials[0].texture_image, decode_ktx2(k2)
     )
+
+
+def test_embedded_multilevel_ktx2_keeps_mip_pyramid(tmp_path, rng):
+    """A multi-level KTX2 embedded in a GLB must yield the same
+    author-provided mip pyramid as the identical bytes imported by path
+    (importer.py's ktx2 handler uses all_levels=True; the embedded route
+    must not silently drop levels and let the bake regenerate them)."""
+    from madrona_renderer_tpu.assets.ktx2 import (
+        MipChain, decode_ktx2, encode_ktx2_rgba8_mips,
+    )
+
+    blob, views, accessors, _, _ = _accessor_blob()
+    levels = [
+        rng.integers(0, 256, size=(8 >> l, 8 >> l, 4), dtype=np.uint8)
+        for l in range(3)
+    ]
+    k2 = encode_ktx2_rgba8_mips(levels)
+    img_off = len(blob) + (-len(blob) % 4)
+    blob = blob + b"\0" * (-len(blob) % 4) + k2
+    gltf = _base_gltf(views, accessors)
+    gltf["bufferViews"].append(
+        {"buffer": 0, "byteOffset": img_off, "byteLength": len(k2)}
+    )
+    gltf["buffers"] = [{"byteLength": len(blob)}]
+    gltf["images"] = [{"bufferView": 4, "mimeType": "image/ktx2"}]
+    gltf["textures"] = [{"source": 0}]
+    gltf["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {"index": 0}
+    path = str(tmp_path / "tex_mips.glb")
+    with open(path, "wb") as f:
+        f.write(_make_glb(gltf, blob))
+    got = parse_gltf(path).materials[0].texture_image
+    want = decode_ktx2(k2, all_levels=True)
+    assert isinstance(got, MipChain) and isinstance(want, MipChain)
+    assert len(got.levels) == len(want.levels) == 3
+    for a, b in zip(got.levels, want.levels):
+        np.testing.assert_array_equal(a, b)

@@ -297,3 +297,26 @@ def test_manager_watertight_explicit_pallas_contradiction_raises():
             gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
             batch_render_view_width=16, batch_render_view_height=16,
             watertight=True, impl="pallas", **kw)
+
+
+def test_manager_watertight_env_default_routes(monkeypatch):
+    """watertight=None + MRT_WATERTIGHT=1 (the documented env default,
+    config.py) must route impl='auto' to the jnp tier exactly like
+    watertight=True — not silently render ε-slack on the Pallas path."""
+    from tests.fixtures import ensure_fixtures, smoke_scene
+    import madrona_renderer_tpu as m
+
+    kw = smoke_scene(ensure_fixtures())
+    monkeypatch.setenv("MRT_WATERTIGHT", "1")
+    r = m.MadronaRenderer(
+        gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
+        batch_render_view_width=16, batch_render_view_height=16, **kw)
+    assert r._resolve_impl() == "jnp"
+    # ... and the explicit-pallas contradiction is loud for the env
+    # form too.
+    with pytest.raises(NotImplementedError, match="contradictory"):
+        m.MadronaRenderer(
+            gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
+            batch_render_view_width=16, batch_render_view_height=16,
+            impl="pallas", **kw)
+    monkeypatch.delenv("MRT_WATERTIGHT")
