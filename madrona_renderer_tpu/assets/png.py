@@ -126,11 +126,26 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if bit_depth not in (8, 16):
         raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported")
+    if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20
+            and width * height <= 1 << 26):
+        # Hostile-dimension bound (tier parity with the native decoder):
+        # every buffer below is sized from the DECLARED header dims.
+        raise ValueError(
+            f"PNG dimensions {width}x{height} exceed the hostile-input bound"
+        )
     channels = _CHANNELS[color_type]
     bytes_per_sample = bit_depth // 8
     bpp = channels * bytes_per_sample
     stride = width * bpp
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    # Bounded inflate: a zlib bomb in IDAT must not materialize more than
+    # the declared image can hold (interlaced raw <= w*h*bpp + one filter
+    # byte per pass row, and pass rows sum to < 3*height + 7).
+    cap = width * height * bpp + 3 * height + 64
+    dec = zlib.decompressobj()
+    raw_b = dec.decompress(bytes(idat), cap + 1)
+    if len(raw_b) > cap:
+        raise ValueError("PNG: IDAT inflates beyond the declared dimensions")
+    raw = np.frombuffer(raw_b, np.uint8)
     if interlace:
         img = _deinterlace_adam7(raw, width, height, bpp)
     else:

@@ -416,6 +416,14 @@ def decode_png_native(data: bytes) -> np.ndarray:
     h = ctypes.c_int()
     if lib.mrt_png_size(data, len(data), ctypes.byref(w), ctypes.byref(h)) != 0:
         raise ValueError("not a PNG file")
+    if (not 0 < w.value <= 1 << 20 or not 0 < h.value <= 1 << 20
+            or w.value * h.value > 1 << 26):
+        # Mirror of the C-side hostile-dimension bound: this np.zeros is
+        # sized from the declared header before any data is validated.
+        raise ValueError(
+            f"PNG dimensions {w.value}x{h.value} exceed the "
+            "hostile-input bound"
+        )
     out = np.zeros((h.value, w.value, 4), np.uint8)
     rc = lib.mrt_png_decode(
         data, len(data),

@@ -355,6 +355,17 @@ bool png_decode_impl(const uint8_t *data, size_t n, PngImage &img) {
     }
     int ch = channels_for(color_type);
     if (!ch || width <= 0 || height <= 0) { img.error = "bad header"; return false; }
+    // Hostile-dimension bound (same rationale as the KTX2 guard): the
+    // decode buffers are sized from the DECLARED header dims before any
+    // data is validated, so a byte-flipped IHDR could demand a
+    // many-gigabyte zero-filled allocation — an OOM/thrash DoS, not a
+    // clean failure. 1<<20 per axis / 1<<26 texels (256MB RGBA) is far
+    // beyond any real texture.
+    if (width > (1 << 20) || height > (1 << 20) ||
+        (size_t)width * (size_t)height > ((size_t)1 << 26)) {
+        img.error = "PNG dimensions exceed the hostile-input bound";
+        return false;
+    }
     int bps = bit_depth / 8;
     int bpp = ch * bps;
     size_t stride = (size_t)width * bpp;
@@ -531,8 +542,17 @@ int mrt_png_size(const uint8_t *data, long n, int *w, int *hgt) {
     static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
     if (n < 33 || memcmp(data, sig, 8) != 0) return -1;
     if (memcmp(data + 12, "IHDR", 4) != 0) return -1;
-    *w = (int)be32(data + 16);
-    *hgt = (int)be32(data + 20);
+    uint32_t uw = be32(data + 16);
+    uint32_t uh = be32(data + 20);
+    // Hostile-dimension bound at the probe: callers size their output
+    // allocation from these values before any pixel data is validated
+    // (and unbounded be32 values would overflow the int casts below).
+    if (uw == 0 || uh == 0 || uw > (1u << 20) || uh > (1u << 20) ||
+        (uint64_t)uw * uh > (1ull << 26)) {
+        return -1;
+    }
+    *w = (int)uw;
+    *hgt = (int)uh;
     return 0;
 }
 

@@ -204,3 +204,56 @@ def test_asset_mat_override(data_dir):
 def test_missing_asset_raises():
     with pytest.raises(FileNotFoundError):
         load_render_assets(GeometryConfig.empty(), [ImportedAsset("/nope.obj")], [], [])
+
+
+def test_png_hostile_dimensions_fail_fast(rng):
+    """A byte-flipped IHDR declaring huge dimensions must raise cleanly
+    and FAST in every tier — the decode buffers are sized from the
+    declared header, so an unbounded header is an OOM DoS, not a parse
+    error (the cause of a 600s fuzz-driver stall this round)."""
+    import struct
+    import time
+
+    from madrona_renderer_tpu import native
+    from madrona_renderer_tpu.assets.png import decode_png, encode_png
+
+    base = bytearray(encode_png(
+        rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)))
+    if native.available():
+        # Warm the tier outside the timed section: the on-demand g++
+        # build of a changed native source takes tens of seconds.
+        native.decode_png_native(bytes(base))
+    # IHDR body starts at byte 16: width/height as big-endian u32.
+    for w, h in [(1 << 30, 8), (8, 1 << 30), (1 << 16, 1 << 16),
+                 (0xFFFFFFFF, 0xFFFFFFFF)]:
+        data = bytearray(base)
+        data[16:24] = struct.pack(">II", w, h)
+        t0 = time.monotonic()
+        with pytest.raises(ValueError):
+            decode_png(bytes(data))
+        if native.available():
+            with pytest.raises(ValueError):
+                native.decode_png_native(bytes(data))
+        assert time.monotonic() - t0 < 5.0
+
+
+def test_png_zlib_bomb_bounded(rng):
+    """IDAT that inflates far beyond the declared dimensions must be
+    rejected without materializing the inflated stream."""
+    import struct
+    import zlib
+
+    from madrona_renderer_tpu.assets.png import decode_png, encode_png
+
+    base = encode_png(rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8))
+    # Rebuild with a bomb IDAT: 64MB of zeros compresses to ~64KB.
+    bomb = zlib.compress(b"\0" * (64 << 20), 9)
+
+    def chunk(ctype, body):
+        c = struct.pack(">I", len(body)) + ctype + body
+        return c + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    ihdr = base[8:8 + 25]  # signature-stripped IHDR chunk (len 13 + 12)
+    data = base[:8] + ihdr + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates beyond"):
+        decode_png(data)
