@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+from jax import lax
 
 from .raytrace_pallas import raytrace
 
@@ -66,21 +67,33 @@ def raytrace_warmstart(
     f1 = raytrace(state, scene, seed_t=seed, **kw)
     # Suspect = missed under a finite window (true hit may be beyond it).
     suspect = (f1.segmask < 0) & (seed < far)
-    seed2 = jnp.where(suspect, jnp.float32(far), jnp.float32(0.0))
-    f2 = raytrace(state, scene, seed_t=seed2, **kw)
 
-    def merge(a, b):
+    names = [fld.name for fld in dataclasses.fields(f1)]
+    vals1 = {n: getattr(f1, n) for n in names}
+    present = [n for n in names if vals1[n] is not None]
+
+    def _merge(a, b):
         m = suspect
         if a.ndim > m.ndim:  # rgb carries a trailing channel dim
             m = m[..., None]
         return jnp.where(m, b, a)
 
-    out = {}
-    for fld in dataclasses.fields(f1):
-        a = getattr(f1, fld.name)
-        b = getattr(f2, fld.name)
-        out[fld.name] = merge(a, b) if a is not None else None
-    return type(f1)(**out)
+    def _repair(_):
+        seed2 = jnp.where(suspect, jnp.float32(far), jnp.float32(0.0))
+        f2 = raytrace(state, scene, seed_t=seed2, **kw)
+        return tuple(_merge(vals1[n], getattr(f2, n)) for n in present)
+
+    def _clean(_):
+        return tuple(vals1[n] for n in present)
+
+    # Runtime skip of the repair kernel on suspect-free frames (static
+    # scenes, converged warm rollouts): with zero suspects the merge is
+    # the identity on the main pass, so both branches are bitwise-equal
+    # by construction and the HLO conditional only ever pays the
+    # any-reduce when the seed was everywhere-valid.
+    merged = lax.cond(jnp.any(suspect), _repair, _clean, None)
+    out = dict(zip(present, merged))
+    return type(f1)(**{n: out.get(n) for n in names})
 
 
 def raytrace_prepass(
