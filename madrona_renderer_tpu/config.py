@@ -215,6 +215,13 @@ class ManagerConfig:
     # exceeds the kernel's resident budget). The reference's hardware
     # samplers mip implicitly (src/mgr.cpp:352-354); see ops/mips.py.
     mipmaps: "bool | str" = "auto"
+    # Supersampled antialiasing (ops/ssaa.py): render each view at
+    # ssaa x resolution and box-filter rgb back down (depth/segmask stay
+    # point-sampled at the center subsample). 1 = off (reference
+    # behavior: one ray per pixel); a beyond-reference quality tier that
+    # costs ~ssaa^2 render work. Works on every impl/mode and composes
+    # with warmstart.
+    ssaa: int = 1
     # Optional multi-chip mesh: number of devices to shard the world axis
     # over (1 = single device). See madrona_renderer_tpu.parallel.
     num_devices: int = 1

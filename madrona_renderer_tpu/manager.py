@@ -204,8 +204,11 @@ class Manager:
     # ------------------------------------------------------------------ #
     def _build_step_fn(self):
         cfg = self.cfg
-        height = cfg.batch_render_view_height
-        width = cfg.batch_render_view_width
+        ssaa = int(cfg.ssaa)
+        if ssaa < 1:
+            raise ValueError(f"ssaa={cfg.ssaa} must be a positive integer")
+        height = cfg.batch_render_view_height * ssaa
+        width = cfg.batch_render_view_width * ssaa
         mode = cfg.render_mode
         impl = self._resolve_impl()
 
@@ -294,24 +297,34 @@ class Manager:
             carry["state"] = dataclasses.replace(state, time=state.time + TIME_DELTA)
             return carry
 
+        from .ops.ssaa import downsample_frames, upsample_depth
+
         if cfg.warmstart:
             from .ops.warmstart import raytrace_warmstart
 
             def render_sys(carry):
                 # Warm-started render: seeds from the previous frame's
                 # depth, repairs misses — bitwise-equal to a cold render
-                # (ops/warmstart.py).
-                carry["frames"] = raytrace_warmstart(
-                    carry["state"], carry["scene"],
-                    prev_depth=carry["prev_depth"], **render_kwargs)
+                # (ops/warmstart.py). Under SSAA the fed-back depth is at
+                # output resolution; nearest-upsampling it is a valid
+                # (correctness-independent) seed — edge subpixels beyond
+                # the seeded window ride the repair pass.
+                carry["frames"] = downsample_frames(
+                    raytrace_warmstart(
+                        carry["state"], carry["scene"],
+                        prev_depth=upsample_depth(carry["prev_depth"], ssaa),
+                        **render_kwargs),
+                    ssaa)
                 return carry
         else:
             def render_sys(carry):
                 # Render setup (instance/view gather) + render fused: XLA
                 # fuses what the reference split into renderSetupGraph +
-                # renderGraph.
-                carry["frames"] = render(
-                    carry["state"], carry["scene"], **render_kwargs)
+                # renderGraph. SSAA box-filters the s x supersampled
+                # frames back to output resolution (ops/ssaa.py).
+                carry["frames"] = downsample_frames(
+                    render(carry["state"], carry["scene"], **render_kwargs),
+                    ssaa)
                 return carry
 
         def export_flatten_sys(carry):

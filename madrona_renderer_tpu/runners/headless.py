@@ -37,7 +37,7 @@ def parse_headless_args(argv):
         print(
             f"{argv[0]} [NUM_WORLDS] [NUM_STEPS] [rt|rast] [BATCH_WIDTH] "
             "[BATCH_HEIGHT] [--dump-last-frame file_name_without_extension] "
-            "[--trace logdir]",
+            "[--trace logdir] [--ssaa N]",
             file=sys.stderr,
         )
         raise SystemExit(1)
@@ -56,6 +56,7 @@ def parse_headless_args(argv):
     height = int(argv[5])
     dump = None
     trace_dir = None
+    ssaa = 1
     i = 6
     while i < len(argv):
         if argv[i] == "--dump-last-frame" and i + 1 < len(argv):
@@ -64,18 +65,20 @@ def parse_headless_args(argv):
         elif argv[i] == "--trace" and i + 1 < len(argv):
             trace_dir = argv[i + 1]
             i += 2
+        elif argv[i] == "--ssaa" and i + 1 < len(argv):
+            ssaa = int(argv[i + 1])
+            i += 2
         else:
             usage()
-    return num_worlds, num_steps, mode, width, height, dump, trace_dir
+    return num_worlds, num_steps, mode, width, height, dump, trace_dir, ssaa
 
 
 def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv
-    num_worlds, num_steps, mode, width, height, dump, trace_dir = parse_headless_args(
-        argv
-    )
+    (num_worlds, num_steps, mode, width, height, dump, trace_dir,
+     ssaa) = parse_headless_args(argv)
 
-    mgr = Manager(demo_config(num_worlds, mode, width, height))
+    mgr = Manager(demo_config(num_worlds, mode, width, height, ssaa=ssaa))
 
     from ..utils.profiling import trace
 

@@ -27,6 +27,11 @@ def test_headless_rast_mode(capsys):
     assert "FPS" in capsys.readouterr().out
 
 
+def test_headless_ssaa_flag(capsys):
+    main(["headless", "2", "2", "rt", "16", "16", "--ssaa", "2"])
+    assert "FPS" in capsys.readouterr().out
+
+
 def test_headless_bad_args():
     with pytest.raises(SystemExit):
         parse_headless_args(["headless", "4", "3", "nope", "32", "32"])
