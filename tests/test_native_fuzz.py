@@ -95,9 +95,12 @@ _DRIVER = textwrap.dedent(
 
 @pytest.mark.parametrize("kind", ["glb", "png", "obj", "ktx2"])
 def test_native_fuzz_no_crash(kind, tmp_path):
+    # Generous timeout: the 300-trial driver takes ~1 min alone but has
+    # timed out at 600 s on a machine also running the TPU chain + the
+    # long fuzz battery.
     r = subprocess.run(
         [sys.executable, "-c", _DRIVER, str(tmp_path), kind],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1800,
         env=dict(os.environ, JAX_PLATFORMS="cpu"),
     )
     assert r.returncode == 0, (
