@@ -27,7 +27,17 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--entropy-coef", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--warmstart", action="store_true",
+                    help="temporal depth warm-start inside the rollout "
+                    "scan (bitwise-identical frames, ops/warmstart.py)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                    "ignores JAX_PLATFORMS=cpu; this is the reliable "
+                    "way to keep a smoke run off a shared single-client "
+                    "TPU tunnel)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from madrona_renderer_tpu.config import RenderMode
     from madrona_renderer_tpu.assets.importer import load_render_assets
@@ -45,7 +55,8 @@ def main():
     state = init_state(cfg.rcfg.instances, cfg.rcfg.cameras, cfg.rcfg.worlds)
 
     ppo = PPOConfig(height=args.res, width=args.res, rollout_len=args.rollout,
-                    lr=args.lr, entropy_coef=args.entropy_coef)
+                    lr=args.lr, entropy_coef=args.entropy_coef,
+                    warmstart=args.warmstart)
     key = jax.random.PRNGKey(args.seed)
     params = init_policy_params(ppo, key)
     train_step = make_train_step(scene, ppo)

@@ -43,6 +43,12 @@ class PPOConfig(NamedTuple):
     yaw_step: float = 0.1
     pool: int = 4  # obs downsample factor
     hidden: int = 128
+    # Temporal depth warm-start inside the rollout scan (ops/warmstart.py):
+    # each env step seeds its ray search windows from the previous step's
+    # depth carried through the scan — bitwise-equal training trajectory
+    # (warm starts are correctness-independent of their seed). Pallas
+    # raytracer only; incompatible with a caller-provided render.
+    warmstart: bool = False
 
 
 N_ACTIONS = 3  # yaw -1 / 0 / +1
@@ -116,13 +122,35 @@ def make_train_step(
     update, all on device."""
     import optax
 
-    if render is None:
+    if cfg.warmstart:
+        if render is not None:
+            raise ValueError(
+                "PPOConfig.warmstart=True builds its own warm-started "
+                "Pallas render — drop the render= override")
+        # The seeded search window is a Pallas kernel feature
+        # (ops/warmstart.py); the previous step's depth rides the scan
+        # carry, so the whole warm-started rollout stays one XLA program.
+        from ..ops.warmstart import raytrace_warmstart
+
+        def render(sim_state, scene, *, prev_depth):
+            return raytrace_warmstart(
+                sim_state, scene, prev_depth=prev_depth,
+                height=cfg.height, width=cfg.width)
+    elif render is None:
         if jax.default_backend() in ("tpu", "axon"):
             from ..ops.raytrace_pallas import raytrace
         else:
             from ..ops.raytrace_ref import raytrace
 
-        render = partial(raytrace, height=cfg.height, width=cfg.width)
+        base = partial(raytrace, height=cfg.height, width=cfg.width)
+
+        def render(sim_state, scene, *, prev_depth=None):
+            return base(sim_state, scene)
+    else:
+        _user_render = render
+
+        def render(sim_state, scene, *, prev_depth=None):
+            return _user_render(sim_state, scene)
 
     optimizer = optax.adam(cfg.lr)
 
@@ -130,8 +158,8 @@ def make_train_step(
         # One render per step: this frame provides the observation for the
         # current action AND the reward for the previous one (rewards are
         # shifted by one step when assembling the trajectory below).
-        sim_state, params = carry
-        frames = render(sim_state, scene)
+        sim_state, params, prev_depth = carry
+        frames = render(sim_state, scene, prev_depth=prev_depth)
         obs = _obs_from_frames(frames.rgb, cfg)
         reward_prev = _reward(frames.segmask)
         logits, value = policy_apply(params, obs)
@@ -139,7 +167,11 @@ def make_train_step(
         logp = jax.nn.log_softmax(logits)[jnp.arange(obs.shape[0]), action]
         sim_state = _apply_action(sim_state, action, cfg)
         sim_state = dataclasses.replace(sim_state, time=sim_state.time + 0.05)
-        return (sim_state, params), (obs, action, logp, value, reward_prev)
+        # Non-warm runs carry an inert scalar instead of the depth map so
+        # the scan carry stays free when the tier is off.
+        next_prev = frames.depth if cfg.warmstart else prev_depth
+        return ((sim_state, params, next_prev),
+                (obs, action, logp, value, reward_prev))
 
     def gae(rewards, values, last_value):
         def scan_fn(adv, t):
@@ -175,11 +207,18 @@ def make_train_step(
     @partial(jax.jit, donate_argnums=(2,))
     def train_step(params, opt_state, sim_state, key):
         key, *step_keys = jax.random.split(key, cfg.rollout_len + 1)
-        (sim_state, _), traj = jax.lax.scan(
-            env_step, (sim_state, params), jnp.stack(step_keys)
+        if cfg.warmstart:
+            # Zeros map to `far` inside raytrace_warmstart — the first
+            # rollout step renders cold, the rest seed temporally.
+            w, c = sim_state.camera_pos.shape[:2]
+            prev0 = jnp.zeros((w, c, cfg.height, cfg.width), jnp.float32)
+        else:
+            prev0 = jnp.float32(0.0)
+        (sim_state, _, prev_depth), traj = jax.lax.scan(
+            env_step, (sim_state, params, prev0), jnp.stack(step_keys)
         )
         obs, action, logp, value, reward_prev = traj  # each [T, W, ...]
-        frames = render(sim_state, scene)
+        frames = render(sim_state, scene, prev_depth=prev_depth)
         final_obs = _obs_from_frames(frames.rgb, cfg)
         _, last_value = policy_apply(params, final_obs)
         # reward_prev[t] is the reward observed AT step t (i.e. for action
