@@ -205,7 +205,7 @@ class Manager:
     def _build_step_fn(self):
         cfg = self.cfg
         ssaa = int(cfg.ssaa)
-        if ssaa < 1:
+        if ssaa < 1 or ssaa != cfg.ssaa:
             raise ValueError(f"ssaa={cfg.ssaa} must be a positive integer")
         height = cfg.batch_render_view_height * ssaa
         width = cfg.batch_render_view_width * ssaa

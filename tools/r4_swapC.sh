@@ -26,16 +26,25 @@ while kill -0 "$CHAIN_PID" 2>/dev/null; do
   sleep 5
 done
 
-# belt-and-braces: confirm no TPU python client is alive before chainC
+# belt-and-braces: confirm no TPU python client is alive before chainC.
+# Pattern excludes the system tunnel daemon /root/.tpu_init.py (whose
+# name matches a bare 'tpu_'), and the loop ABORTS instead of launching
+# if a real client never clears (single-client tunnel discipline).
+clear_ok=0
 for i in $(seq 1 120); do
-  if ps -eo comm=,args= | grep -v grep | grep -E '^python' \
-       | grep -qE 'tpu_|bench\.py'; then
+  if ps -eo args= | grep -v grep | grep -E 'tools/tpu_|bench\.py' \
+       | grep -q python; then
     log "a TPU python is still alive; waiting"
     sleep 10
   else
+    clear_ok=1
     break
   fi
 done
+if [ "$clear_ok" = 0 ]; then
+  log "ABORT: a TPU client still holds the tunnel after 20 min — not launching"
+  exit 1
+fi
 sleep 20
 log "launching chainC"
 nohup bash /root/repo/tools/r4_chainC.sh > /tmp/r4_chainC.log 2>&1 &

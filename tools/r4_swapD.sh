@@ -27,15 +27,24 @@ done
 
 # Confirm no TPU python client is alive (exclude the system tunnel
 # daemon /root/.tpu_init.py, which matched the old 'tpu_' pattern).
+# ABORT instead of launching if a client never clears — e.g. a probe
+# orphaned by a TOCTOU between the ps read and the kill (single-client
+# tunnel discipline: never start a second client).
+clear_ok=0
 for i in $(seq 1 60); do
   if ps -eo args= | grep -v grep | grep -E 'tools/tpu_|bench\.py' \
        | grep -q python; then
     log "a TPU python is still alive; waiting"
     sleep 10
   else
+    clear_ok=1
     break
   fi
 done
+if [ "$clear_ok" = 0 ]; then
+  log "ABORT: a TPU client still holds the tunnel after 10 min — not launching"
+  exit 1
+fi
 sleep 20
 log "launching chainD"
 nohup bash /root/repo/tools/r4_chainD.sh > /tmp/r4_chainD.log 2>&1 &
