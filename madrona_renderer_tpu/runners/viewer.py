@@ -231,7 +231,7 @@ def parse_viewer_args(argv):
     def usage():
         print(
             f"{argv[0]} [NUM_WORLDS] [rt|rast] [WINDOW_WIDTH] [WINDOW_HEIGHT] "
-            "[BATCH_WIDTH] [BATCH_HEIGHT]",
+            "[BATCH_WIDTH] [BATCH_HEIGHT] [--ssaa N]",
             file=sys.stderr,
         )
         raise SystemExit(1)
@@ -245,13 +245,22 @@ def parse_viewer_args(argv):
         mode = RenderMode.Rasterizer
     else:
         usage()
-    return num_worlds, mode, int(argv[5]), int(argv[6])
+    ssaa = 1
+    i = 7
+    while i < len(argv):
+        if argv[i] == "--ssaa" and i + 1 < len(argv):
+            ssaa = int(argv[i + 1])
+            i += 2
+        else:
+            usage()
+    return num_worlds, mode, int(argv[5]), int(argv[6]), ssaa
 
 
 def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv
-    num_worlds, mode, bw, bh = parse_viewer_args(argv)
-    mgr = Manager(demo_config(num_worlds, mode, bw, bh, dynamic=True))
+    num_worlds, mode, bw, bh, ssaa = parse_viewer_args(argv)
+    mgr = Manager(demo_config(num_worlds, mode, bw, bh, dynamic=True,
+                              ssaa=ssaa))
     Viewer(mgr).loop()
 
 

@@ -215,9 +215,10 @@ def main(argv=None) -> None:
         i = argv.index("--port")
         port = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
-    num_worlds, mode, bw, bh = parse_viewer_args(argv)
+    num_worlds, mode, bw, bh, ssaa = parse_viewer_args(argv)
     win_w, win_h = int(argv[3]), int(argv[4])
-    mgr = Manager(demo_config(num_worlds, mode, bw, bh, dynamic=True))
+    mgr = Manager(demo_config(num_worlds, mode, bw, bh, dynamic=True,
+                              ssaa=ssaa))
     httpd, vs = serve(Viewer(mgr), port=port, win_w=win_w, win_h=win_h)
     print(f"viewer: http://127.0.0.1:{port}/  (q in the page to quit)")
     try:

@@ -43,10 +43,16 @@ def test_viewer_navigation_and_images(mgr):
 
 
 def test_viewer_args_contract():
-    n, mode, bw, bh = parse_viewer_args(["v", "4", "rt", "800", "600", "64", "32"])
-    assert (n, mode, bw, bh) == (4, RenderMode.Raytracer, 64, 32)
+    n, mode, bw, bh, ssaa = parse_viewer_args(
+        ["v", "4", "rt", "800", "600", "64", "32"])
+    assert (n, mode, bw, bh, ssaa) == (4, RenderMode.Raytracer, 64, 32, 1)
+    *_, ssaa = parse_viewer_args(
+        ["v", "4", "rt", "800", "600", "64", "32", "--ssaa", "2"])
+    assert ssaa == 2
     with pytest.raises(SystemExit):
         parse_viewer_args(["v", "4", "rt"])
+    with pytest.raises(SystemExit):
+        parse_viewer_args(["v", "4", "rt", "800", "600", "64", "32", "--bogus"])
 
 
 def test_checkpoint_roundtrip(mgr, tmp_path):
