@@ -93,6 +93,7 @@ def run_config(
     scene: str = "demo",
     move_cams: bool = False,
     warmstart: bool = False,
+    ssaa: int = 1,
 ) -> float:
     """Returns frames/sec (steps × worlds / elapsed) for the steady-state
     loop, timed like the reference headless bench (src/headless.cpp:57-78)
@@ -147,8 +148,15 @@ def run_config(
             updates["camera_pos"] = state.camera_pos.at[..., 2].add(bob)
         state = dataclasses.replace(state, **updates)
         frames = render(
-            state, scene, height=height, width=width, near=near, far=cfg.far_plane
+            state, scene, height=height * ssaa, width=width * ssaa,
+            near=near, far=cfg.far_plane
         )
+        if ssaa > 1:
+            # SSAA quality-tier row: supersampled render + box filter
+            # (ops/ssaa.py) — the export the user actually receives.
+            from madrona_renderer_tpu.ops.ssaa import downsample_frames
+
+            frames = downsample_frames(frames, ssaa)
         return state, frames
 
     # Multi-step rollout in ONE dispatch (lax.scan), stacking every step's
@@ -276,8 +284,14 @@ BASELINE_CONFIGS = [
     # (ops/warmstart.py; bitwise-equal output, previous-frame depth
     # seeds). Its honest baseline is the cold bigmesh row's canonical.
     ("bigmesh_512w_warm", 512, 4, "rt", 64, 64, "terrain", False),
+    # Round-4 quality-tier row: the textured north-star with ssaa=2
+    # (renders 128², exports antialiased 64² — ops/ssaa.py). Its honest
+    # baseline is the un-supersampled textured row: vs_canonical reads
+    # the quality tier's cost factor (~1/4 expected) directly.
+    ("textured_4096w_ssaa2", 4096, 10, "rt", 64, 64, "textured", False),
 ]
 _WARMSTART_ROWS = {"bigmesh_512w_warm"}
+_SSAA_ROWS = {"textured_4096w_ssaa2": 2}
 
 
 # Canonical healthy-session values per ladder row (round-3 record,
@@ -295,6 +309,9 @@ CANONICAL_FPS = {
     "textured_4096w": 401039.0,
     "bigmesh_512w": 1971.0,
     "bigmesh_512w_warm": 1971.0,  # baseline = the cold bigmesh canonical
+    # No healthy r4 read yet: baseline = the un-supersampled textured
+    # canonical, so vs_canonical reads the ssaa=2 cost factor (~0.25).
+    "textured_4096w_ssaa2": 401039.0,
     "textured256_4096w": 181073.0,
     "ppo_streaming_16384w": 396610.0,
     "north_star": 518575.0,
@@ -303,7 +320,8 @@ CANONICAL_FPS = {
 # north-star target (10.6M resident triangles / paged 256² textures are
 # different workloads than the 4096-world demo scene).
 _SCALE_ROWS = ("bigmesh_512w", "bigmesh_512w_warm",
-               "textured256_4096w", "cpu_sanity_1w")
+               "textured256_4096w", "cpu_sanity_1w",
+               "textured_4096w_ssaa2")
 
 
 def run_ppo_streaming(num_worlds: int = 16384, updates: int = 3, res: int = 64) -> float:
@@ -370,7 +388,8 @@ def run_baseline_suite(impl: str) -> dict:
                                  warmstart=True)
             else:
                 fps = run_config(_scaled(worlds), steps, mode, w, h, impl,
-                                 scene=scene, move_cams=move_cams)
+                                 scene=scene, move_cams=move_cams,
+                                 ssaa=_SSAA_ROWS.get(name, 1))
             base = CANONICAL_FPS[name] if name in _SCALE_ROWS else 1e5
             out[name] = {
                 "value": round(fps, 1),
