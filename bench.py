@@ -23,7 +23,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+# Persistent XLA compilation cache (MRT_COMPILE_CACHE=0 disables): the
+# driver invokes bench.py as a fresh process; with the cache warmed by a
+# prior chain run of the same ladder, its bounded health-wait budget goes
+# to measurement instead of recompiles. Identical executables — timings
+# unaffected. (jax 0.9 ignores the JAX_COMPILATION_CACHE_DIR env var;
+# utils/compile_cache.py uses the config API.)
+from madrona_renderer_tpu.utils import compile_cache as _compile_cache
+
+_compile_cache.enable()
 
 
 def build(num_worlds: int, mode_str: str, width: int, height: int, impl: str,

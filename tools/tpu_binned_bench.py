@@ -21,6 +21,15 @@ from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA compilation cache (MRT_COMPILE_CACHE=0 disables): the
+# measurement chains launch fresh short-lived clients, and in a degraded
+# session a single terrain-config compile+warm has read 15 min — the
+# cache cuts repeat-probe latency to seconds. Executables are identical,
+# so timings are unaffected. Every tool importing this module inherits it.
+from madrona_renderer_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 
 def log(m):
     print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)

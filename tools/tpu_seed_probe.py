@@ -52,6 +52,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # The module-import compile-cache opt-in saw an unset platform;
+        # CPU runs must not cache (utils/compile_cache.py SIGILL note).
+        jax.config.update("jax_compilation_cache_dir", None)
     import jax.numpy as jnp
     import numpy as np
 
