@@ -42,3 +42,18 @@ def test_manager_multidevice_mutation_contract():
 def test_manager_indivisible_worlds_raises():
     with pytest.raises(ValueError, match="not divisible"):
         Manager(demo_config(6, RenderMode.Raytracer, 16, 16, num_devices=8))
+
+
+def test_manager_8dev_ssaa_matches_single():
+    """ssaa=2 under worlds-sharding: the supersampled render + box filter
+    is elementwise over worlds, so the 8-device output bitwise-matches
+    single-device (ops/ssaa.py under GSPMD)."""
+    single = Manager(
+        demo_config(8, RenderMode.Raytracer, 16, 16, dynamic=True, ssaa=2))
+    multi = Manager(
+        demo_config(8, RenderMode.Raytracer, 16, 16, dynamic=True, ssaa=2,
+                    num_devices=8))
+    np.testing.assert_array_equal(
+        single.rgb_tensor().numpy(), multi.rgb_tensor().numpy())
+    np.testing.assert_array_equal(
+        single.depth_tensor().numpy(), multi.depth_tensor().numpy())
