@@ -233,17 +233,11 @@ class Manager:
                     "the seeded search window is a kernel feature "
                     "(ops/warmstart.py)"
                 )
-            if impl != "pallas":
-                # Quality-tier intersector (jnp path only): the Pallas
-                # kernel keeps the ε-slack sweep (docs/design.md).
-                render_kwargs["watertight"] = self._watertight_effective()
-            elif self._watertight_effective():
-                raise NotImplementedError(
-                    "watertight=True with an explicit impl='pallas' is "
-                    "contradictory: the watertight intersector is a "
-                    "jnp-tier quality feature (docs/design.md). Use "
-                    "impl='auto' (routes to jnp) or impl='jnp'."
-                )
+            # Quality-tier intersector: the jnp path swaps in
+            # ops/watertight.py; the Pallas kernel runs the Woop decision
+            # on its raw-geometry sweeps (raytrace_pallas.py, r4 — the
+            # prep/deferred structural cuts are disabled under it).
+            render_kwargs["watertight"] = self._watertight_effective()
         else:
             if cfg.warmstart:
                 raise NotImplementedError(
@@ -269,15 +263,7 @@ class Manager:
                 texture_filter=cfg.texture_filter,
                 shadows=cfg.shadows,
             )
-            if impl != "pallas":
-                render_kwargs["watertight"] = self._watertight_effective()
-            elif self._watertight_effective():
-                raise NotImplementedError(
-                    "watertight=True with an explicit impl='pallas' is "
-                    "contradictory: the watertight intersector is a "
-                    "jnp-tier quality feature (docs/design.md). Use "
-                    "impl='auto' (routes to jnp) or impl='jnp'."
-                )
+            render_kwargs["watertight"] = self._watertight_effective()
 
         cam_w, cam_slot = self._j_cam_w, self._j_cam_slot
 
@@ -375,13 +361,10 @@ class Manager:
     def _resolve_impl(self) -> str:
         impl = self.cfg.impl
         if impl == "auto":
-            if self._watertight_effective():
-                # The Woop watertight intersector is a quality tier of
-                # the jnp path only; under 'auto' the config routes
-                # there instead of raising (VERDICT r3 #5 — the Pallas
-                # sweep keeps the ε-slack fast path, docs/design.md).
-                # An explicit impl='pallas' + watertight still raises.
-                return "jnp"
+            # watertight no longer forces the jnp tier: the Pallas
+            # kernel carries the Woop decision sweep natively (r4,
+            # raytrace_pallas.py `watertight=`), so 'auto' stays a pure
+            # platform pick.
             platform = self.device.platform
             return "pallas" if platform in ("tpu", "axon") else "jnp"
         return impl

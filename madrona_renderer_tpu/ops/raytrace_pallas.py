@@ -761,6 +761,7 @@ def _render_kernel(
     wpp: int = 1,
     tpp: int = 1,
     seeded: bool = False,
+    watertight: bool = False,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -884,6 +885,17 @@ def _render_kernel(
         assert wpp == 1 or not dma_tris
         assert n_tiles % tpp == 0
         assert wpp == 1 or (tpp == n_tiles and num_cams == 1)
+    # watertight (quality tier, VERDICT r3 #5): the per-triangle DECISION
+    # (accept + hit t) runs the Woop sheared-edge-function test
+    # (ops/watertight.py is the jnp twin) instead of ε-slack
+    # Möller–Trumbore; MT u/v survive only to interpolate attributes,
+    # matching the shading epilogue's _moller_trumbore recompute of the
+    # winner. Needs the raw v0/e1/e2 rows (the prep rows bake MT
+    # constants), so every prep/deferred structural cut is off — the
+    # dispatcher (render_core) forces that combination.
+    assert not watertight or not (
+        prep or deferred or dmxu or defer_attrs or sweep_unroll > 1
+    )
 
     def kernel(*refs):
         scratch = sem = tex_scratch = tex_sem = tex_state = None
@@ -1083,6 +1095,43 @@ def _render_kernel(
                 ray-direction/t_lo overrides let the banded deferred sweep
                 test one row band's rays against a per-band carry."""
 
+                if watertight:
+                    # Woop shear frame, hoisted per tile (the jnp twin is
+                    # ops/watertight.py::_shear_frame): kz = argmax |d|
+                    # with first-max tie-breaking (jnp.argmax semantics),
+                    # kx/ky the cyclic successors. The jnp path's one-hot
+                    # einsums reduce to exact component selects (products
+                    # with exact 0.0/1.0, sums with signed zeros), so the
+                    # select form below is its bitwise twin on every ray
+                    # that can produce an accepted hit.
+                    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+                    kz_x = (adx >= ady) & (adx >= adz)
+                    kz_y = jnp.logical_not(kz_x) & (ady >= adz)
+
+                    def sel_z(vx, vy, vz):  # component kz
+                        return jnp.where(kz_x, vx, jnp.where(kz_y, vy, vz))
+
+                    def sel_x(vx, vy, vz):  # component kx = kz + 1 (mod 3)
+                        return jnp.where(kz_x, vy, jnp.where(kz_y, vz, vx))
+
+                    def sel_y(vx, vy, vz):  # component ky = kz + 2 (mod 3)
+                        return jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
+
+                    w_dz = sel_z(dx, dy, dz)
+                    shear_x = sel_x(dx, dy, dz) / w_dz
+                    shear_y = sel_y(dx, dy, dz) / w_dz
+                    shear_z = 1.0 / w_dz
+
+                    def sheared(vx, vy, vz):
+                        """Scalar translated vertex → per-pixel sheared
+                        (x, y, z) coordinates (watertight.py::sheared)."""
+                        pz = sel_z(vx, vy, vz)
+                        return (
+                            sel_x(vx, vy, vz) - shear_x * pz,
+                            sel_y(vx, vy, vz) - shear_y * pz,
+                            shear_z * pz,
+                        )
+
                 def tri_test(i, carry):
                     best_t, best_idx, bmat, buvx, buvy, bnx, bny, bnz = carry[:8]
                     gi = i + idx_base
@@ -1190,19 +1239,72 @@ def _render_kernel(
                         v = (dx * qx + dy * qy + dz * qz) * inv
                         t = t_num * inv
 
-                    # No validity / det test needed: invalid or degenerate
-                    # triangles produce inv = 0 → t = 0, which fails t > t_lo
-                    # (t_lo > 0 always: effective near planes are positive).
-                    # Fused hit test — exact-equivalent rewrites:
-                    # min(u,v) ≥ -ε  ≡  u ≥ -ε ∧ v ≥ -ε, and
-                    # t < min(far, best_t)  ≡  t < far ∧ t < best_t
-                    # (no NaNs reach here: degenerate triangles give inv = 0).
-                    ok = (
-                        (jnp.minimum(u, v) >= -_EPS_BARY)
-                        & (u + v <= 1.0 + _EPS_BARY)
-                        & (t > t_lo)
-                        & (t < best_t)
-                    )
+                    if watertight:
+                        # Woop DECISION (jnp twin: watertight.py
+                        # _edge_function_hit + intersect_watertight):
+                        # translate in the jnp operand order (a = v0 − o,
+                        # b = a + e1, c = a + e2), shear per pixel, and
+                        # accept on the three 2D edge functions — exact
+                        # zeros (ray through an edge) accepted by BOTH
+                        # adjacent triangles, so no crack can open. The
+                        # MT u/v above survive only to interpolate
+                        # attributes, matching the jnp epilogue's
+                        # _moller_trumbore recompute of the winner.
+                        awx = v0x - ox
+                        awy = v0y - oy
+                        awz = v0z - oz
+                        ax_, ay_, az_ = sheared(awx, awy, awz)
+                        bx_, by_, bz_ = sheared(
+                            awx + e1x, awy + e1y, awz + e1z
+                        )
+                        cx_, cy_, cz_ = sheared(
+                            awx + e2x, awy + e2y, awz + e2z
+                        )
+                        uw = cx_ * by_ - cy_ * bx_
+                        vw = ax_ * cy_ - ay_ * cx_
+                        ww = bx_ * ay_ - by_ * ax_
+                        detw = uw + vw + ww
+                        t = jnp.where(
+                            detw != 0.0,
+                            (uw * az_ + vw * bz_ + ww * cz_) / detw,
+                            jnp.inf,
+                        )
+                        # The explicit validity test is the jnp wrapper's
+                        # tri_ok AND is load-bearing here: a degenerate
+                        # padding slot (e1 = e2 = 0 → identical sheared
+                        # points) has exactly-zero edge functions in
+                        # eager/Mosaic math, but a compiler that
+                        # contracts a*b - c*d into an FMA (XLA:CPU under
+                        # interpret mode) turns them into ±rounding
+                        # residuals that can ACCEPT with a plausible t —
+                        # measured: 310 phantom plane hits on a 32² view.
+                        # The MT path's inv = 0 degeneracy argument does
+                        # not transfer.
+                        ok = (
+                            (detw != 0.0)
+                            & (
+                                ((uw >= 0.0) & (vw >= 0.0) & (ww >= 0.0))
+                                | ((uw <= 0.0) & (vw <= 0.0) & (ww <= 0.0))
+                            )
+                            & (read(9, i) > 0.0)
+                            & (t > t_lo)
+                            & (t < best_t)
+                        )
+                    else:
+                        # No validity / det test needed: invalid or
+                        # degenerate triangles produce inv = 0 → t = 0,
+                        # which fails t > t_lo (t_lo > 0 always: effective
+                        # near planes are positive).
+                        # Fused hit test — exact-equivalent rewrites:
+                        # min(u,v) ≥ -ε  ≡  u ≥ -ε ∧ v ≥ -ε, and
+                        # t < min(far, best_t)  ≡  t < far ∧ t < best_t
+                        # (no NaNs reach here: degenerate tris give inv = 0).
+                        ok = (
+                            (jnp.minimum(u, v) >= -_EPS_BARY)
+                            & (u + v <= 1.0 + _EPS_BARY)
+                            & (t > t_lo)
+                            & (t < best_t)
+                        )
 
                     if deferred or defer_attrs:
                         # Carry only (t, idx, u, v); attributes resolve once
@@ -3705,6 +3807,7 @@ def render_core(
     texture_filter: str = "nearest",
     shadows: bool = False,
     seed_t: "jnp.ndarray | None" = None,
+    watertight: bool = False,
 ):
     """Run the kernel over all views. Returns dict of [W, C, P] arrays:
     (t, z, idx, rgb) when the scene is untextured (in-kernel shading) or
@@ -4106,6 +4209,24 @@ def render_core(
         and (band_gates or sweep_bands == 1)
         and _os.environ.get("MRT_WIN_SORT", "0") == "1"
     )
+    # Watertight decision sweep (quality tier, VERDICT r3 #5): the Woop
+    # test shears raw VERTICES, so every structural cut that replaces the
+    # v0/e1/e2 rows with pack-time Möller–Trumbore constants (prep rows,
+    # the deferred split layout, the dmxu prepass) is off; big meshes
+    # fall back to the raw-row DMA stream (slower, still correct). The
+    # ε-slack default path is untouched.
+    if watertight:
+        if accel == "mxu":
+            raise ValueError(
+                "watertight=True is not supported with accel='mxu' (the "
+                "batched kernel has no per-pixel shear sweep) — use "
+                "accel='auto' or the jnp path"
+            )
+        deferred = dmxu = rowskip = False
+        prep_stream = prep_resident = defer_attrs = uv_defer = False
+        sweep_unroll = 1
+        sweep_bands = 1
+        band_gates = tri_ranges = tri_tie = win_sort = False
     # Supertiling: fold wpp worlds × tpp tiles into one grid program to
     # amortize the per-program floor (block-DMA issue + grid-step
     # overhead, measured 0.5–0.8 µs/program on small resident scenes —
@@ -4288,6 +4409,7 @@ def render_core(
             win_sort=win_sort, uv_defer=uv_defer,
             wpp=wpp, tpp=tpp,
             seeded=seed_packed is not None,
+            watertight=watertight,
         )
         if wpp > 1 or tpp > 1:
             cl = _lane_pad(cl)
@@ -4472,6 +4594,7 @@ def render_core(
             uv_defer=uv_defer,
             wpp=wpp, tpp=tpp,
             seeded=seed_packed is not None,
+            watertight=watertight,
         )
         attr_specs, attr_inputs = [], ()
         if defer_attrs:
@@ -4577,7 +4700,7 @@ def _frames_from_core(core, T, scene, state, height, width, texture_filter,
     jax.jit,
     static_argnames=(
         "height", "width", "near", "far", "fov_y_degrees", "chunk", "interpret",
-        "texture_filter", "accel", "shadows",
+        "texture_filter", "accel", "shadows", "watertight",
     ),
 )
 @f32_precise
@@ -4596,18 +4719,28 @@ def raytrace(
     accel: str = "auto",  # "auto" | "none" | "clusters" | "binned" | "mxu"
     shadows: bool = False,
     seed_t: "jnp.ndarray | None" = None,
+    watertight: bool = False,
 ) -> Frames:
     """Drop-in replacement for ``raytrace_ref.raytrace``; see module
     docstring for the kernel design.
 
     ``seed_t`` (experimental): per-pixel [W, C, H, W] upper bound on the
     ray-t search window — see render_core. Seeding with the exact
-    previous depth ×(1+ε) is the oracle for prepass/warm-start schemes."""
+    previous depth ×(1+ε) is the oracle for prepass/warm-start schemes.
+
+    ``watertight=True`` swaps the per-triangle DECISION for the Woop
+    sheared-edge-function test (crack-free seams; jnp twin
+    ops/watertight.py) on the raw-geometry sweeps — a quality tier,
+    slower than the ε-slack default. Unlike the jnp wrapper there is no
+    ``None``/env-default resolution here: callers (the Manager's
+    ``_watertight_effective``) resolve MRT_WATERTIGHT before this jit
+    boundary."""
     del chunk
     core, T = render_core(
         state, scene, height=height, width=width, near=near, far=far,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
         texture_filter=texture_filter, shadows=shadows, seed_t=seed_t,
+        watertight=watertight,
     )
     return _frames_from_core(
         core, T, scene, state, height, width, texture_filter, depth_key="t",
@@ -4619,7 +4752,7 @@ def raytrace(
     jax.jit,
     static_argnames=(
         "height", "width", "near", "far", "fov_y_degrees", "chunk", "interpret",
-        "texture_filter", "accel", "shadows",
+        "texture_filter", "accel", "shadows", "watertight",
     ),
 )
 @f32_precise
@@ -4637,14 +4770,17 @@ def rasterize(
     texture_filter: str = "nearest",
     accel: str = "auto",
     shadows: bool = False,
+    watertight: bool = False,
 ) -> Frames:
     """Raster-convention rendering on the same kernel (camera-plane depth,
-    view znear clip, no segmask) — see raster_ref.py for the rationale."""
+    view znear clip, no segmask) — see raster_ref.py for the rationale.
+    ``watertight`` as in :func:`raytrace` (resolved bool, not None)."""
     del chunk
     core, T = render_core(
         state, scene, height=height, width=width, near=near, far=far,
         fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
         raster_clip=True, texture_filter=texture_filter, shadows=shadows,
+        watertight=watertight,
     )
     return _frames_from_core(
         core, T, scene, state, height, width, texture_filter,

@@ -26,6 +26,20 @@ Divergences from the paper (deliberate, documented):
     triangles, which preserves the no-crack property; it only affects
     which of two coincident boundary hits wins the min-t argmin.
 
+Compiled-mode caveat (measured, r4): the no-crack guarantee relies on
+the two shared-edge 2D cross products being computed with identical
+roundings so IEEE subtraction negates them exactly. XLA:CPU's backend
+may contract ``a*b - c*d`` into an FMA inside compiled code (the
+``lax.scan`` body below always compiles), which rounds the two
+triangles' copies differently and can flip an exactly-zero edge
+function to ±1 ulp — a knife-edge ray can then miss BOTH triangles (a
+1-ulp pinhole). Verified: the same edge function reads 0.0 eagerly and
+-2e-8 under ``jax.jit`` on CPU. TPU vector code keeps mul and sub as
+separate ops, so the guarantee holds on the hardware this framework
+targets; the Pallas watertight kernel (raytrace_pallas.py
+``watertight=True``) is the production path and its interpret mode is
+eager, hence exact.
+
 Scope caveat (why this is opt-in, not the default): the scene pipeline
 stores triangles in (v0, e1, e2) edge form from bake time onward, so a
 vertex shared between triangles is reconstructed as ``v0 + e1`` with up

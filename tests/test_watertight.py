@@ -248,30 +248,28 @@ def test_raytrace_watertight_golden_parity():
 
 
 def test_manager_watertight_config():
-    """watertight flows through the Manager config: honored on the jnp
-    impl, loud NotImplementedError on the Pallas impl."""
+    """watertight flows through the Manager config on BOTH impls: the
+    jnp tier swaps intersect_watertight in; the Pallas tier runs the
+    in-kernel Woop decision sweep (r4 — tests/test_watertight_pallas.py
+    holds the cross-impl parity bar)."""
     from tests.fixtures import ensure_fixtures, smoke_scene
     import madrona_renderer_tpu as m
 
     kw = smoke_scene(ensure_fixtures(), num_worlds=2)
-    r = m.MadronaRenderer(
-        gpu_id=0, num_worlds=2, render_mode=m.RenderMode.Raytracer,
-        batch_render_view_width=32, batch_render_view_height=32,
-        impl="jnp", watertight=True, **kw,
-    )
-    assert (np.asarray(r.segmask_tensor().numpy()) >= 0).any()
-    with pytest.raises(NotImplementedError, match="watertight"):
-        m.MadronaRenderer(
+    for impl in ("jnp", "pallas"):
+        r = m.MadronaRenderer(
             gpu_id=0, num_worlds=2, render_mode=m.RenderMode.Raytracer,
             batch_render_view_width=32, batch_render_view_height=32,
-            impl="pallas", watertight=True, **kw,
+            impl=impl, watertight=True, **kw,
         )
+        assert (np.asarray(r.segmask_tensor().numpy()) >= 0).any()
 
 
-def test_manager_watertight_auto_routes_to_jnp():
+def test_manager_watertight_auto_never_raises():
     """VERDICT r3 #5: Manager(watertight=True) must never raise under
-    impl='auto' — 'auto' routes the quality tier to the jnp path (on
-    any backend; the watertight check precedes platform selection)."""
+    impl='auto'. Since r4 'auto' is a pure platform pick (the Pallas
+    kernel carries the Woop sweep natively) — on the CPU test backend
+    that resolves to jnp."""
     from tests.fixtures import ensure_fixtures, smoke_scene
     import madrona_renderer_tpu as m
 
@@ -280,29 +278,16 @@ def test_manager_watertight_auto_routes_to_jnp():
         gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
         batch_render_view_width=16, batch_render_view_height=16,
         watertight=True, **kw)
-    assert r._resolve_impl() == "jnp"
+    assert r._resolve_impl() == "jnp"  # CPU platform pick, not a gate
     r.step()
     assert (r.segmask_tensor().numpy() >= 0).any()
 
 
-def test_manager_watertight_explicit_pallas_contradiction_raises():
-    import pytest
-
-    from tests.fixtures import ensure_fixtures, smoke_scene
-    import madrona_renderer_tpu as m
-
-    kw = smoke_scene(ensure_fixtures())
-    with pytest.raises(NotImplementedError, match="contradictory"):
-        m.MadronaRenderer(
-            gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
-            batch_render_view_width=16, batch_render_view_height=16,
-            watertight=True, impl="pallas", **kw)
-
-
 def test_manager_watertight_env_default_routes(monkeypatch):
     """watertight=None + MRT_WATERTIGHT=1 (the documented env default,
-    config.py) must route impl='auto' to the jnp tier exactly like
-    watertight=True — not silently render ε-slack on the Pallas path."""
+    config.py) must resolve exactly like watertight=True on every impl —
+    not silently render ε-slack where the env asked for the quality
+    tier."""
     from tests.fixtures import ensure_fixtures, smoke_scene
     import madrona_renderer_tpu as m
 
@@ -311,12 +296,13 @@ def test_manager_watertight_env_default_routes(monkeypatch):
     r = m.MadronaRenderer(
         gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
         batch_render_view_width=16, batch_render_view_height=16, **kw)
-    assert r._resolve_impl() == "jnp"
-    # ... and the explicit-pallas contradiction is loud for the env
-    # form too.
-    with pytest.raises(NotImplementedError, match="contradictory"):
-        m.MadronaRenderer(
-            gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
-            batch_render_view_width=16, batch_render_view_height=16,
-            impl="pallas", **kw)
+    assert r._watertight_effective()
+    # The explicit-pallas form honors the env default too (the kernel
+    # decision sweep, not silent ε-slack).
+    r2 = m.MadronaRenderer(
+        gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
+        batch_render_view_width=16, batch_render_view_height=16,
+        impl="pallas", **kw)
+    assert r2._watertight_effective()
+    assert (r2.segmask_tensor().numpy() >= 0).any()
     monkeypatch.delenv("MRT_WATERTIGHT")

@@ -174,6 +174,35 @@ def main():
             ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", 256)
             failures += not ok
 
+    # --- Watertight decision sweep (r4): the Woop in-kernel decision vs
+    # the jnp watertight wrapper, demo scene + the terrain DMA config.
+    # Same edge-aware criterion: knife-edge seam pixels may flip if the
+    # two codegens fuse a*b - c*d differently (the FMA caveat in
+    # ops/watertight.py) — any such flip is a 3×3 edge race by
+    # construction. ---
+    for res in args.res[:2]:
+        state, scene, cfg = build(args.worlds, "rt", res, res, "pallas")
+        got = raytrace_pallas.raytrace(
+            state, scene, height=res, width=res, near=cfg.near_plane,
+            far=cfg.far_plane, watertight=True)
+        want = raytrace_ref.raytrace(
+            state, scene, height=res, width=res, near=cfg.near_plane,
+            far=cfg.far_plane, watertight=True)
+        log(f"watertight res={res} rt:")
+        ok = edge_aware_ok(got.rgb, want.rgb, "rgb", res)
+        ok &= edge_aware_ok(got.depth, want.depth, "depth", res)
+        ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", res)
+        failures += not ok
+    got = raytrace_pallas.raytrace(
+        t_state, t_scene, height=128, width=128, watertight=True)
+    want = raytrace_ref.raytrace(
+        t_state, t_scene, height=128, width=128, watertight=True)
+    log("watertight terrain 128² rt (raw-row DMA):")
+    ok = edge_aware_ok(got.rgb, want.rgb, "rgb", 128)
+    ok &= edge_aware_ok(got.depth, want.depth, "depth", 128)
+    ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", 128)
+    failures += not ok
+
     # --- Paged mip textures (r3): looser criterion — the mip level /
     # nearest-texel choice at exact boundaries is ambiguous between the
     # two codegens (see tests/test_mips.py docstring). ---
