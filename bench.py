@@ -105,6 +105,7 @@ def run_config(
     move_cams: bool = False,
     warmstart: bool = False,
     ssaa: int = 1,
+    watertight: bool = False,
 ) -> float:
     """Returns frames/sec (steps × worlds / elapsed) for the steady-state
     loop, timed like the reference headless bench (src/headless.cpp:57-78)
@@ -160,7 +161,8 @@ def run_config(
         state = dataclasses.replace(state, **updates)
         frames = render(
             state, scene, height=height * ssaa, width=width * ssaa,
-            near=near, far=cfg.far_plane
+            near=near, far=cfg.far_plane,
+            **({"watertight": True} if watertight else {}),
         )
         if ssaa > 1:
             # SSAA quality-tier row: supersampled render + box filter
@@ -300,9 +302,15 @@ BASELINE_CONFIGS = [
     # baseline is the un-supersampled textured row: vs_canonical reads
     # the quality tier's cost factor (~1/4 expected) directly.
     ("textured_4096w_ssaa2", 4096, 10, "rt", 64, 64, "textured", False),
+    # Round-4 quality-tier row: the textured north-star through the Woop
+    # watertight decision sweep (crack-free seams; ops/watertight.py +
+    # raytrace_pallas.py watertight=). Baseline = the ε-slack textured
+    # row, so vs_canonical reads the quality tier's cost factor.
+    ("watertight_4096w", 4096, 10, "rt", 64, 64, "textured", False),
 ]
 _WARMSTART_ROWS = {"bigmesh_512w_warm"}
 _SSAA_ROWS = {"textured_4096w_ssaa2": 2}
+_WATERTIGHT_ROWS = {"watertight_4096w"}
 
 
 # Canonical healthy-session values per ladder row (round-3 record,
@@ -323,6 +331,9 @@ CANONICAL_FPS = {
     # No healthy r4 read yet: baseline = the un-supersampled textured
     # canonical, so vs_canonical reads the ssaa=2 cost factor (~0.25).
     "textured_4096w_ssaa2": 401039.0,
+    # No healthy r4 read yet: baseline = the ε-slack textured canonical,
+    # so vs_canonical reads the watertight tier's cost factor.
+    "watertight_4096w": 401039.0,
     "textured256_4096w": 181073.0,
     "ppo_streaming_16384w": 396610.0,
     "north_star": 518575.0,
@@ -332,7 +343,7 @@ CANONICAL_FPS = {
 # different workloads than the 4096-world demo scene).
 _SCALE_ROWS = ("bigmesh_512w", "bigmesh_512w_warm",
                "textured256_4096w", "cpu_sanity_1w",
-               "textured_4096w_ssaa2")
+               "textured_4096w_ssaa2", "watertight_4096w")
 
 
 def run_ppo_streaming(num_worlds: int = 16384, updates: int = 3, res: int = 64) -> float:
@@ -400,7 +411,8 @@ def run_baseline_suite(impl: str) -> dict:
             else:
                 fps = run_config(_scaled(worlds), steps, mode, w, h, impl,
                                  scene=scene, move_cams=move_cams,
-                                 ssaa=_SSAA_ROWS.get(name, 1))
+                                 ssaa=_SSAA_ROWS.get(name, 1),
+                                 watertight=name in _WATERTIGHT_ROWS)
             base = CANONICAL_FPS[name] if name in _SCALE_ROWS else 1e5
             out[name] = {
                 "value": round(fps, 1),

@@ -897,6 +897,23 @@ def _render_kernel(
         prep or deferred or dmxu or defer_attrs or sweep_unroll > 1
     )
 
+    # Debug cost-ablation knobs (tools/tpu_pixel_cost_probe.py): each
+    # removes ONE stage of the per-pixel pipeline so its share of the
+    # step time can be measured directly on hardware — the only way to
+    # profile inside a fused Pallas kernel. Outputs are deliberately
+    # wrong under any of these; never set them outside the probe.
+    #   SWEEP   — primary sweep skipped (carry = init; every pixel a miss)
+    #   RESOLVE — defer_attrs winner-attribute window resolve skipped
+    #   SHADE   — lambert lighting replaced by s=1 (clamp/quantize kept)
+    #   PACK    — whole shaded pack replaced by best_idx|alpha (removes
+    #             shade+pack; pack-only = PACK delta minus SHADE delta)
+    #   RAYGEN  — constant forward ray (removes NDC math + normalize)
+    ablate_sweep = _osmod.environ.get("MRT_ABLATE_SWEEP", "0") == "1"
+    ablate_resolve = _osmod.environ.get("MRT_ABLATE_RESOLVE", "0") == "1"
+    ablate_shade = _osmod.environ.get("MRT_ABLATE_SHADE", "0") == "1"
+    ablate_pack = _osmod.environ.get("MRT_ABLATE_PACK", "0") == "1"
+    ablate_raygen = _osmod.environ.get("MRT_ABLATE_RAYGEN", "0") == "1"
+
     def kernel(*refs):
         scratch = sem = tex_scratch = tex_sem = tex_state = None
         geo_scratch = geo_sem = attr_scratch = attr_sem = None
@@ -1040,15 +1057,23 @@ def _render_kernel(
                 p = r * (tile_sub * _TILE_LANE) + sub * _TILE_LANE + lane
                 px = (p % width).astype(jnp.float32)
                 py = (p // width).astype(jnp.float32)
-            a = ((px + 0.5) * (2.0 / width) - 1.0) * tan_x
-            b = (1.0 - (py + 0.5) * (2.0 / height)) * tan_y
-            dx = a * rxx + fx + b * ux
-            dy = a * rxy + fy + b * uy
-            dz = a * rxz + fz + b * uz
-            inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-            dx = dx * inv_len
-            dy = dy * inv_len
-            dz = dz * inv_len
+            if ablate_raygen:
+                # Debug ablation: constant forward ray for every pixel —
+                # the sweeps below still run full-rate vector work on it.
+                shp = (tile_sub, _TILE_LANE)
+                dx = jnp.broadcast_to(fx, shp)
+                dy = jnp.broadcast_to(fy, shp)
+                dz = jnp.broadcast_to(fz, shp)
+            else:
+                a = ((px + 0.5) * (2.0 / width) - 1.0) * tan_x
+                b = (1.0 - (py + 0.5) * (2.0 / height)) * tan_y
+                dx = a * rxx + fx + b * ux
+                dy = a * rxy + fy + b * uy
+                dz = a * rxz + fz + b * uz
+                inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+                dx = dx * inv_len
+                dy = dy * inv_len
+                dz = dz * inv_len
             cosf = dx * fx + dy * fy + dz * fz
             if raster_clip:
                 # z-buffer near-plane semantics: a fragment with z < znear is
@@ -1511,7 +1536,13 @@ def _render_kernel(
 
                 return body
 
-            if culled:
+            if ablate_sweep:
+                # Debug ablation: no primary sweep at all — every pixel
+                # keeps the miss init. What remains is the per-pixel
+                # fixed pipeline (raygen, resolve windows, flip/z/stores,
+                # shade, pack) plus the per-program floor.
+                out = init
+            elif culled:
                 safe = lambda d: jnp.where(
                     jnp.abs(d) > 1e-20, d, jnp.where(d < 0, -1e-20, 1e-20)
                 )
@@ -2569,7 +2600,11 @@ def _render_kernel(
                 else:
                     out = jax.lax.fori_loop(0, s_pad, tri_resident, init)
 
-            if defer_attrs:
+            if defer_attrs and ablate_resolve:
+                # Debug ablation: skip the window resolve; attrs keep the
+                # zero init (out keeps any trailing u/v carries dropped).
+                out = out[:8] + ((out[8],) if tex_paged else ())
+            elif defer_attrs:
                 # Winner-attribute resolve — the resident twin of the deferred
                 # path's per-cluster resolve: one pass per 128-lane window of
                 # the VMEM attr block, lane-gathering the winning triangle's
@@ -2811,29 +2846,39 @@ def _render_kernel(
                     else:
                         occs.append(jax.lax.fori_loop(0, s_pad, sh_body, occ0))
 
-            if shaded:
+            if shaded and ablate_pack:
+                # Debug ablation: the whole shaded epilogue (lighting +
+                # clamp/quantize/pack) replaced by one store.
+                rgb_ref[0] = best_idx | jnp.int32(np.int32(np.uint32(0xFF000000)))
+            elif shaded:
                 from .shade import AMBIENT
 
-                n_inv = jax.lax.rsqrt(
-                    jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
-                )
-                # Sum the clamped lambert terms over the L directional lights
-                # (cam cols _CAM_LIGHT0 + 6·li: dir(3) + color(3) per light).
-                sr = sg = sb = jnp.float32(0.0)
-                for li in range(n_lights):
-                    c0 = _CAM_LIGHT0 + 6 * li
-                    nd = jnp.maximum(
-                        0.0,
-                        -(bnx * cam_ref[0, 0, c0]
-                          + bny * cam_ref[0, 0, c0 + 1]
-                          + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
+                if ablate_shade:
+                    # Debug ablation: lighting math removed, the
+                    # clamp/quantize/pack pipeline below kept intact.
+                    sr = sg = sb = jnp.float32(1.0)
+                else:
+                    n_inv = jax.lax.rsqrt(
+                        jnp.maximum(bnx * bnx + bny * bny + bnz * bnz, 1e-20)
                     )
-                    if shadows:
-                        # nd·lit with lit ∈ {0, 1} == select (bit-exact).
-                        nd = jnp.where(occs[li] != 0, 0.0, nd)
-                    sr = sr + nd * cam_ref[0, 0, c0 + 3]
-                    sg = sg + nd * cam_ref[0, 0, c0 + 4]
-                    sb = sb + nd * cam_ref[0, 0, c0 + 5]
+                    # Sum the clamped lambert terms over the L directional
+                    # lights (cam cols _CAM_LIGHT0 + 6·li: dir(3) + color(3)
+                    # per light).
+                    sr = sg = sb = jnp.float32(0.0)
+                    for li in range(n_lights):
+                        c0 = _CAM_LIGHT0 + 6 * li
+                        nd = jnp.maximum(
+                            0.0,
+                            -(bnx * cam_ref[0, 0, c0]
+                              + bny * cam_ref[0, 0, c0 + 1]
+                              + bnz * cam_ref[0, 0, c0 + 2]) * n_inv,
+                        )
+                        if shadows:
+                            # nd·lit with lit ∈ {0, 1} == select (bit-exact).
+                            nd = jnp.where(occs[li] != 0, 0.0, nd)
+                        sr = sr + nd * cam_ref[0, 0, c0 + 3]
+                        sg = sg + nd * cam_ref[0, 0, c0 + 4]
+                        sb = sb + nd * cam_ref[0, 0, c0 + 5]
                 hit = best_idx >= 0
                 if raster_clip:
                     # Far clip in z (near is exact via t_lo in the sweep).
