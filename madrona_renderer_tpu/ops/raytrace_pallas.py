@@ -1142,10 +1142,13 @@ def _render_kernel(
                     def sel_y(vx, vy, vz):  # component ky = kz + 2 (mod 3)
                         return jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
 
+                    # Reciprocal-multiply, never a general a/b divide:
+                    # Mosaic and XLA:TPU round a/b differently but agree
+                    # bitwise on 1.0/x (watertight.py::_shear_frame note).
                     w_dz = sel_z(dx, dy, dz)
-                    shear_x = sel_x(dx, dy, dz) / w_dz
-                    shear_y = sel_y(dx, dy, dz) / w_dz
                     shear_z = 1.0 / w_dz
+                    shear_x = sel_x(dx, dy, dz) * shear_z
+                    shear_y = sel_y(dx, dy, dz) * shear_z
 
                     def sheared(vx, vy, vz):
                         """Scalar translated vertex → per-pixel sheared
@@ -1289,9 +1292,12 @@ def _render_kernel(
                         vw = ax_ * cy_ - ay_ * cx_
                         ww = bx_ * ay_ - by_ * ax_
                         detw = uw + vw + ww
+                        # 1/x-then-multiply (bitwise across backends);
+                        # a/b is not (watertight.py rounding note).
+                        invw = jnp.where(detw != 0.0, 1.0 / detw, 0.0)
                         t = jnp.where(
                             detw != 0.0,
-                            (uw * az_ + vw * bz_ + ww * cz_) / detw,
+                            (uw * az_ + vw * bz_ + ww * cz_) * invw,
                             jnp.inf,
                         )
                         # The explicit validity test is the jnp wrapper's

@@ -69,9 +69,17 @@ def _shear_frame(dirs: jnp.ndarray):
     dx = jnp.sum(dirs * ox, axis=-1)
     dy = jnp.sum(dirs * oy, axis=-1)
     # |dz| is the max-magnitude component of a nonzero direction.
-    sx = dx / dz
-    sy = dy / dz
+    # Reciprocal-multiply form, NOT dx / dz: Mosaic lowers a general
+    # f32 a/b differently from XLA:TPU (the dequant-LUT misround
+    # gotcha), but both backends produce bit-identical 1.0/x — the
+    # non-watertight sweep's bitwise on-chip parity rides exactly that
+    # (inv = 1/det, t = t_num * inv). Keeping every watertight divide
+    # in 1/x-then-multiply form keeps the Pallas kernel's depth bitwise
+    # against this reference on hardware (r4 chainE: the a/b form read
+    # ~5% of depth pixels 1-3 ulp off, same winners).
     sz = 1.0 / dz
+    sx = dx * sz
+    sy = dy * sz
     return ox, oy, oz, sx, sy, sz
 
 
@@ -84,7 +92,9 @@ def _edge_function_hit(ax, ay, az, bx, by, bz, cx, cy, cz):
     v = ax * cy - ay * cx  # weight of v1
     w = bx * ay - by * ax  # weight of v2
     det = u + v + w
-    t = jnp.where(det != 0.0, (u * az + v * bz + w * cz) / det, jnp.inf)
+    # Reciprocal-multiply, not /det — see _shear_frame's rounding note.
+    inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    t = jnp.where(det != 0.0, (u * az + v * bz + w * cz) * inv_det, jnp.inf)
     accept = (det != 0.0) & (
         ((u >= 0.0) & (v >= 0.0) & (w >= 0.0))
         | ((u <= 0.0) & (v <= 0.0) & (w <= 0.0))
