@@ -16,6 +16,16 @@ import numpy as np
 # Runnable without an editable install: `python examples/smoke.py`.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var, so a
+# JAX_PLATFORMS=cpu example run would silently become a SECOND client
+# of the single-client TPU tunnel (and a test-runner timeout would then
+# kill it mid-execution — the tunnel-wedge mechanism, CLAUDE.md).
+# Honor the env var through the config flag, which the plugin respects.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import madrona_renderer_tpu as m
 
 DATA = os.environ.get(

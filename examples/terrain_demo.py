@@ -24,6 +24,14 @@ import numpy as np
 # Runnable without an editable install: `python examples/terrain_demo.py`.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS=cpu through the config flag — the axon TPU plugin
+# ignores the env var, and a bare example run would otherwise become a
+# second client of the single-client TPU tunnel (see examples/smoke.py).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import madrona_renderer_tpu as m
 
 

@@ -74,6 +74,9 @@ def parse_headless_args(argv):
 
 
 def main(argv=None) -> None:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     argv = argv if argv is not None else sys.argv
     (num_worlds, num_steps, mode, width, height, dump, trace_dir,
      ssaa) = parse_headless_args(argv)

@@ -257,6 +257,9 @@ def parse_viewer_args(argv):
 
 
 def main(argv=None) -> None:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     argv = argv if argv is not None else sys.argv
     num_worlds, mode, bw, bh, ssaa = parse_viewer_args(argv)
     mgr = Manager(demo_config(num_worlds, mode, bw, bh, dynamic=True,

@@ -209,6 +209,9 @@ def serve(viewer: Viewer, port: int = 7788, win_w: int = 512, win_h: int = 512):
 
 
 def main(argv=None) -> None:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     argv = argv if argv is not None else sys.argv
     port = 7788
     if "--port" in argv:
