@@ -40,6 +40,19 @@ targets; the Pallas watertight kernel (raytrace_pallas.py
 ``watertight=True``) is the production path and its interpret mode is
 eager, hence exact.
 
+Depth-parity caveat (measured, r4 — tools/tpu_wt_depth_diag.py): the
+stored Woop ``t`` of the SAME winner rounds differently between this
+module (XLA codegen: einsum-selected shear coordinates, contractable)
+and the Pallas kernel's per-pixel select form (Mosaic: no contraction)
+— ~40% of hit pixels differ by 1-8 ulp with a cancellation tail of
+<= ~6e-4 relative near silhouettes, with near-identical histograms on
+TPU and CPU (codegen-structural, not one backend's divide: rewriting
+every divide as 1/x-then-multiply changed nothing). Winner identity,
+rgb, and the no-crack DECISION stay bitwise; the on-chip parity bar
+for watertight depth is rel <= 1e-3
+(tools/tpu_parity_check.py::wt_depth_ok), unlike the default
+intersector's bitwise depth bar.
+
 Scope caveat (why this is opt-in, not the default): the scene pipeline
 stores triangles in (v0, e1, e2) edge form from bake time onward, so a
 vertex shared between triangles is reconstructed as ``v0 + e1`` with up

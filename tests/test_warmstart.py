@@ -16,6 +16,19 @@ from madrona_renderer_tpu.ops.raytrace_pallas import raytrace
 from madrona_renderer_tpu.ops.warmstart import raytrace_warmstart
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_llvm_jit():
+    """The prepass tests compile a 4-render lax.cond program — one of
+    the largest HLOs in the suite. After ~380 earlier tests' worth of
+    live XLA:CPU executables, that compile segfaults inside LLVM
+    (reproduced twice at the same test, passes standalone); dropping
+    the accumulated executables first avoids it. Cost: retraces within
+    this module only."""
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def terrain():
     from tpu_binned_bench import build_scene

@@ -176,10 +176,27 @@ def main():
 
     # --- Watertight decision sweep (r4): the Woop in-kernel decision vs
     # the jnp watertight wrapper, demo scene + the terrain DMA config.
-    # Same edge-aware criterion: knife-edge seam pixels may flip if the
-    # two codegens fuse a*b - c*d differently (the FMA caveat in
-    # ops/watertight.py) — any such flip is a 3×3 edge race by
-    # construction. ---
+    # rgb/segmask hold the bitwise bar (edge-aware for knife-edge seam
+    # flips: the two codegens may fuse a*b - c*d differently — the FMA
+    # caveat in ops/watertight.py). DEPTH holds a documented looser bar:
+    # the jnp wrapper computes the Woop t through einsum-selected shear
+    # coordinates (XLA codegen, FMA-contractable) while the kernel uses
+    # per-pixel component selects (Mosaic, no contraction), so the
+    # stored t of the SAME winner rounds differently on ~40% of hit
+    # pixels — 1-8 ulp body, catastrophic-cancellation tail ≤ ~6e-4
+    # relative at silhouette-adjacent hits (measured on chip AND on
+    # CPU with near-identical histograms: tools/tpu_wt_depth_diag.py,
+    # docs/benchmarks.md r4 campaign). rel 1e-3 is the bar; winner
+    # identity and the no-crack DECISION stay bitwise via segmask/rgb.
+    def wt_depth_ok(got_d, want_d):
+        g = np.asarray(got_d, np.float32)
+        w = np.asarray(want_d, np.float32)
+        rel = np.abs(g - w) / np.maximum(np.abs(w), 1e-20)
+        bad = float((rel > 1e-3).mean())
+        log(f"  depth (watertight bar): {(g != w).mean():.4f} differ, "
+            f"max rel {rel.max():.2e} -> {'ok' if bad == 0 else 'FAIL'}")
+        return bad == 0
+
     for res in args.res[:2]:
         state, scene, cfg = build(args.worlds, "rt", res, res, "pallas")
         got = raytrace_pallas.raytrace(
@@ -190,7 +207,7 @@ def main():
             far=cfg.far_plane, watertight=True)
         log(f"watertight res={res} rt:")
         ok = edge_aware_ok(got.rgb, want.rgb, "rgb", res)
-        ok &= edge_aware_ok(got.depth, want.depth, "depth", res)
+        ok &= wt_depth_ok(got.depth, want.depth)
         ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", res)
         failures += not ok
     got = raytrace_pallas.raytrace(
@@ -199,7 +216,7 @@ def main():
         t_state, t_scene, height=128, width=128, watertight=True)
     log("watertight terrain 128² rt (raw-row DMA):")
     ok = edge_aware_ok(got.rgb, want.rgb, "rgb", 128)
-    ok &= edge_aware_ok(got.depth, want.depth, "depth", 128)
+    ok &= wt_depth_ok(got.depth, want.depth)
     ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", 128)
     failures += not ok
 
