@@ -11,6 +11,12 @@ per-pixel compute. The remaining candidates, probed here:
   core       render_core() only: checksum on the packed i32 rgb —
              skips _frames_from_core (u8 unpack + rgba8 + depth/seg
              conversions), isolating the XLA epilogue share
+  flat       full path, but the rollout stacks rgb reshaped to
+             [W, C, H, W*4] (u8, 256-lane minor dim) instead of
+             [..., W, 4] — same bytes, but the [..., 4] form tile-pads
+             its minor dim 4 -> 128 (32x memory) if XLA materializes
+             it that way (the r2 layout trap). flat >> full would mean
+             the rollout BUFFER layout, not the render, bounds the row.
   st16/st64  MRT_SUPERTILE=16/64 on the full path — 4x/16x fewer grid
              programs, isolating the per-program floor share
 
@@ -92,9 +98,23 @@ def main():
             return s, jnp.sum(stack[:, 0, ::16].astype(jnp.int32))
         return rollout
 
+    def make_flat():
+        @partial(jax.jit, static_argnames=("n",))
+        def rollout(st, n):
+            def body(s, _):
+                s = dyn(s)
+                f = rp.raytrace(s, scene, height=64, width=64,
+                                near=cfg.near_plane, far=cfg.far_plane)
+                W, C = f.rgb.shape[:2]
+                return s, f.rgb.reshape(W, C, 64, 64 * 4)
+            s, stack = jax.lax.scan(body, st, None, length=n)
+            return s, jnp.sum(stack[:, 0, ::16].astype(jnp.int32))
+        return rollout
+
     variants = []
     variants.append(("full", make_full("full")))
     variants.append(("core", make_core()))
+    variants.append(("flat", make_flat()))
     for st_budget in (16, 64):
         os.environ["MRT_SUPERTILE"] = str(st_budget)
         variants.append((f"st{st_budget}", make_full(f"st{st_budget}")))
