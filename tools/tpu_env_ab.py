@@ -60,7 +60,7 @@ def main():
     ap.add_argument("--worlds", type=int, default=0,
                     help="0 = 32 for terrain, 4096 for wall/headline")
     ap.add_argument("--scene", default="terrain",
-                    choices=["terrain", "wall", "headline"])
+                    choices=["terrain", "wall", "headline", "textured"])
     ap.add_argument("--grid", type=int, default=224)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--width", type=int, default=0, help="0 = --res")
@@ -99,7 +99,9 @@ def main():
                 scenes[cs] = build_scene(args.worlds, args.grid)
             else:
                 from bench import build as bench_build
-                sc_name = "wall" if args.scene == "wall" else "demo"
+                sc_name = ("wall" if args.scene == "wall"
+                           else "textured" if args.scene == "textured"
+                           else "demo")
                 st0, sc0, _cfg0 = bench_build(
                     args.worlds, "rt", width, args.res, "pallas",
                     scene=sc_name,
