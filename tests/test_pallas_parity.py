@@ -1048,3 +1048,52 @@ def test_parity_uv_defer_knob(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
         np.testing.assert_array_equal(np.asarray(a.depth),
                                       np.asarray(b.depth))
+
+
+def _eight_world_scene(seed=131):
+    """8 worlds with per-world DISTINCT instances and cameras: the
+    supertile world-fold (wpp > 1) indexes sub-worlds inside one grid
+    program, so identical worlds would mask any indexing bug."""
+    rng = np.random.default_rng(seed)
+    insts, cams, worlds = [], [], []
+    for w in range(8):
+        insts.append(ImportedInstance(
+            position=[float(rng.uniform(-3, 3)),
+                      float(10 + 2 * w),
+                      float(rng.uniform(-3, 3))],
+            rotation=[1, 0, 0, 0],
+            scale=[1 + 0.2 * w, 1, 1 + 0.1 * w],
+            object_id=0,
+        ))
+        cams.append(cam_at_origin_looking_plus_y())
+        worlds.append(WorldInit(num_instances=1, instance_offset=w,
+                                num_cameras=1, camera_offset=w))
+    return build([quad_xz(half=30.0, y=0.0)], insts, cams, worlds)
+
+
+@pytest.mark.parametrize("shape", [(32, 128), (64, 256)])
+def test_parity_supertile_budgets(monkeypatch, shape):
+    """MRT_SUPERTILE only re-tiles the grid (worlds and/or pixel tiles
+    folded into one program); every budget must be bitwise equal to the
+    reference and to budget 1. (32, 128) is a single-tile image, so
+    budgets >= 8 exercise the pure world-fold (wpp=8); (64, 256) has 4
+    tiles, so budget 4 folds tiles only and budget 64 folds both
+    (tpp=4, wpp=8)."""
+    h, w = shape
+    state, scene = _eight_world_scene()
+    ref = rt_ref(state, scene, height=h, width=w)
+    outs = {}
+    for budget in ["1", "4", "8", "64"]:
+        monkeypatch.setenv("MRT_SUPERTILE", budget)
+        outs[budget] = rt_pal(state, scene, height=h, width=w,
+                              interpret=True)
+        _assert_frames_equal(ref, outs[budget])
+    base = outs["1"]
+    for budget, out in outs.items():
+        np.testing.assert_array_equal(np.asarray(base.rgb),
+                                      np.asarray(out.rgb))
+        np.testing.assert_array_equal(np.asarray(base.depth),
+                                      np.asarray(out.depth))
+        np.testing.assert_array_equal(np.asarray(base.segmask),
+                                      np.asarray(out.segmask))
+    assert (np.asarray(ref.segmask) >= 0).any()
