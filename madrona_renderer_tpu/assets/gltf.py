@@ -180,6 +180,21 @@ def parse_gltf(path: str) -> SourceObject:
         binary = b""
     bufs = _Buffers(gltf, binary, base_dir)
 
+    # Root-level required-extension gate (glTF §3.12): an unsupported
+    # entry in extensionsRequired means the file CANNOT be read without
+    # it — e.g. EXT_meshopt_compression / KHR_draco_mesh_compression
+    # rewrite bufferView contents, which the per-primitive gate below
+    # never sees (the accessor would decode the compressed bytes as
+    # vertex data). Loud crash-only gate, matching the reference's
+    # behavior of refusing files its loaders can't parse.
+    _SUPPORTED_REQUIRED = {"KHR_texture_basisu"}
+    for ext in gltf.get("extensionsRequired", []):
+        if ext not in _SUPPORTED_REQUIRED:
+            raise NotImplementedError(
+                f"glTF: required extension {ext!r} is not supported "
+                "(extensionsRequired)"
+            )
+
     # --- Materials ---
     obj = SourceObject()
     image_cache: Dict[int, np.ndarray] = {}

@@ -594,6 +594,15 @@ struct GltfParser {
         if (!jp.parse_value(gltf, 0)) return fail("JSON: " + jp.err);
         bufs.gltf = &gltf;
 
+        // Root-level required-extension gate (glTF §3.12): compression
+        // extensions (meshopt/draco) rewrite bufferView payloads, so
+        // accessors would decode garbage. Fail -> transparent Python
+        // fallback, whose own gate raises the loud NotImplementedError.
+        if (gltf.has("extensionsRequired"))
+            for (const auto &e : gltf["extensionsRequired"].arr)
+                if (e.str != "KHR_texture_basisu")
+                    return fail("required extension " + e.str);
+
         // Materials.
         const JValue &mats = gltf["materials"];
         for (size_t mi = 0; mi < mats.arr.size(); ++mi) {

@@ -323,3 +323,48 @@ def test_embedded_multilevel_ktx2_keeps_mip_pyramid(tmp_path, rng):
     assert len(got.levels) == len(want.levels) == 3
     for a, b in zip(got.levels, want.levels):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("ext", [
+    "EXT_meshopt_compression", "KHR_draco_mesh_compression",
+])
+def test_required_extension_gate(tmp_path, ext):
+    """extensionsRequired entries we can't honor must raise the loud
+    NotImplementedError BEFORE any accessor decode: compression
+    extensions rewrite bufferView payloads, so reading them as raw
+    vertex data would silently produce garbage geometry. Both parser
+    tiers (the C++ fast path falls back to Python, which gates)."""
+    from madrona_renderer_tpu.native import parse_gltf_native
+
+    blob, views, accessors, _, _ = _accessor_blob()
+    gltf = _base_gltf(views, accessors)
+    gltf["extensionsRequired"] = [ext]
+    gltf["extensionsUsed"] = [ext]
+    p = tmp_path / "compressed.glb"
+    p.write_bytes(_make_glb(gltf, blob))
+    with pytest.raises(NotImplementedError, match=ext):
+        parse_gltf(str(p))
+    with pytest.raises(NotImplementedError, match=ext):
+        parse_gltf_native(str(p))
+
+
+def test_required_basisu_extension_allowed(tmp_path, rng):
+    """KHR_texture_basisu in extensionsRequired is within scope: the
+    Python tier decodes the KTX2 payload, so the root gate must let it
+    through (the native tier scope-gates to Python transparently)."""
+    from madrona_renderer_tpu.native import parse_gltf_native
+
+    blob, views, accessors, _, _ = _accessor_blob()
+    gltf = _base_gltf(views, accessors)
+    gltf["extensionsRequired"] = ["KHR_texture_basisu"]
+    gltf["extensionsUsed"] = ["KHR_texture_basisu"]
+    p = tmp_path / "basisu_required.glb"
+    p.write_bytes(_make_glb(gltf, blob))
+    for parse in (parse_gltf, parse_gltf_native):
+        obj = parse(str(p))
+        assert len(obj.meshes) == 1
+        np.testing.assert_allclose(
+            obj.meshes[0].positions,
+            np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]],
+                     np.float32),
+        )
