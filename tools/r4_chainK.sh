@@ -1,0 +1,89 @@
+#!/bin/bash
+# Round-4 chain K: follow-up to chainJ (whose logs carry the supertile
+# curve). Re-runs what the VM reboot erased from chainI's degraded
+# stage, then the standard health-gated battery:
+#   K1 paged-texture FB_ROWS sweep 64/32/16 (import-time knob -> one
+#      process per value; paged rows stay ~readable degraded)
+#   K2 watertight cost A/B re-read (relative factor, degraded-readable)
+#   K3 health-gated loop: canonical ladder + terrain knob A/Bs + seed
+#      oracle probe + wall TILE_RPS x supertile
+# Single client at all times; 60 s gaps between stages.
+set -u
+cd /root/repo
+log() { echo "[chainK $(date +%H:%M:%S)] $*" >&2; }
+
+CUTOFF_FILE=/tmp/r4K_cutoff
+[ -e "$CUTOFF_FILE" ] || date -d '+6 hours' +%s > "$CUTOFF_FILE"
+
+healthy_artifact() {
+  python - "$1" <<'EOF'
+import json, sys
+try:
+    rec = json.loads(open(sys.argv[1]).read().strip().splitlines()[-1])
+except Exception:
+    sys.exit(1)
+sys.exit(0 if (rec.get("tpu_health") or {}).get("healthy") else 1)
+EOF
+}
+
+log "K1: paged-texture FB_ROWS sweep (one process per value)"
+for fb in 64 32 16; do
+  MRT_TEX_FB_ROWS=$fb python -u tools/tpu_paged_tex_bench.py \
+    > /tmp/r4K_paged_fb${fb}.log 2>&1
+  log "K1 fb=$fb rc=$?"; sleep 60
+done
+
+log "K2: watertight cost A/B (3 rounds)"
+python -u tools/tpu_watertight_ab.py --rounds 3 > /tmp/r4K_wt_ab.log 2>&1
+log "K2 rc=$?"; sleep 60
+log "degraded-readable stage DONE — entering health-gated loop"
+
+run_battery() {
+  log "battery 1/4: canonical bench ladder"
+  MRT_BENCH_WAIT_MIN=10 python -u bench.py \
+    > /tmp/bench_r4K.json 2>/tmp/bench_r4K.log
+  log "battery 1/4 rc=$?"
+  if healthy_artifact /tmp/bench_r4K.json; then
+    cp /tmp/bench_r4K.json /tmp/bench_r4_final.json
+    log "HEALTHY ladder artifact captured -> /tmp/bench_r4_final.json"
+  fi
+  sleep 60
+  log "battery 2/4: terrain knob A/B at 512 (3 rounds)"
+  python -u tools/tpu_env_ab.py --rounds 3 --wait-healthy 75 --wait-max-min 5 \
+    --configs "" "MRT_PLANE_BINS=0" "MRT_TRI_RANGES=0" "MRT_ATTR_ONCE=0" \
+              "MRT_UV_DEFER=0" "MRT_WIN_SORT=1" > /tmp/r4K_knob_ab.log 2>&1
+  log "battery 2/4 rc=$?"; sleep 60
+  log "battery 3/4: seed oracle + warmstart + prepass probe"
+  python -u tools/tpu_seed_probe.py --wait-healthy 75 --wait-max-min 5 \
+    > /tmp/r4K_seed_probe.log 2>&1
+  log "battery 3/4 rc=$?"; sleep 60
+  log "battery 4/4: healthy wall re-read (TILE_RPS x supertile)"
+  python -u tools/tpu_env_ab.py --rounds 3 --scene wall \
+    --configs "" "MRT_TILE_RPS=4" "MRT_SUPERTILE=64" \
+              "MRT_SUPERTILE=64,MRT_TILE_RPS=4" \
+    > /tmp/r4K_wall_healthy.log 2>&1
+  log "battery 4/4 rc=$?"
+}
+
+got_healthy=0
+probe_n=0
+while [ "$(date +%s)" -lt "$(cat "$CUTOFF_FILE")" ]; do
+  probe_n=$((probe_n + 1))
+  log "probe $probe_n: short fresh-client anchor read (max 3 min poll)"
+  python -u tools/tpu_env_ab.py --rounds 1 --wait-healthy 75 --wait-max-min 3 \
+    --configs "" > /tmp/r4K_gate.log 2>&1
+  anchor=$(grep -oE '[0-9.]+ f/s' /tmp/r4K_gate.log | tail -1)
+  log "probe $probe_n anchor: ${anchor:-unreadable}"
+  if grep -q "session HEALTHY" /tmp/r4K_gate.log; then
+    log "probe HEALTHY — running full battery"
+    sleep 60
+    run_battery
+    got_healthy=1
+    log "battery complete (got_healthy=1) — low-duty re-probes continue"
+    sleep 1080
+  else
+    log "still degraded; tunnel idle for 18 min"
+    sleep 1080
+  fi
+done
+log "ALL DONE — tunnel free (got_healthy=$got_healthy)"
