@@ -220,6 +220,32 @@ def main():
     ok &= edge_aware_ok(got.segmask, want.segmask, "segmask", 128)
     failures += not ok
 
+    # --- Supertile budgets on hardware (r4): the world/tile fold only
+    # re-tiles the grid, so budgets 1/4/64 must be BITWISE equal to each
+    # other on the real Mosaic lowering (interpret-mode parity is
+    # tests/test_pallas_parity.py::test_parity_supertile_budgets; this
+    # checks the hardware codegen of the folded .at sub-views). 64
+    # worlds so the wpp=64 world-fold actually engages. Required
+    # evidence before any MRT_SUPERTILE default change.
+    st_state, st_scene, st_cfg = build(64, "rt", 64, 64, "pallas")
+    st_outs = {}
+    for budget in ("1", "4", "64"):
+        os.environ["MRT_SUPERTILE"] = budget
+        st_outs[budget] = raytrace_pallas.raytrace(
+            st_state, st_scene, height=64, width=64,
+            near=st_cfg.near_plane, far=st_cfg.far_plane)
+    os.environ.pop("MRT_SUPERTILE", None)
+    base = st_outs["1"]
+    for budget in ("4", "64"):
+        o = st_outs[budget]
+        same = all(
+            (np.asarray(getattr(base, f)) == np.asarray(getattr(o, f))).all()
+            for f in ("rgb", "depth", "segmask")
+        )
+        log(f"supertile budget {budget} vs 1 (64w 64² rt): "
+            f"{'bitwise equal' if same else 'MISMATCH'}")
+        failures += not same
+
     # --- Paged mip textures (r3): looser criterion — the mip level /
     # nearest-texel choice at exact boundaries is ambiguous between the
     # two codegens (see tests/test_mips.py docstring). ---
