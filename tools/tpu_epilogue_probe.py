@@ -111,10 +111,36 @@ def main():
             return s, jnp.sum(stack[:, 0, ::16].astype(jnp.int32))
         return rollout
 
+    def make_pack():
+        # XLA input-pack share: the per-step world-soup gather +
+        # triangle/cam row pack WITHOUT the render kernel. On static
+        # scenes this work is loop-invariant in principle, but it runs
+        # inside the scan exactly as the full path does — its f/s bounds
+        # how much of the step the XLA front half costs (pack f/s >> full
+        # f/s means the pack share is negligible; pack f/s within ~2x of
+        # full means the pack is a first-order cost post-supertile).
+        from madrona_renderer_tpu.ops.raytrace_ref import build_world_soup
+
+        @partial(jax.jit, static_argnames=("n",))
+        def rollout(st, n):
+            def body(s, _):
+                s = dyn(s)
+                soup = build_world_soup(s, scene)
+                tris = rp._pack_tris(soup, scene)
+                wc = jnp.ones(s.camera_pos.shape[:2], jnp.float32)
+                cams = rp._pack_cams(
+                    s, scene, 64, 64, 90.0 * wc, cfg.near_plane * wc,
+                    1000.0 * wc, 1000.0 * wc)
+                return s, (jnp.sum(tris[:, 0, ::8]) + jnp.sum(cams))
+            s, stack = jax.lax.scan(body, st, None, length=n)
+            return s, jnp.sum(stack)
+        return rollout
+
     variants = []
     variants.append(("full", make_full("full")))
     variants.append(("core", make_core()))
     variants.append(("flat", make_flat()))
+    variants.append(("pack", make_pack()))
     for st_budget in (16, 64):
         os.environ["MRT_SUPERTILE"] = str(st_budget)
         variants.append((f"st{st_budget}", make_full(f"st{st_budget}")))
