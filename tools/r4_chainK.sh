@@ -36,6 +36,10 @@ done
 log "K2: watertight cost A/B (3 rounds)"
 python -u tools/tpu_watertight_ab.py --rounds 3 > /tmp/r4K_wt_ab.log 2>&1
 log "K2 rc=$?"; sleep 60
+
+log "K3: on-chip parity incl. supertile 1/4/64 bitwise (correctness reads stay valid degraded)"
+python -u tools/tpu_parity_check.py > /tmp/r4K_parity.log 2>&1
+log "K3 rc=$?"; sleep 60
 log "degraded-readable stage DONE — entering health-gated loop"
 
 run_battery() {
