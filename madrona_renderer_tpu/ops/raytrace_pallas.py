@@ -4284,19 +4284,43 @@ def render_core(
     # 40-72%% of the whole step there). MRT_SUPERTILE caps sub-tiles per
     # program (1 disables). Tiles fold first (whole-camera programs),
     # then worlds when every tile of a camera already fits.
-    super_budget = int(_os.environ.get("MRT_SUPERTILE", "4"))
+    # The two folds have different measured optima (r4 chainI/chainJ
+    # on-chip sweeps): the WORLD fold keeps winning up to ~64 sub-worlds
+    # per program (headline 4096w 64²: ST 4/16/32/64/128 medians 453k /
+    # 452k / 472k / 522k / 465k — the per-program floor amortizes and
+    # the curve peaks at 64), while the TILE fold saturates at 4 and
+    # sub-tile variants lose outright (r3: 8/16-row sub-tiles −50%/−16%,
+    # deferred tpp neutral). So MRT_SUPERTILE is the total sub-tile
+    # budget (worlds-dominant) and MRT_SUPERTILE_TILES caps the tile-fold
+    # component at its measured sweet spot.
+    super_budget = int(_os.environ.get("MRT_SUPERTILE", "64"))
+    tile_budget = int(_os.environ.get("MRT_SUPERTILE_TILES", "4"))
     wpp = tpp = 1
     if (
         super_budget > 1
         and accel != "mxu"
         and not (tex_paged or rowskip)
     ):
-        for d in range(min(super_budget, n_tiles), 0, -1):
+        for d in range(min(super_budget, tile_budget, n_tiles), 0, -1):
             if n_tiles % d == 0:
                 tpp = d
                 break
         if tpp == n_tiles and C == 1 and not dma_tris:
             rem = super_budget // tpp
+            # Memory guards on the world fold: one program's SMEM block
+            # becomes wpp × the per-world geometry rows (the 384 KB
+            # SMEM_TRI_BUDGET that routes big scenes to the DMA path
+            # bounds a SINGLE world's block — the fold must not multiply
+            # past it), and the defer_attrs VMEM attr slab scales the
+            # same way (capped well under the ~128 MB VMEM with room for
+            # outputs + double buffering).
+            geo_rows = _N_GEO_ROWS if defer_attrs else _N_TRI_ROWS
+            s_lane_pad = -(-S // _TILE_LANE) * _TILE_LANE
+            rem = min(rem, max(1, SMEM_TRI_BUDGET // (geo_rows * s_lane_pad * 4)))
+            if defer_attrs:
+                attr_rows = _N_ATTR_ROWS + (10 if uv_defer else 0)
+                attr_pad = -(-S // _TILE_LANE) * _TILE_LANE
+                rem = min(rem, max(1, (8 << 20) // (attr_rows * attr_pad * 4)))
             for d in range(min(rem, WC), 0, -1):
                 if WC % d == 0:
                     wpp = d
