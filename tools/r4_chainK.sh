@@ -40,6 +40,10 @@ log "K2 rc=$?"; sleep 60
 log "K3: on-chip parity incl. supertile 1/4/64 bitwise (correctness reads stay valid degraded)"
 python -u tools/tpu_parity_check.py > /tmp/r4K_parity.log 2>&1
 log "K3 rc=$?"; sleep 60
+
+log "K4: epilogue probe incl. the XLA input-pack share (headline-class, degraded-readable)"
+python -u tools/tpu_epilogue_probe.py > /tmp/r4K_epilogue.log 2>&1
+log "K4 rc=$?"; sleep 60
 log "degraded-readable stage DONE — entering health-gated loop"
 
 run_battery() {
