@@ -876,15 +876,21 @@ def _render_kernel(
         and not (dmxu or rowskip or tex_paged)
     )
     # Supertiling constraints: excluded paths keep 1×1 programs; folding
-    # worlds requires whole-camera programs (tpp == n_tiles, one camera
-    # per world so consecutive grid rows are consecutive worlds). DMA
+    # camera-slots requires whole-camera programs (tpp == n_tiles). A
+    # program's wpp CAMERA-slots must cover whole worlds (wpp % C == 0,
+    # the world fold — with C cameras each riding the same world
+    # geometry sub-block) or stay inside one world (C % wpp == 0, the
+    # pure camera fold — geometry block shared by every sub-slot). DMA
     # paths fold tiles only (wpp == 1): the HBM triangle ref is indexed
     # by the global w_idx, not block-sliced.
     if wpp > 1 or tpp > 1:
         assert not (tex_paged or rowskip)
         assert wpp == 1 or not dma_tris
         assert n_tiles % tpp == 0
-        assert wpp == 1 or (tpp == n_tiles and num_cams == 1)
+        assert wpp == 1 or (
+            tpp == n_tiles
+            and (wpp % num_cams == 0 or num_cams % wpp == 0)
+        )
     # watertight (quality tier, VERDICT r3 #5): the per-triangle DECISION
     # (accept + hit t) runs the Woop sheared-edge-function test
     # (ops/watertight.py is the jnp twin) instead of ε-slack
@@ -985,19 +991,26 @@ def _render_kernel(
             seed_ref=seed_ref,
         ):
             if wpp > 1 or tpp > 1:
+                # Camera-major refs (cams, bins, perm, outputs, seeds)
+                # are sliced by the camera-slot sub-index wi; per-WORLD
+                # refs (geometry, clusters, attrs) by the world sub-index
+                # within the block — wi // C when the program folds whole
+                # worlds, 0 when its wpp slots share one world's block.
                 row = slice(wi, wi + 1)
+                wg = wi // num_cams if wpp % num_cams == 0 else 0
+                wrow = slice(wg, wg + 1)
                 if not dma_tris:
                     # DMA paths keep the full HBM ref: the async copies
                     # index it by the global w_idx (wpp == 1 asserted).
-                    tri_ref = tri_ref.at[row]
-                cl_ref = None if cl_ref is None else cl_ref.at[row]
+                    tri_ref = tri_ref.at[wrow]
+                cl_ref = None if cl_ref is None else cl_ref.at[wrow]
                 bt = wi * tpp + ti
                 bin_ref = (
                     None if bin_ref is None else bin_ref.at[bt : bt + 1]
                 )
                 perm_ref = None if perm_ref is None else perm_ref.at[row]
                 cam_ref = cam_ref.at[row]
-                attr_ref = None if attr_ref is None else attr_ref.at[row]
+                attr_ref = None if attr_ref is None else attr_ref.at[wrow]
                 crop = slice(ti * tile_sub, (ti + 1) * tile_sub)
                 t_ref = t_ref.at[row, crop]
                 z_ref = z_ref.at[row, crop]
@@ -4305,24 +4318,36 @@ def render_core(
             if n_tiles % d == 0:
                 tpp = d
                 break
-        if tpp == n_tiles and C == 1 and not dma_tris:
+        if tpp == n_tiles and not dma_tris:
             rem = super_budget // tpp
-            # Memory guards on the world fold: one program's SMEM block
-            # becomes wpp × the per-world geometry rows (the 384 KB
-            # SMEM_TRI_BUDGET that routes big scenes to the DMA path
-            # bounds a SINGLE world's block — the fold must not multiply
-            # past it), and the defer_attrs VMEM attr slab scales the
-            # same way (capped well under the ~128 MB VMEM with room for
-            # outputs + double buffering).
+            # Memory guards bound the PER-WORLD geometry sub-blocks a
+            # program carries (wv = wpp // C worlds on the world fold,
+            # 1 on the pure camera fold): the 384 KB SMEM_TRI_BUDGET
+            # that routes big scenes to the DMA path bounds a SINGLE
+            # world's block — the fold must not multiply past it — and
+            # the defer_attrs VMEM attr slab scales the same way (capped
+            # well under the ~128 MB VMEM with room for outputs +
+            # double buffering).
             geo_rows = _N_GEO_ROWS if defer_attrs else _N_TRI_ROWS
             s_lane_pad = -(-S // _TILE_LANE) * _TILE_LANE
-            rem = min(rem, max(1, SMEM_TRI_BUDGET // (geo_rows * s_lane_pad * 4)))
+            max_wv = max(1, SMEM_TRI_BUDGET // (geo_rows * s_lane_pad * 4))
             if defer_attrs:
                 attr_rows = _N_ATTR_ROWS + (10 if uv_defer else 0)
-                attr_pad = -(-S // _TILE_LANE) * _TILE_LANE
-                rem = min(rem, max(1, (8 << 20) // (attr_rows * attr_pad * 4)))
+                max_wv = min(
+                    max_wv,
+                    max(1, (8 << 20) // (attr_rows * s_lane_pad * 4)),
+                )
+            # Candidate wpp counts CAMERA-slots per program: multi-camera
+            # worlds fold their C cameras over ONE shared geometry block
+            # first (C % wpp == 0 keeps a program inside one world), then
+            # whole worlds while the per-world guards hold (wpp % C == 0).
             for d in range(min(rem, WC), 0, -1):
-                if WC % d == 0:
+                if WC % d != 0:
+                    continue
+                if d % C == 0 and d // C <= max_wv:
+                    wpp = d
+                    break
+                if C % d == 0:
                     wpp = d
                     break
     s_attr_pad = -(-S // _TILE_LANE) * _TILE_LANE
@@ -4376,10 +4401,15 @@ def render_core(
     )  # [WC, 1, 24]
 
     grid = (WC // wpp, n_tiles // tpp)
-    # With wpp > 1 the leading block dim spans wpp worlds (C == 1, so the
-    # grid row IS the world-block index); with wpp == 1 the original
-    # wc // C world lookup applies.
-    world_map = lambda wc, r: ((wc // C) if wpp == 1 else wc, 0, 0)
+    # Per-WORLD arrays (geometry, clusters, attrs) use blocks of wv
+    # whole worlds; camera-major arrays (cams, bins, perm, seeds,
+    # outputs) use blocks of wpp camera-slots. A program covers camera
+    # slots [wc·wpp, (wc+1)·wpp) → worlds starting at (wc·wpp)//C, which
+    # in units of the wv-world block is (wc·wpp)//(C·wv): wc itself on
+    # the world fold (wpp % C == 0), wc // (C // wpp) on the pure camera
+    # fold, and the original wc // C at wpp == 1.
+    wv = wpp // C if wpp % C == 0 else 1
+    world_map = lambda wc, r: ((wc * wpp) // (C * wv), 0, 0)
 
     def _lane_pad(arr):
         # Supertile blocks are sliced per sub-tile with leading-dim `.at`
@@ -4398,14 +4428,14 @@ def render_core(
         tris = _lane_pad(tris)
         cams = _lane_pad(cams)
     tri_spec = pl.BlockSpec(
-        (wpp, _N_GEO_ROWS if defer_attrs else _N_TRI_ROWS,
+        (wv, _N_GEO_ROWS if defer_attrs else _N_TRI_ROWS,
          int(tris.shape[2])),
         world_map,
         memory_space=pltpu.SMEM,
     )
     attr_spec = pl.BlockSpec(
         # uv_defer mirrors the 10 prep rows behind the 24 attr rows.
-        (wpp, _N_ATTR_ROWS + (10 if uv_defer else 0), s_attr_pad),
+        (wv, _N_ATTR_ROWS + (10 if uv_defer else 0), s_attr_pad),
         world_map,
         memory_space=pltpu.VMEM,
     )
@@ -4489,7 +4519,7 @@ def render_core(
         if wpp > 1 or tpp > 1:
             cl = _lane_pad(cl)
         cl_spec = pl.BlockSpec(
-            (wpp, 8, int(cl.shape[2])), world_map, memory_space=pltpu.SMEM
+            (wv, 8, int(cl.shape[2])), world_map, memory_space=pltpu.SMEM
         )
         cc_lanes = (
             -(-cc // _TILE_LANE) * _TILE_LANE if wpp > 1 or tpp > 1 else cc

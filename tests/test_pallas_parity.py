@@ -1071,6 +1071,65 @@ def _eight_world_scene(seed=131):
     return build([quad_xz(half=30.0, y=0.0)], insts, cams, worlds)
 
 
+def _multicam_scene(n_worlds, n_cams, seed=137):
+    """n_worlds × n_cams with per-world DISTINCT instances and per-CAMERA
+    distinct poses: the camera fold (wpp spanning camera-slots) slices
+    camera-major refs by wi and world-major refs by wi // C inside one
+    grid program, so identical cameras or worlds would mask a mixed-up
+    sub-index."""
+    rng = np.random.default_rng(seed)
+    insts, cams, worlds = [], [], []
+    for w in range(n_worlds):
+        insts.append(ImportedInstance(
+            position=[float(rng.uniform(-3, 3)),
+                      float(10 + 2 * w),
+                      float(rng.uniform(-3, 3))],
+            rotation=[1, 0, 0, 0],
+            scale=[1 + 0.2 * w, 1, 1 + 0.1 * w],
+            object_id=0,
+        ))
+        for c in range(n_cams):
+            cams.append(ImportedCamera(
+                position=[float(rng.uniform(-1, 1)),
+                          float(rng.uniform(-0.5, 0.5)),
+                          float(rng.uniform(-1, 1))],
+                rotation=[1, 0, 0, 0],
+                fov_y_degrees=float(70 + 10 * c),
+            ))
+        worlds.append(WorldInit(num_instances=1, instance_offset=w,
+                                num_cameras=n_cams,
+                                camera_offset=w * n_cams))
+    return build([quad_xz(half=30.0, y=0.0)], insts, cams, worlds)
+
+
+@pytest.mark.parametrize("wc_shape", [(4, 2), (2, 4)])
+def test_parity_supertile_multicam(monkeypatch, wc_shape):
+    """Supertile camera fold (C > 1): budgets that fold cameras inside
+    one world (C % wpp == 0) and whole multi-camera worlds
+    (wpp % C == 0) must be bitwise equal to the reference and to
+    budget 1. (4, 2): budget 2 = pure camera fold, 8/16 = world folds
+    of 2-camera worlds. (2, 4): budget 2 folds half a world's cameras,
+    8 folds both worlds."""
+    n_worlds, n_cams = wc_shape
+    state, scene = _multicam_scene(n_worlds, n_cams)
+    ref = rt_ref(state, scene, height=32, width=128)
+    outs = {}
+    for budget in ["1", "2", "8", "16"]:
+        monkeypatch.setenv("MRT_SUPERTILE", budget)
+        outs[budget] = rt_pal(state, scene, height=32, width=128,
+                              interpret=True)
+        _assert_frames_equal(ref, outs[budget])
+    base = outs["1"]
+    for budget, out in outs.items():
+        np.testing.assert_array_equal(np.asarray(base.rgb),
+                                      np.asarray(out.rgb))
+        np.testing.assert_array_equal(np.asarray(base.depth),
+                                      np.asarray(out.depth))
+        np.testing.assert_array_equal(np.asarray(base.segmask),
+                                      np.asarray(out.segmask))
+    assert (np.asarray(ref.segmask) >= 0).any()
+
+
 @pytest.mark.parametrize("shape", [(32, 128), (64, 256)])
 def test_parity_supertile_budgets(monkeypatch, shape):
     """MRT_SUPERTILE only re-tiles the grid (worlds and/or pixel tiles
