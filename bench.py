@@ -73,6 +73,7 @@ def build(num_worlds: int, mode_str: str, width: int, height: int, impl: str,
             textured=scene.startswith("textured"), tex_size=32,
             tex_format="ktx2" if scene == "textured_ktx" else "png",
             from_disk=scene == "demo_disk",
+            num_cams=4 if scene == "multicam" else 1,
         )
     assets = load_render_assets(
         cfg.rcfg.geo_cfg,
@@ -307,6 +308,12 @@ BASELINE_CONFIGS = [
     # raytrace_pallas.py watertight=). Baseline = the ε-slack textured
     # row, so vs_canonical reads the quality tier's cost factor.
     ("watertight_4096w", 4096, 10, "rt", 64, 64, "textured", False),
+    # Round-4 multi-agent row: 1024 worlds × 4 cameras (the reference
+    # attaches one view per agent — src/sim.cpp:168-171), same total
+    # view count as the 4096-world headline. Exercises the supertile
+    # CAMERA fold (C views share one geometry block per program). FPS
+    # counts world-steps (reference convention); views/s = 4×.
+    ("multicam_1024w4c", 1024, 20, "rt", 64, 64, "multicam", False),
 ]
 _WARMSTART_ROWS = {"bigmesh_512w_warm"}
 _SSAA_ROWS = {"textured_4096w_ssaa2": 2}
@@ -336,6 +343,10 @@ CANONICAL_FPS = {
     "watertight_4096w": 401039.0,
     "textured256_4096w": 181073.0,
     "ppo_streaming_16384w": 396610.0,
+    # No healthy r4 read yet: baseline = the north-star per-VIEW ceiling
+    # over this row's 4 views/world, so vs_canonical reads how close the
+    # camera fold gets 4-view worlds to the 1-view view-throughput.
+    "multicam_1024w4c": 518575.0 / 4,
     "north_star": 518575.0,
 }
 # Rows whose honest baseline is the per-row canonical, not the 1e5
@@ -343,7 +354,8 @@ CANONICAL_FPS = {
 # different workloads than the 4096-world demo scene).
 _SCALE_ROWS = ("bigmesh_512w", "bigmesh_512w_warm",
                "textured256_4096w", "cpu_sanity_1w",
-               "textured_4096w_ssaa2", "watertight_4096w")
+               "textured_4096w_ssaa2", "watertight_4096w",
+               "multicam_1024w4c")
 
 
 def run_ppo_streaming(num_worlds: int = 16384, updates: int = 3, res: int = 64) -> float:
@@ -629,6 +641,17 @@ def main() -> None:
         # as measured in the slow regime (numbers there are unreliable in
         # both directions — see docs/benchmarks.md protocol).
         record["tpu_health"] = health
+        if not health.get("healthy"):
+            # Degraded capture: embed the per-row canonical healthy-session
+            # values (most recent full-ladder run with tpu_health.healthy
+            # =true, maintained above) so the artifact carries the real
+            # capability next to the clamped reads. The clamp is a
+            # server-side TPU-host regime that can span an entire round
+            # (docs/benchmarks.md protocol note 4); these reference values
+            # are clearly labeled, never substituted for the live ones.
+            record["canonical_healthy_reference"] = {
+                k: v for k, v in CANONICAL_FPS.items()
+            }
     print(json.dumps(record))
 
 

@@ -250,6 +250,15 @@ def wall_scene_config(
     )
 
 
+def _yaw_pitch_quat(yaw: float, pitch: float):
+    """(w, x, y, z) for yaw about Z composed with pitch about X — the
+    demo camera's orientation convention generalized to any yaw (the
+    base camera is the yaw=π special case [0, 0, ps, pc])."""
+    cy, sy = math.cos(yaw / 2), math.sin(yaw / 2)
+    pc, ps = math.cos(pitch / 2), math.sin(pitch / 2)
+    return [cy * pc, cy * ps, sy * ps, sy * pc]
+
+
 def demo_config(
     num_worlds: int,
     render_mode: RenderMode,
@@ -260,9 +269,13 @@ def demo_config(
     tex_size: int = 64,
     tex_format: str = "png",
     from_disk: bool = False,
+    num_cams: int = 1,
     **extra,
 ) -> ManagerConfig:
-    """Cube-on-a-plane scene, one camera per world, all worlds identical
+    """Cube-on-a-plane scene, ``num_cams`` cameras per world (the
+    multi-agent analog — reference worlds attach one view per agent,
+    ``src/sim.cpp:168-171``; extra cameras orbit the cube at distinct
+    yaw offsets so every view differs), all worlds identical
     (they diverge only if the caller mutates transforms — ``dynamic``
     pre-seeds per-world cube yaw so every world differs from step one).
     ``textured`` maps a generated checkerboard onto the cube (the textured
@@ -332,12 +345,26 @@ def demo_config(
                 rotation=[0.0, 0.0, ps, pc],
             )
         )
+        for c in range(1, num_cams):
+            # Additional agent views orbit the cube: yaw c·(2π/num_cams)
+            # past the base camera's 180° turn (plus a small per-camera
+            # yaw/height skew so the cube's 90° symmetry can't make two
+            # views pixel-identical), same downward pitch.
+            yaw_c = math.pi + c * (2 * math.pi / num_cams) + 0.19 * c
+            cameras.append(
+                ImportedCamera(
+                    position=[8.0 * math.sin(yaw_c),
+                              -8.0 * math.cos(yaw_c),
+                              3.0 + 0.4 * c],
+                    rotation=_yaw_pitch_quat(yaw_c, pitch),
+                )
+            )
         worlds.append(
             WorldInit(
                 num_instances=2,
                 instance_offset=2 * w,
-                num_cameras=1,
-                camera_offset=w,
+                num_cameras=num_cams,
+                camera_offset=num_cams * w,
             )
         )
     return ManagerConfig(

@@ -60,7 +60,8 @@ def main():
     ap.add_argument("--worlds", type=int, default=0,
                     help="0 = 32 for terrain, 4096 for wall/headline")
     ap.add_argument("--scene", default="terrain",
-                    choices=["terrain", "wall", "headline", "textured"])
+                    choices=["terrain", "wall", "headline", "textured",
+                             "multicam"])
     ap.add_argument("--grid", type=int, default=224)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--width", type=int, default=0, help="0 = --res")
@@ -76,7 +77,8 @@ def main():
     ap.add_argument("--wait-max-min", type=float, default=90.0)
     args = ap.parse_args()
     if args.worlds == 0:
-        args.worlds = 32 if args.scene == "terrain" else 4096
+        args.worlds = (32 if args.scene == "terrain"
+                       else 1024 if args.scene == "multicam" else 4096)
     if args.scene != "terrain" and args.res == 512:
         args.res = 128 if args.scene == "wall" else 64
     width = args.width or args.res
@@ -101,6 +103,7 @@ def main():
                 from bench import build as bench_build
                 sc_name = ("wall" if args.scene == "wall"
                            else "textured" if args.scene == "textured"
+                           else "multicam" if args.scene == "multicam"
                            else "demo")
                 st0, sc0, _cfg0 = bench_build(
                     args.worlds, "rt", width, args.res, "pallas",
