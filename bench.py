@@ -563,6 +563,30 @@ def _wait_for_healthy_tpu() -> dict | None:
             time.sleep(120)
             fps = probe()
             waited = time.perf_counter() - t_start
+        if fps >= bar:
+            # A single healthy read can be a recovery flicker (r4: one
+            # 75.8 between hours of 23.0); confirm before annotating the
+            # artifact healthy. A failed confirmation keeps waiting on
+            # the remaining budget.
+            time.sleep(10)
+            fps2 = probe()
+            print(
+                f"bench: anchor confirm {fps2:.1f} f/s",
+                file=sys.stderr, flush=True,
+            )
+            while fps2 < bar and (time.perf_counter() - t_start) < budget_s:
+                time.sleep(120)
+                fps = probe()
+                waited = time.perf_counter() - t_start
+                if fps < bar:
+                    continue
+                time.sleep(10)
+                fps2 = probe()
+                print(
+                    f"bench: anchor confirm {fps2:.1f} f/s",
+                    file=sys.stderr, flush=True,
+                )
+            fps = min(fps, fps2)
         return {
             "anchor_fps": round(fps, 1),
             "healthy": fps >= bar,

@@ -75,6 +75,9 @@ def main():
                     "long-lived client (the tunnel oscillates between "
                     "healthy and slow regimes — see CLAUDE.md)")
     ap.add_argument("--wait-max-min", type=float, default=90.0)
+    ap.add_argument("--wait-consec", type=int, default=2,
+                    help="consecutive healthy probes required before the "
+                    "gate opens (a single read can be a recovery flicker)")
     args = ap.parse_args()
     if args.worlds == 0:
         args.worlds = (32 if args.scene == "terrain"
@@ -166,13 +169,24 @@ def main():
 
     if args.wait_healthy > 0:
         t_end = time.time() + args.wait_max_min * 60
+        consec = 0
         while True:
             fps, per = time_cfg(args.configs[0])
             log(f"health probe [{args.configs[0] or 'defaults'}]: "
                 f"{fps:,.1f} f/s ({per*1e3:.2f} ms/step)")
             if fps >= args.wait_healthy:
-                log("session HEALTHY — running timing rounds")
-                break
+                consec += 1
+                # One healthy read can be a flicker mid-recovery (r4: a
+                # single 75.8 between hours of 23.0 triggered a full
+                # degraded battery); require consecutive confirmation.
+                if consec >= args.wait_consec:
+                    log("session HEALTHY — running timing rounds")
+                    break
+                log(f"healthy read {consec}/{args.wait_consec} — "
+                    "confirming...")
+                time.sleep(15)
+                continue
+            consec = 0
             if time.time() > t_end:
                 log("wait-healthy TIMED OUT — rounds below are from the "
                     "slow regime; discard per protocol")
