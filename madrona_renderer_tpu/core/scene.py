@@ -27,7 +27,7 @@ Layout choices are TPU-first:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Tuple
 
 import jax
@@ -105,6 +105,14 @@ class SceneData:
     # cluster's valid slots are a contiguous prefix; the kernel loops only
     # over this count instead of the full cluster (padding never swept).
     cl_count: jax.Array  # i32 [O, NC]
+    # Paged-texture resident-fallback rows (STATIC aux field, not a
+    # leaf): the pool-layout boundary between the resident coarse region
+    # and the DMA-paged fine levels, chosen per scene at bake time (the
+    # auto-sizer picks the smallest tier whose budget keeps the
+    # full-region fit levels — smaller regions measured +5% paged
+    # throughput on chip). Kernels and the jnp sampler read it from the
+    # scene so both paths always agree with the bake.
+    fb_rows: int = field(metadata=dict(static=True), default=64)
 
     @property
     def num_objects(self) -> int:
@@ -248,28 +256,55 @@ def bake_scene(
                 chain.append(_mip_next(chain[-1]))
             chains.append(chain)
         n_levels = max(len(c) for c in chains)
+
         # Coarse-chain start per texture: smallest level whose dims fit
         # fit_max, shrinking fit_max until every coarse chain fits the
-        # resident fallback region together.
-        for fit_max in (32, 16, 8, 4, 2, 1):
-            fits = [
-                next(
-                    i for i, m in enumerate(c)
-                    if max(m.shape[0], m.shape[1]) <= fit_max
+        # given fallback-region budget together.
+        def _fits_for(budget_texels):
+            for fit_max in (32, 16, 8, 4, 2, 1):
+                fits = [
+                    next(
+                        i for i, m in enumerate(c)
+                        if max(m.shape[0], m.shape[1]) <= fit_max
+                    )
+                    for c in chains
+                ]
+                coarse = sum(
+                    sum(m.shape[0] * m.shape[1] for m in c[f:])
+                    for c, f in zip(chains, fits)
                 )
-                for c in chains
-            ]
-            coarse = sum(
-                sum(m.shape[0] * m.shape[1] for m in c[f:])
-                for c, f in zip(chains, fits)
-            )
-            if coarse <= TEX_FB_ROWS * 128:
-                break
+                if coarse <= budget_texels:
+                    return fit_max, fits
+            return None, None
+
+        # Fallback-region sizing. With MRT_TEX_FB_ROWS explicitly set the
+        # env value is law (the A/B tooling's contract). Otherwise
+        # auto-size: find the fit_max the LARGEST tier admits, then take
+        # the smallest tier that still admits that same fit_max — a
+        # smaller resident region measured ~+5% paged throughput on chip
+        # (r4 FB_ROWS sweep) and shrinking it must never force extra
+        # paging (a worse fit_max) on texture-heavy scenes.
+        if "MRT_TEX_FB_ROWS" in os.environ:
+            fb_rows = TEX_FB_ROWS
+            _, fits = _fits_for(fb_rows * 128)
+            if fits is None:
+                raise ValueError(
+                    f"too many textures for the {fb_rows}-row fallback "
+                    "region (even 1×1 chains overflow)"
+                )
         else:
-            raise ValueError(
-                f"too many textures for the {TEX_FB_ROWS}-row fallback "
-                "region (even 1×1 chains overflow)"
-            )
+            fit_ref, fits = _fits_for(128 * 128)
+            if fits is None:
+                raise ValueError(
+                    "too many textures for the 128-row fallback region "
+                    "(even 1×1 chains overflow)"
+                )
+            fb_rows = 128
+            for cand in (16, 32, 64):
+                fm, f2 = _fits_for(cand * 128)
+                if fm == fit_ref:
+                    fb_rows, fits = cand, f2
+                    break
         tex_mip_offset = np.zeros((k, n_levels), np.int32)
         tex_mip_w = np.zeros((k, n_levels), np.int32)
         tex_mip_h = np.zeros((k, n_levels), np.int32)
@@ -286,14 +321,14 @@ def bake_scene(
             off += m.shape[0] * m.shape[1]
 
         # Fallback region first: every texture's coarse chain, then pad
-        # to the region boundary so fine levels start at row TEX_FB_ROWS.
+        # to the region boundary so fine levels start at row fb_rows.
         for ci, (c, f) in enumerate(zip(chains, fits)):
             for l in range(f, len(c)):
                 push(ci, l, c[l])
-        assert off <= TEX_FB_ROWS * 128
-        if off < TEX_FB_ROWS * 128:
-            pool.append(np.zeros((TEX_FB_ROWS * 128 - off, 4), np.uint8))
-            off = TEX_FB_ROWS * 128
+        assert off <= fb_rows * 128
+        if off < fb_rows * 128:
+            pool.append(np.zeros((fb_rows * 128 - off, 4), np.uint8))
+            off = fb_rows * 128
         # Fine levels (base first per texture).
         for ci, (c, f) in enumerate(zip(chains, fits)):
             for l in range(f):
@@ -315,6 +350,9 @@ def bake_scene(
             )
         tex_data = np.concatenate(pool, axis=0).astype(np.float32) / 255.0
     else:
+        # No mips → no paged path; fb_rows is unused but kept at the
+        # module default so the scene treedef stays deterministic.
+        fb_rows = TEX_FB_ROWS
         pool = []
         off = 0
         for i, tex in enumerate(textures):
@@ -452,6 +490,7 @@ def bake_scene(
         tex_mip_h=tex_mip_h, tex_fit_level=tex_fit_level,
         light_dir=np.asarray([DEFAULT_LIGHT_DIR], np.float32),
         light_color=np.asarray([DEFAULT_LIGHT_COLOR], np.float32),
+        fb_rows=fb_rows,
     )
     put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
     return jax.tree.map(lambda x: put(jnp.asarray(x)), arrays)

@@ -305,8 +305,11 @@ def clamp_levels(
     and a trilinear pixel whose two levels straddle the window keeps
     its sharp level instead of evicting to the fallback."""
     prim_filter = "bilinear" if texture_filter == "trilinear" else texture_filter
+    # Per-scene resident-fallback boundary (bake-time auto-sized static
+    # field; default-constructed scenes fall back to the module constant).
+    fb = int(getattr(scene, "fb_rows", FB_ROWS))
     plo, phi = mip_tap_rows(scene, tex_id, uv, level, prim_filter)
-    fine = hit & (phi >= FB_ROWS)
+    fine = hit & (phi >= fb)
     base = window_base(plo, phi, fine, level, tid, n_tiles)
     prim_in = (plo >= base) & (phi < base + PAGE_ROWS)
     fit = scene.tex_fit_level[tex_id]
@@ -320,7 +323,7 @@ def clamp_levels(
         live = tile_clamp_blend > 0.0
         sec_ok = (
             (~live)
-            | (shi < FB_ROWS)  # secondary level resident → always there
+            | (shi < fb)  # secondary level resident → always there
             | ((slo >= base) & (shi < base + PAGE_ROWS))
         )
         kill = fine & prim_in & ~sec_ok

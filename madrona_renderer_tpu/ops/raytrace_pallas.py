@@ -762,6 +762,7 @@ def _render_kernel(
     tpp: int = 1,
     seeded: bool = False,
     watertight: bool = False,
+    fb_rows: int = 0,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -3075,8 +3076,12 @@ def _render_kernel(
                 # Tiles whose fine rows overflow one window clamp to the
                 # coarse chains (tile-adaptive mip clamp — the jnp reference
                 # reproduces the identical integer test).
-                from ..core.scene import TEX_FB_ROWS, TEX_PAGE_ROWS
+                from ..core.scene import TEX_PAGE_ROWS
                 from .shade import AMBIENT
+
+                # Per-scene resident-fallback boundary (factory param —
+                # the bake may auto-size it below the module default).
+                TEX_FB_ROWS = fb_rows
 
                 matv = bmat.astype(jnp.int32)
                 shape2 = matv.shape
@@ -4063,6 +4068,10 @@ def render_core(
     elif tex_paged:
         from ..core.scene import TEX_FB_ROWS, TEX_PAGE_ROWS
 
+        # Per-scene fallback-region rows (bake-time auto-sized static
+        # field; default-constructed scenes fall back to the module
+        # constant so older pickled scenes keep working).
+        scene_fb_rows = int(getattr(scene, "fb_rows", TEX_FB_ROWS))
         n_levels = int(scene.tex_mip_offset.shape[1])
         mt = scene.mat_tex
         # Param table rows: 0-2 color rgb, 3 coarse fallback level, then
@@ -4093,7 +4102,7 @@ def render_core(
         pool_all = jnp.pad(packedq, (0, flat_pad)).reshape(
             tex_rows, _TILE_LANE
         )
-        fb = pool_all[:TEX_FB_ROWS]  # resident coarse region
+        fb = pool_all[:scene_fb_rows]  # resident coarse region
         # Full pool in HBM, padded by one window so any 8-aligned base
         # row yields an in-bounds TEX_PAGE_ROWS DMA.
         pool_hbm = jnp.pad(pool_all, ((0, TEX_PAGE_ROWS), (0, 0)))
@@ -4102,7 +4111,7 @@ def render_core(
             memory_space=pltpu.VMEM,
         )
         fb_spec = pl.BlockSpec(
-            (TEX_FB_ROWS, _TILE_LANE), lambda wc, r: (0, 0),
+            (scene_fb_rows, _TILE_LANE), lambda wc, r: (0, 0),
             memory_space=pltpu.VMEM,
         )
         pool_hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -4515,6 +4524,7 @@ def render_core(
             wpp=wpp, tpp=tpp,
             seeded=seed_packed is not None,
             watertight=watertight,
+            fb_rows=scene_fb_rows if tex_paged else 0,
         )
         if wpp > 1 or tpp > 1:
             cl = _lane_pad(cl)
@@ -4700,6 +4710,7 @@ def render_core(
             wpp=wpp, tpp=tpp,
             seeded=seed_packed is not None,
             watertight=watertight,
+            fb_rows=scene_fb_rows if tex_paged else 0,
         )
         attr_specs, attr_inputs = [], ()
         if defer_attrs:

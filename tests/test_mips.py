@@ -147,13 +147,15 @@ def test_bake_auto_gate_and_layout():
     ws = np.asarray(on.tex_mip_w)
     hs = np.asarray(on.tex_mip_h)
     # Coarse chains live in the fallback region; fine levels after it.
+    fb = on.fb_rows
+    assert fb in (16, 32, 64, 128)
     for k in range(offs.shape[0]):
         for l in range(L):
             end = offs[k, l] + ws[k, l] * hs[k, l]
             if l >= fit[k]:
-                assert end <= TEX_FB_ROWS * 128, (k, l)
+                assert end <= fb * 128, (k, l)
             elif ws[k, l] > 1 or hs[k, l] > 1:
-                assert offs[k, l] >= TEX_FB_ROWS * 128, (k, l)
+                assert offs[k, l] >= fb * 128, (k, l)
     # Level sizes halve down the chain (big texture = index 1).
     assert ws[1, 0] == 256 and ws[1, 1] == 128 and ws[1, 8] == 1
     # Mips off (small texture) → trivial L = 1 arrays.
@@ -406,10 +408,8 @@ def test_per_pixel_window_clamp_keeps_magnified_sharp():
     # The magnified quad pixels page FINE rows (level 0 of a 256² texture
     # is far outside the resident region) — the anchor preference is
     # genuinely exercised, not satisfied by coarse-resident sampling.
-    from madrona_renderer_tpu.core.scene import TEX_FB_ROWS
-
     offs = np.asarray(scene.tex_mip_offset)
-    assert offs[1, 0] >= TEX_FB_ROWS * 128
+    assert offs[1, 0] >= scene.fb_rows * 128
     fit = int(np.asarray(scene.tex_fit_level)[1])
     assert (lvl_c[floor] >= np.minimum(lvl_u[floor], fit)).all()
     # And the kernel agrees with the ref under this mixed load.
