@@ -37,6 +37,24 @@ def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return v + 2.0 * uuv
 
 
+def quat_rotate_planar(qw, qx, qy, qz, vx, vy, vz):
+    """Per-component ``quat_rotate`` twin for planar (layout-aware)
+    pipelines: same formulation term-for-term
+    (``v' = v + 2*cross(u, cross(u, v) + w*v)``, numpy cross order), on
+    scalar component planes instead of ``[..., 3]`` arrays — whose 3-lane
+    minor dim tile-pads 42× on TPU. Returns ``(x, y, z)``."""
+    uvx = qy * vz - qz * vy
+    uvy = qz * vx - qx * vz
+    uvz = qx * vy - qy * vx
+    ax = uvx + qw * vx
+    ay = uvy + qw * vy
+    az = uvz + qw * vz
+    uuvx = qy * az - qz * ay
+    uuvy = qz * ax - qx * az
+    uuvz = qx * ay - qy * ax
+    return (vx + 2.0 * uuvx, vy + 2.0 * uuvy, vz + 2.0 * uuvz)
+
+
 def quat_inverse(q: jnp.ndarray) -> jnp.ndarray:
     """Inverse of unit quaternion(s): conjugate."""
     return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)

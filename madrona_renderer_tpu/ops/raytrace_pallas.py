@@ -199,6 +199,89 @@ def _pack_tris_split(soup, scene: SceneData, cam_pos=None) -> jnp.ndarray:
     return jnp.stack(rows, axis=1)
 
 
+def _pack_rows_planar(state, scene: SceneData, cam_pos=None,
+                      split: bool = False) -> jnp.ndarray:
+    """Planar (layout-aware) input pack for the RESIDENT kernel paths —
+    lays out ``raytrace_ref.planar_soup_parts`` (the shared single source
+    of truth with the jnp reference soup) directly as SMEM rows, without
+    ever materializing the soup's component-minor ``[W, S, 3]`` arrays
+    (42× lane padding; the XLA input pack measured ~15% of the headline
+    step — r4 epilogue probe, docs/benchmarks.md). Row contents match
+    ``_pack_tris`` (split=False, 32 rows) / ``_pack_tris_split`` (40
+    rows, raw or camera-factored prep constants) — pinned bitwise by
+    tests/test_pack_planar.py. MRT_PACK_PLANAR=0 restores the soup-based
+    packs for A/B; deferred/DMA (terrain) packs keep the soup path
+    (their pack cost amortizes over much larger kernels and
+    cluster_row_sort consumes the soup anyway)."""
+    from .raytrace_ref import planar_soup_parts
+
+    W, I = state.instance_obj.shape
+    T = scene.tris_per_object
+    S = I * T
+    p = planar_soup_parts(state, scene)
+    val = p["valid"]
+    v0x, v0y, v0z = p["v0"]
+    e1x, e1y, e1z = p["e1"]
+    e2x, e2y, e2z = p["e2"]
+    mat = p["mat"]
+    col = [scene.mat_color[:, k][mat] for k in range(3)]
+    zero = jnp.zeros_like(val)
+
+    if split and cam_pos is not None:
+        # Camera-origin-factored Möller–Trumbore prep constants —
+        # expressions mirror _pack_tris_split term-for-term.
+        ve1 = [e1x * val, e1y * val, e1z * val]
+        ve2 = [e2x * val, e2y * val, e2z * val]
+        o = [cam_pos[:, None, k:k + 1] for k in range(3)]  # [W, 1, 1]
+        tvx = o[0] - v0x
+        tvy = o[1] - v0y
+        tvz = o[2] - v0z
+        qx = tvy * ve1[2] - tvz * ve1[1]
+        qy = tvz * ve1[0] - tvx * ve1[2]
+        qz = tvx * ve1[1] - tvy * ve1[0]
+        geo_rows = [
+            ve2[1] * ve1[2] - ve2[2] * ve1[1],  # D
+            ve2[2] * ve1[0] - ve2[0] * ve1[2],
+            ve2[0] * ve1[1] - ve2[1] * ve1[0],
+            ve2[1] * tvz - ve2[2] * tvy,  # A
+            ve2[2] * tvx - ve2[0] * tvz,
+            ve2[0] * tvy - ve2[1] * tvx,
+            qx, qy, qz,  # Q
+            ve2[0] * qx + ve2[1] * qy + ve2[2] * qz,  # t_num
+            zero, zero, zero, zero, zero, zero,
+        ]
+    elif split:
+        geo_rows = [
+            v0x, v0y, v0z,
+            e1x * val, e1y * val, e1z * val,
+            e2x * val, e2y * val, e2z * val,
+            zero, zero, zero, zero, zero, zero, zero,
+        ]
+    attr_rows = [
+        p["uv0"][0], p["uv0"][1],
+        p["duv1"][0], p["duv1"][1],
+        p["duv2"][0], p["duv2"][1],
+        p["n0"][0], p["n0"][1], p["n0"][2],
+        p["dn1"][0], p["dn1"][1], p["dn1"][2],
+        p["dn2"][0], p["dn2"][1], p["dn2"][2],
+        mat.astype(jnp.float32),
+        col[0], col[1], col[2],
+        p["density"],
+    ]
+    if split:
+        rows = geo_rows + attr_rows + [zero, zero, zero, zero]
+    else:
+        rows = [
+            v0x, v0y, v0z,
+            e1x * val, e1y * val, e1z * val,
+            e2x * val, e2y * val, e2z * val,
+            val,
+        ] + attr_rows + [zero, zero]
+    out = jnp.stack(
+        [jnp.broadcast_to(r, val.shape) for r in rows], axis=1
+    )
+    return out.reshape(W, len(rows), S)
+
 def _pack_cams(
     state: SimState,
     scene: SceneData,
@@ -4390,10 +4473,21 @@ def render_core(
                 axis=1,
             )
     elif defer_attrs:
-        split = _pack_tris_split(
-            soup, scene,
-            cam_pos=state.camera_pos[:, 0, :] if prep_resident else None,
-        )  # [W, 40, S]
+        # Resident path: the planar pack (default) avoids the soup's
+        # 42x-padded [W, S, 3] intermediates — see _pack_rows_planar.
+        if _os.environ.get("MRT_PACK_PLANAR", "1") == "1":
+            split = _pack_rows_planar(
+                state, scene,
+                cam_pos=(state.camera_pos[:, 0, :]
+                         if prep_resident else None),
+                split=True,
+            )  # [W, 40, S]
+        else:
+            split = _pack_tris_split(
+                soup, scene,
+                cam_pos=(state.camera_pos[:, 0, :]
+                         if prep_resident else None),
+            )  # [W, 40, S]
         tris = split[:, :_N_GEO_ROWS]  # geometry rows → SMEM block
         attrs = split[:, _N_GEO_ROWS:]  # attr rows → VMEM block
         if uv_defer:
@@ -4404,7 +4498,10 @@ def render_core(
         if s_attr_pad != S:
             attrs = jnp.pad(attrs, ((0, 0), (0, 0), (0, s_attr_pad - S)))
     else:
-        tris = _pack_tris(soup, scene)  # [W, 32, S]
+        if _os.environ.get("MRT_PACK_PLANAR", "1") == "1":
+            tris = _pack_rows_planar(state, scene)  # [W, 32, S]
+        else:
+            tris = _pack_tris(soup, scene)  # [W, 32, S]
     cams = _pack_cams(
         state, scene, width, height, eff_fov, eff_near, far_t, far_z
     )  # [WC, 1, 24]
@@ -4699,6 +4796,7 @@ def render_core(
             )
         kernel = _render_kernel(
             S, width, height, n_tiles, shaded=shaded, raster_clip=raster_clip,
+            num_cams=C,
             tile_sub=tile_sub, textured=tex_inkernel, tex_rows=tex_rows,
             tex_filter=texture_filter, n_lights=int(scene.light_dir.shape[0]),
             shadows=shadows, tiles_x=tiles_x,

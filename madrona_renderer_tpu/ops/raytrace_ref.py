@@ -70,69 +70,118 @@ class TriangleSoup:
     density: jax.Array  # f32 [W, S]
 
 
-def build_world_soup(state: SimState, scene: SceneData) -> TriangleSoup:
-    """Instance transforms × object triangles → world-space soup.
+def planar_soup_parts(state: SimState, scene: SceneData, what: str = "all"):
+    """Instance transforms × object triangles → world-space component
+    PLANES ``[W, I, T]`` — the shared single source of truth for both the
+    jnp reference soup (``build_world_soup`` stacks these) and the Pallas
+    input pack (``raytrace_pallas._pack_rows_planar`` lays them out as
+    SMEM rows), so the two paths evaluate identical expression trees and
+    stay bitwise-comparable.
+
+    Planar rationale (r4): the previous vector-form soup materialized ~9
+    ``[W, S, 3]`` arrays whose 3-lane minor dim tile-pads 42× on TPU;
+    the XLA input pack measured ~15% of the headline step (epilogue
+    probe, docs/benchmarks.md). Component planes keep the minor dim at
+    T and cut the padded gather traffic ~16×.
 
     The analog of the render-ECS instance gather + TLAS refit: the
-    reference's render system collects (Position, Rotation, Scale, ObjectID)
-    into instance buffers each step (``RenderingSystem::setupTasks``,
-    reference ``src/sim.cpp:122-126``); here the gather *and* the transform
-    fuse into the step's XLA program.
-    """
+    reference's render system collects (Position, Rotation, Scale,
+    ObjectID) into instance buffers each step
+    (``RenderingSystem::setupTasks``, reference ``src/sim.cpp:122-126``);
+    here the gather *and* the transform fuse into the step's XLA program.
+
+    Returns a dict of ``[W, I, T]`` planes: v0/e1/e2/n0/dn1/dn2 as
+    (x, y, z) tuples, uv0/duv1/duv2 as (x, y), plus mat (i32), valid,
+    density. ``what='geo'`` skips the normal/uv/density planes (the
+    prep-constants pack needs only geometry)."""
+    from .quat import quat_rotate_planar
+
+    W, I = state.instance_obj.shape
+    obj = state.instance_obj  # [W, I]
+
+    def g(arr):  # [O, T] object plane → [W, I, T]
+        return arr[obj]
+
+    def bi(x):  # [W, I] per-instance scalar → broadcast over T
+        return x[:, :, None]
+
+    pos = [bi(state.instance_pos[..., k]) for k in range(3)]
+    rotq = [bi(state.instance_rot[..., k]) for k in range(4)]
+    scale = [bi(state.instance_scale[..., k]) for k in range(3)]
+
+    def rot3(v):
+        return quat_rotate_planar(*rotq, *v)
+
+    v0 = rot3([scale[k] * g(scene.v0[..., k]) for k in range(3)])
+    v0 = tuple(v0[k] + pos[k] for k in range(3))
+    e1 = rot3([scale[k] * g(scene.e1[..., k]) for k in range(3)])
+    e2 = rot3([scale[k] * g(scene.e2[..., k]) for k in range(3)])
+    valid = g(scene.tri_valid) * state.instance_valid[:, :, None]
+    parts = dict(v0=v0, e1=e1, e2=e2, valid=valid, mat=g(scene.tri_mat))
+    if what == "geo":
+        return parts
+
+    # Normals transform with inverse-transpose: rot * (n / scale).
+    inv = [
+        1.0 / jnp.maximum(jnp.abs(scale[k]), 1e-20)
+        * jnp.sign(scale[k] + (scale[k] == 0))
+        for k in range(3)
+    ]
+    parts["n0"] = rot3([g(scene.n0[..., k]) * inv[k] for k in range(3)])
+    parts["dn1"] = rot3([g(scene.dn1[..., k]) * inv[k] for k in range(3)])
+    parts["dn2"] = rot3([g(scene.dn2[..., k]) * inv[k] for k in range(3)])
+    parts["uv0"] = (g(scene.uv0[..., 0]), g(scene.uv0[..., 1]))
+    parts["duv1"] = (g(scene.duv1[..., 0]), g(scene.duv1[..., 1]))
+    parts["duv2"] = (g(scene.duv2[..., 0]), g(scene.duv2[..., 1]))
+
+    # Mip-level density (world-space, so instance scaling is exact) —
+    # planar twin of ops/mips.soup_texel_density: same cross order, the
+    # 3-term norm associating (x² + y²) + z².
+    e1x, e1y, e1z = e1
+    e2x, e2y, e2z = e2
+    cwx = e1y * e2z - e1z * e2y
+    cwy = e1z * e2x - e1x * e2z
+    cwz = e1x * e2y - e1y * e2x
+    a_world = jnp.sqrt(cwx * cwx + cwy * cwy + cwz * cwz)
+    tex_id = scene.mat_tex[parts["mat"]]
+    du1x, du1y = parts["duv1"]
+    du2x, du2y = parts["duv2"]
+    a_uv = jnp.abs(du1x * du2y - du1y * du2x)
+    tex_area = (
+        a_uv
+        * scene.tex_width[tex_id].astype(jnp.float32)
+        * scene.tex_height[tex_id].astype(jnp.float32)
+    )
+    parts["density"] = jnp.sqrt(tex_area / jnp.maximum(a_world, 1e-30))
+    return parts
+
+
+def build_world_soup(state: SimState, scene: SceneData) -> TriangleSoup:
+    """World-space triangle soup ``[W, S, ...]`` for the jnp reference
+    path — a stack of ``planar_soup_parts`` (see there for the render-ECS
+    reference anchor and the planar-layout rationale; the Pallas pack
+    consumes the same parts, so reference and kernel stay bitwise-
+    comparable)."""
     W, I = state.instance_obj.shape
     T = scene.tris_per_object
+    S = I * T
+    p = planar_soup_parts(state, scene)
 
-    obj = state.instance_obj  # [W, I]
-    # Gather object triangles per instance: [W, I, T, 3]
-    v0 = scene.v0[obj]
-    e1 = scene.e1[obj]
-    e2 = scene.e2[obj]
-    n0 = scene.n0[obj]
-    dn1 = scene.dn1[obj]
-    dn2 = scene.dn2[obj]
+    def fN(c):  # tuple of [W, I, T] planes → [W, S, len(c)]
+        return jnp.stack(c, axis=-1).reshape(W, S, len(c))
 
-    pos = state.instance_pos[:, :, None, :]  # [W, I, 1, 3]
-    rot = state.instance_rot[:, :, None, :]  # [W, I, 1, 4]
-    scale = state.instance_scale[:, :, None, :]  # [W, I, 1, 3]
-
-    v0w = quat_rotate(rot, scale * v0) + pos
-    e1w = quat_rotate(rot, scale * e1)
-    e2w = quat_rotate(rot, scale * e2)
-    # Normals transform with inverse-transpose: rot * (n / scale).
-    inv_scale = 1.0 / jnp.maximum(jnp.abs(scale), 1e-20) * jnp.sign(scale + (scale == 0))
-    n0w = quat_rotate(rot, n0 * inv_scale)
-    dn1w = quat_rotate(rot, dn1 * inv_scale)
-    dn2w = quat_rotate(rot, dn2 * inv_scale)
-
-    valid = scene.tri_valid[obj] * state.instance_valid[:, :, None]  # [W, I, T]
     seg = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (W, I, T), 1), (W, I, T)
     )
-
-    # Mip-level density (world-space, so instance scaling is exact).
-    from .mips import soup_texel_density
-
-    tex_id = scene.mat_tex[scene.tri_mat[obj]]  # [W, I, T]
-    density = soup_texel_density(
-        e1w, e2w, scene.duv1[obj], scene.duv2[obj],
-        scene.tex_width[tex_id], scene.tex_height[tex_id],
-    )
-
-    S = I * T
-
-    def flat3(x):
-        return x.reshape(W, S, x.shape[-1])
-
     return TriangleSoup(
-        v0=flat3(v0w), e1=flat3(e1w), e2=flat3(e2w),
-        uv0=flat3(scene.uv0[obj]), duv1=flat3(scene.duv1[obj]), duv2=flat3(scene.duv2[obj]),
-        n0=flat3(n0w), dn1=flat3(dn1w), dn2=flat3(dn2w),
-        mat=scene.tri_mat[obj].reshape(W, S),
+        v0=fN(p["v0"]), e1=fN(p["e1"]), e2=fN(p["e2"]),
+        uv0=fN(p["uv0"]), duv1=fN(p["duv1"]), duv2=fN(p["duv2"]),
+        n0=fN(p["n0"]), dn1=fN(p["dn1"]), dn2=fN(p["dn2"]),
+        mat=p["mat"].reshape(W, S),
         seg=seg.reshape(W, S),
-        valid=valid.reshape(W, S),
-        density=density.reshape(W, S),
+        valid=p["valid"].reshape(W, S),
+        density=p["density"].reshape(W, S),
     )
-
 
 def camera_ray_dirs(
     cam_rot: jnp.ndarray,  # f32 [..., 4]
