@@ -10,8 +10,8 @@ log() { echo "[swapM $(date +%H:%M:%S)] $*" >&2; }
 
 battery_active() {
   local started done
-  started=$(grep -c "running full battery" /tmp/r4L_driver.log 2>/dev/null || echo 0)
-  done=$(grep -c "battery complete" /tmp/r4L_driver.log 2>/dev/null || echo 0)
+  started=$(grep -c "running full battery" /tmp/r4L_driver.log 2>/dev/null); started=${started:-0}
+  done=$(grep -c "battery complete" /tmp/r4L_driver.log 2>/dev/null); done=${done:-0}
   [ "$started" -gt "$done" ]
 }
 
