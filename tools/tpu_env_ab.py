@@ -37,7 +37,7 @@ _KNOBS = (
     "MRT_SUPERTILE", "MRT_SWEEP_UNROLL", "MRT_PREP_STREAM", "MRT_ORDERED_MIN",
     "MRT_DEFERRED_MXU", "MRT_TILE_SUB_MAX", "MRT_ATTR_ONCE",
     "MRT_PLANE_BINS", "MRT_TRI_RANGES", "MRT_TRI_TIE", "MRT_WIN_SORT",
-    "MRT_UV_DEFER",
+    "MRT_UV_DEFER", "MRT_PACK_PLANAR", "MRT_SUPERTILE_TILES",
     # Debug cost-ablation knobs (per-pixel pipeline stage shares; outputs
     # deliberately wrong — timing only, see raytrace_pallas.py).
     "MRT_ABLATE_SWEEP", "MRT_ABLATE_RESOLVE", "MRT_ABLATE_SHADE",
