@@ -22,7 +22,27 @@ from __future__ import annotations
 
 import os
 
-DEFAULT_DIR = "/tmp/mrt_xla_cache"
+# Under the repo, NOT /tmp: the sandbox VM reboots wipe /tmp, and a
+# wiped cache costs the next session 15+ min of terrain recompiles
+# (r4 day 3 — two reboots in one round each paid it). MRT_CACHE_DIR
+# overrides. Falls back to /tmp when the repo dir is unwritable.
+_REPO_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache", "mrt_xla_cache",
+)
+DEFAULT_DIR = os.environ.get("MRT_CACHE_DIR", _REPO_DIR)
+
+
+def _writable(path: str) -> bool:
+    try:
+        os.makedirs(path, exist_ok=True)
+        probe = os.path.join(path, ".probe")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return True
+    except OSError:
+        return False
 
 
 def enable(path: str = DEFAULT_DIR) -> bool:
@@ -31,6 +51,8 @@ def enable(path: str = DEFAULT_DIR) -> bool:
     never raises (a cache is an optimization, not a dependency)."""
     if os.environ.get("MRT_COMPILE_CACHE", "1") != "1":
         return False
+    if path == DEFAULT_DIR and not _writable(path):
+        path = "/tmp/mrt_xla_cache"
     try:
         import jax
 
