@@ -38,13 +38,13 @@ run_battery() {
   python -u tools/tpu_env_ab.py --rounds 3 --scene multicam \
     --configs "MRT_SUPERTILE=4" "MRT_SUPERTILE=8" "" > /tmp/r5_multicam.log 2>&1
   log "battery 4/5 rc=$?"; sleep 60
-  log "battery 5/5: paged fb_rows >=50%-bar confirm (3 rounds; fb_rows"
-  log "    binds at import, so the auto-sizer default IS the 16-row case"
-  log "    on the bench texture — A/B vs forced 64 across processes)"
-  python -u tools/tpu_env_ab.py --rounds 3 --scene textured \
-    --configs "" > /tmp/r5_fbrows_auto.log 2>&1
-  MRT_TEX_FB_ROWS=64 python -u tools/tpu_env_ab.py --rounds 3 --scene textured \
-    --configs "" > /tmp/r5_fbrows_64.log 2>&1
+  log "battery 5/5: paged fb_rows >=50%-bar confirm (fb_rows binds at"
+  log "    import -> one process per value; the PAGED bench, not the"
+  log "    resident-texture env_ab scene)"
+  python -u tools/tpu_paged_tex_bench.py > /tmp/r5_fbrows_auto.log 2>&1
+  sleep 60
+  MRT_TEX_FB_ROWS=64 python -u tools/tpu_paged_tex_bench.py \
+    > /tmp/r5_fbrows_64.log 2>&1
   log "battery 5/5 rc=$?"
 }
 
