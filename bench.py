@@ -297,7 +297,11 @@ BASELINE_CONFIGS = [
     # Round-4: the same big-mesh row with the temporal warm-start tier
     # (ops/warmstart.py; bitwise-equal output, previous-frame depth
     # seeds). Its honest baseline is the cold bigmesh row's canonical.
-    ("bigmesh_512w_warm", 512, 4, "rt", 64, 64, "terrain", False),
+    # NOT in the default driver ladder (VERDICT r4 weak #3): the tier has
+    # no measured healthy benefit yet and its in-clamp read is a pure
+    # per-launch artifact (exactly ~0.5x cold) with no information
+    # content. Re-enters the ladder when tools/tpu_seed_probe.py decides
+    # the tier with a healthy read — opt in with MRT_BENCH_WARM_ROW=1.
     # Round-4 quality-tier row: the textured north-star with ssaa=2
     # (renders 128², exports antialiased 64² — ops/ssaa.py). Its honest
     # baseline is the un-supersampled textured row: vs_canonical reads
@@ -315,6 +319,9 @@ BASELINE_CONFIGS = [
     # counts world-steps (reference convention); views/s = 4×.
     ("multicam_1024w4c", 1024, 20, "rt", 64, 64, "multicam", False),
 ]
+if os.environ.get("MRT_BENCH_WARM_ROW", "0") == "1":
+    BASELINE_CONFIGS.append(
+        ("bigmesh_512w_warm", 512, 4, "rt", 64, 64, "terrain", False))
 _WARMSTART_ROWS = {"bigmesh_512w_warm"}
 _SSAA_ROWS = {"textured_4096w_ssaa2": 2}
 _WATERTIGHT_ROWS = {"watertight_4096w"}
@@ -414,6 +421,14 @@ def run_baseline_suite(impl: str) -> dict:
                 with jax.default_device(jax.devices("cpu")[0]):
                     fps = run_config(_scaled(worlds), steps, mode, w, h,
                                      "jnp", scene=scene, move_cams=move_cams)
+                # This row runs on the HOST CPU and is sensitive to
+                # concurrent load (r3+r4 both flagged disregardable
+                # reads); stamp the 1-min loadavg so readers can tell a
+                # loaded-host read from a real regression (VERDICT r4 #6b).
+                try:
+                    host_load = round(os.getloadavg()[0], 2)
+                except OSError:
+                    host_load = None
             elif name in _WARMSTART_ROWS:
                 # warmstart is a Pallas-kernel feature; force that impl
                 # (interpret mode on CPU smoke, compiled on TPU).
@@ -431,6 +446,8 @@ def run_baseline_suite(impl: str) -> dict:
                 "vs_baseline": round(fps / base, 4),
                 "vs_canonical": round(fps / CANONICAL_FPS[name], 4),
             }
+            if name == "cpu_sanity_1w" and host_load is not None:
+                out[name]["host_load_1min"] = host_load
             if _smoke():
                 out[name]["smoke_worlds"] = _scaled(worlds)
         except Exception:
@@ -550,9 +567,15 @@ def _wait_for_healthy_tpu() -> dict | None:
                 per_step = t_big / 6
             return 32.0 / per_step
 
-        t_start = time.perf_counter()
+        # Budget starts AFTER the first probe: that probe includes the
+        # 512² terrain compile (up to 15 min cold — CLAUDE.md), and r4's
+        # artifact showed the gate expiring inside it with waited_s=0.0
+        # (VERDICT r4 weak #4). waited_s reports real elapsed gate time
+        # (compile included) so the annotation is trustworthy.
+        t_gate0 = time.perf_counter()
         fps = probe()
-        waited = 0.0
+        t_start = time.perf_counter()
+        compile_s = t_start - t_gate0
         while fps < bar and (time.perf_counter() - t_start) < budget_s:
             print(
                 f"bench: anchor {fps:.1f} f/s < {bar:.0f} (slow tunnel "
@@ -562,7 +585,6 @@ def _wait_for_healthy_tpu() -> dict | None:
             )
             time.sleep(120)
             fps = probe()
-            waited = time.perf_counter() - t_start
         if fps >= bar:
             # A single healthy read can be a recovery flicker (r4: one
             # 75.8 between hours of 23.0); confirm before annotating the
@@ -577,7 +599,6 @@ def _wait_for_healthy_tpu() -> dict | None:
             while fps2 < bar and (time.perf_counter() - t_start) < budget_s:
                 time.sleep(120)
                 fps = probe()
-                waited = time.perf_counter() - t_start
                 if fps < bar:
                     continue
                 time.sleep(10)
@@ -590,7 +611,11 @@ def _wait_for_healthy_tpu() -> dict | None:
         return {
             "anchor_fps": round(fps, 1),
             "healthy": fps >= bar,
-            "waited_s": round(waited, 1),
+            # Real elapsed gate time (anchor compile included) and the
+            # compile share of it, so "waited_s: 0" can never again mean
+            # "the budget expired inside the compile".
+            "waited_s": round(time.perf_counter() - t_gate0, 1),
+            "anchor_compile_s": round(compile_s, 1),
         }
     except Exception:
         import traceback

@@ -51,7 +51,10 @@ def enable(path: str = DEFAULT_DIR) -> bool:
     never raises (a cache is an optimization, not a dependency)."""
     if os.environ.get("MRT_COMPILE_CACHE", "1") != "1":
         return False
-    if path == DEFAULT_DIR and not _writable(path):
+    # Fall back only for the IMPLICIT repo default: an explicit
+    # MRT_CACHE_DIR that is unwritable is a misconfiguration the user
+    # should see, not a silent /tmp redirect (ADVICE r4).
+    if path == _REPO_DIR and not _writable(path):
         path = "/tmp/mrt_xla_cache"
     try:
         import jax

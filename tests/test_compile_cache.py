@@ -13,13 +13,19 @@ from madrona_renderer_tpu.utils import compile_cache as cc
 
 
 def test_default_dir_is_repo_local():
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    assert cc._REPO_DIR == os.path.join(repo_root, ".cache", "mrt_xla_cache")
-    # The env override wins when set at import; either way DEFAULT_DIR
-    # must not live under /tmp.
+    # Derive the expected root from the PACKAGE location (not this test
+    # file) so the assertion also holds under an installed-package
+    # layout (ADVICE r4).
+    import madrona_renderer_tpu as pkg
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    assert cc._REPO_DIR == os.path.join(pkg_root, ".cache", "mrt_xla_cache")
+    assert not cc._REPO_DIR.startswith("/tmp")
+    # The env override wins when set at import (and may legitimately
+    # point anywhere, including /tmp); only pin the no-override case.
     if "MRT_CACHE_DIR" not in os.environ:
         assert cc.DEFAULT_DIR == cc._REPO_DIR
-    assert not cc.DEFAULT_DIR.startswith("/tmp")
+        assert not cc.DEFAULT_DIR.startswith("/tmp")
 
 
 def test_cpu_backend_never_caches():

@@ -13,8 +13,9 @@ log() { echo "[r5c1 $(date +%H:%M:%S)] $*" >&2; }
 CUTOFF_FILE=/tmp/r5_1_cutoff
 [ -e "$CUTOFF_FILE" ] || date -d '+6 hours' +%s > "$CUTOFF_FILE"
 
-log "S0: canonical ladder (also repopulates the compile cache if a"
-log "    reboot wiped /tmp/mrt_xla_cache); health-annotated artifact"
+log "S0: canonical ladder (also repopulates .cache/mrt_xla_cache if"
+log "    missing — repo-local, reboots no longer wipe it); health-"
+log "    annotated artifact"
 MRT_BENCH_WAIT_MIN=10 python -u bench.py \
   > /tmp/bench_r5_1.json 2>/tmp/bench_r5_1.log
 log "S0 rc=$?"; sleep 60
@@ -56,11 +57,15 @@ while [ "$(date +%s)" -lt "$(cat "$CUTOFF_FILE")" ]; do
   python -u tools/tpu_env_ab.py --rounds 1 --wait-healthy 75 --wait-max-min 3 \
     --configs "" > /tmp/r5_gate.log 2>&1
   if grep -q "session HEALTHY" /tmp/r5_gate.log; then
-    log "probe HEALTHY — running full battery"
-    sleep 60
-    run_battery
-    got_healthy=1
-    log "battery complete — low-duty re-probes continue"
+    if [ "$got_healthy" = 0 ]; then
+      log "probe HEALTHY — running full battery"
+      sleep 60
+      run_battery
+      got_healthy=1
+      log "battery complete — low-duty re-probes continue"
+    else
+      log "probe HEALTHY (battery already done) — idle re-probe"
+    fi
     sleep 1080
   else
     log "still degraded; tunnel idle for 18 min"
