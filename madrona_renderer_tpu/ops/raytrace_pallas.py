@@ -4473,9 +4473,22 @@ def render_core(
                 axis=1,
             )
     elif defer_attrs:
+        from .pack_pallas import pack_kernel_wanted, pack_rows_pallas
+
         # Resident path: the planar pack (default) avoids the soup's
         # 42x-padded [W, S, 3] intermediates — see _pack_rows_planar.
-        if _os.environ.get("MRT_PACK_PLANAR", "1") == "1":
+        # MRT_PACK_KERNEL=1 routes it to the fused Pallas pack kernel
+        # (ops/pack_pallas.py): no XLA gather, geometry/attr blocks
+        # emitted kernel-ready and lane-padded (the _lane_pad /
+        # attr-pad copies below become no-ops).
+        if pack_kernel_wanted(scene, state.instance_obj.shape[1]):
+            tris, attrs = pack_rows_pallas(
+                state, scene,
+                cam_pos=(state.camera_pos[:, 0, :]
+                         if prep_resident else None),
+                split=True, uv_defer=uv_defer, interpret=interpret,
+            )  # geo [W, 16, Sp] + attrs [W, 24(+10), Sp]
+        elif _os.environ.get("MRT_PACK_PLANAR", "1") == "1":
             split = _pack_rows_planar(
                 state, scene,
                 cam_pos=(state.camera_pos[:, 0, :]
@@ -4488,17 +4501,27 @@ def render_core(
                 cam_pos=(state.camera_pos[:, 0, :]
                          if prep_resident else None),
             )  # [W, 40, S]
-        tris = split[:, :_N_GEO_ROWS]  # geometry rows → SMEM block
-        attrs = split[:, _N_GEO_ROWS:]  # attr rows → VMEM block
-        if uv_defer:
-            # Mirror the 10 prep rows behind the attrs (rows 24-33) so
-            # the resolve can recompute the winner's (u, v) by lane
-            # gathers instead of carrying them through the sweep.
-            attrs = jnp.concatenate([attrs, split[:, 0:10]], axis=1)
-        if s_attr_pad != S:
-            attrs = jnp.pad(attrs, ((0, 0), (0, 0), (0, s_attr_pad - S)))
+        if attrs is None:
+            tris = split[:, :_N_GEO_ROWS]  # geometry rows → SMEM block
+            attrs = split[:, _N_GEO_ROWS:]  # attr rows → VMEM block
+            if uv_defer:
+                # Mirror the 10 prep rows behind the attrs (rows 24-33)
+                # so the resolve can recompute the winner's (u, v) by
+                # lane gathers instead of carrying them through the
+                # sweep.
+                attrs = jnp.concatenate([attrs, split[:, 0:10]], axis=1)
+            if s_attr_pad != S:
+                attrs = jnp.pad(
+                    attrs, ((0, 0), (0, 0), (0, s_attr_pad - S))
+                )
     else:
-        if _os.environ.get("MRT_PACK_PLANAR", "1") == "1":
+        from .pack_pallas import pack_kernel_wanted, pack_rows_pallas
+
+        if pack_kernel_wanted(scene, state.instance_obj.shape[1]):
+            tris = pack_rows_pallas(
+                state, scene, interpret=interpret
+            )  # [W, 32, Sp]
+        elif _os.environ.get("MRT_PACK_PLANAR", "1") == "1":
             tris = _pack_rows_planar(state, scene)  # [W, 32, S]
         else:
             tris = _pack_tris(soup, scene)  # [W, 32, S]

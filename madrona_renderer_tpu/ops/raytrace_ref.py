@@ -98,9 +98,28 @@ def planar_soup_parts(state: SimState, scene: SceneData, what: str = "all"):
 
     W, I = state.instance_obj.shape
     obj = state.instance_obj  # [W, I]
+    n_obj = int(scene.tri_valid.shape[0])
 
-    def g(arr):  # [O, T] object plane → [W, I, T]
-        return arr[obj]
+    import os as _os
+
+    if _os.environ.get("MRT_PACK_SELECT", "0") == "1" and n_obj <= 8:
+        # Gather-free variant for the pack-cost A/B (r5): the chainK
+        # probe put the XLA pack at ~15% of the headline step and the
+        # planar rewrite showed the cost is the `arr[obj]` GATHER. With
+        # few object types, an unrolled O-way select picks the exact
+        # same values (bitwise — each lane copies one operand), fuses
+        # into the surrounding elementwise tree, and never emits an XLA
+        # gather op. Knob read at TRACE time (CLAUDE.md: clear caches
+        # after flipping mid-process).
+        def g(arr):  # [O, T, ...] object table → [W, I, T, ...]
+            sel = obj.reshape(W, I, *([1] * (arr.ndim - 1)))
+            acc = jnp.broadcast_to(arr[0], (W, I) + arr.shape[1:])
+            for o in range(1, n_obj):
+                acc = jnp.where(sel == o, arr[o], acc)
+            return acc
+    else:
+        def g(arr):  # [O, T] object plane → [W, I, T]
+            return arr[obj]
 
     def bi(x):  # [W, I] per-instance scalar → broadcast over T
         return x[:, :, None]
