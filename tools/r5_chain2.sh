@@ -52,6 +52,16 @@ else
   sleep 60
 fi
 
+log "S5: in-kernel stage-share ablation battery (headline; measures the"
+log "    roofline's counted ~730 ops/px against per-stage reality —"
+log "    docs/benchmarks.md roofline section; outputs deliberately wrong)"
+python -u tools/tpu_env_ab.py --scene headline --rounds 3 \
+  --configs "" "MRT_ABLATE_RAYGEN=1" "MRT_ABLATE_SWEEP=1" \
+            "MRT_ABLATE_RESOLVE=1" "MRT_ABLATE_SHADE=1" "MRT_ABLATE_PACK=1" \
+  > /tmp/r5_ablate.log 2>&1
+log "S5 rc=$?"
+sleep 60
+
 # Resume chain 1's health-gated battery loop (battery at most once).
 run_battery() {
   log "battery 1/5: terrain structural knobs at 512 (3 rounds)"
