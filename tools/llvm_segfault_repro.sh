@@ -1,0 +1,19 @@
+#!/bin/bash
+# Repro driver for the suite-scale XLA:CPU LLVM segfault (VERDICT r4
+# weak #8; tests/conftest.py "live-executable cap" note).
+#
+# MRT_TEST_NO_CLEAR=1 disables both cache-clear defenses, restoring the
+# pre-r5 state in which the warm-start prepass compile (a 4-render
+# lax.cond program, one of the suite's largest HLOs) segfaulted inside
+# LLVM after ~380 earlier tests' accumulated executables. Expected
+# outcome with the defenses off: pytest dies with SIGSEGV (rc 139) at
+# tests/test_warmstart.py; with them on (default), the suite passes.
+#
+# CPU-only (conftest forces the CPU backend) — safe to run while a TPU
+# chain holds the tunnel. Takes ~25 min.
+set -u
+cd "$(dirname "$0")/.."
+echo "[repro] full suite with MRT_TEST_NO_CLEAR=1 (defenses OFF)"
+MRT_TEST_NO_CLEAR=1 python -m pytest tests/ -q -x 2>&1 | tail -20
+rc=${PIPESTATUS[0]}
+echo "[repro] rc=$rc (139 = SIGSEGV reproduces the r4 crash)"

@@ -201,13 +201,36 @@ def main():
             results[cfg].append(fps)
             log(f"round {rnd} [{cfg or 'defaults'}]: "
                 f"{fps:,.1f} f/s ({per*1e3:.2f} ms/step)")
+    meds = {}
     for cfg in args.configs:
         vals = sorted(results[cfg])
         med = vals[len(vals) // 2] if len(vals) % 2 else (
             0.5 * (vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
         )
+        meds[cfg] = med
         log(f"MEDIAN [{cfg or 'defaults'}]: {med:,.1f} f/s over "
             f"{[f'{v:,.1f}' for v in vals]}")
+    # Self-calibration (VERDICT r4 #1): when the FIRST config is the
+    # known default row of a scene with a healthy canonical, print its
+    # suppression ratio so every published delta ships with its own
+    # same-session calibration instead of the blanket "proportionality"
+    # assumption. Canonicals: docs/benchmarks.md (r3/r4 healthy ladder;
+    # multicam = chainN degraded consensus, marked).
+    _CANONICAL = {
+        "terrain": (86.1, "healthy 86-95; degraded signature ~50.7/23"),
+        "headline": (518575.0, "r3 canonical ladder"),
+        "wall": (139277.0, "r3 canonical ladder"),
+        "textured": (401039.0, "r3 canonical ladder"),
+        "multicam": (133000.0, "chainN degraded consensus — weak anchor"),
+    }
+    if args.configs[0] == "" and args.scene in _CANONICAL:
+        canon, note = _CANONICAL[args.scene]
+        ratio = meds[""] / canon
+        log(f"CALIBRATION [{args.scene}]: defaults median {meds['']:,.1f}"
+            f" / canonical {canon:,.1f} = {ratio:.4f} ({note}). "
+            "Published deltas from this session carry this suppression "
+            "factor; discard the session if it is far outside the "
+            "kernel-class band (headline-class ~0.92-1.0 degraded).")
     log("DONE")
 
 
