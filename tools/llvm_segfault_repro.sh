@@ -14,6 +14,8 @@
 set -u
 cd "$(dirname "$0")/.."
 echo "[repro] full suite with MRT_TEST_NO_CLEAR=1 (defenses OFF)"
-MRT_TEST_NO_CLEAR=1 python -m pytest tests/ -q -x 2>&1 | tail -20
-rc=${PIPESTATUS[0]}
-echo "[repro] rc=$rc (139 = SIGSEGV reproduces the r4 crash)"
+MRT_TEST_NO_CLEAR=1 python -m pytest tests/ -q -x > /tmp/llvm_repro_full.log 2>&1
+rc=$?
+tail -60 /tmp/llvm_repro_full.log
+echo "[repro] rc=$rc (139 = SIGSEGV reproduces the r4 crash);"
+echo "[repro] full output: /tmp/llvm_repro_full.log"
