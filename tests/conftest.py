@@ -33,8 +33,13 @@ import pytest
 # Failure mode: after ~380 tests' worth of live XLA:CPU executables in
 # one pytest process, compiling one of the suite's LARGEST HLOs (the
 # warm-start prepass: a 4-render lax.cond program) segfaults inside
-# LLVM (reproduced twice at the same test; the same compile passes
-# standalone). Hypothesis: accumulated JIT'd code pushes the process
+# LLVM (the same compile passes standalone). Reproduced on demand (r5,
+# tools/llvm_segfault_repro.sh): with both defenses below disabled the
+# suite dies with SIGSEGV at
+# test_warmstart.py::test_manager_warmstart_bitwise_over_steps, inside
+# jax's compile path (faulthandler: compilation_cache.
+# get_executable_and_time -> compile_or_get_cached); with them on, the
+# suite passes. Hypothesis: accumulated JIT'd code pushes the process
 # code-allocation far enough that a very large module trips an LLVM
 # memory-manager edge. Two layers of defense:
 #
