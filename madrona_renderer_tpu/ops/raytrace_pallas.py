@@ -90,8 +90,15 @@ _N_TRI_ROWS = 32
 _CAM_LIGHT0 = 17
 
 
+def _cam_valid_col(n_lights: int) -> int:
+    """Column carrying state.camera_valid (the first post-light pad
+    column — always exists: 17 + 6L is odd, so the 8-alignment pad is
+    ≥ 1). Consumed by the fused-export epilogue (MRT_KERNEL_EXPORT)."""
+    return _CAM_LIGHT0 + 6 * n_lights
+
+
 def _n_cam_cols(n_lights: int) -> int:
-    return -(-(_CAM_LIGHT0 + 6 * n_lights) // 8) * 8
+    return -(-(_CAM_LIGHT0 + 6 * n_lights + 1) // 8) * 8
 
 
 _N_CAM_COLS = _n_cam_cols(1)  # 24 — the single-light layout
@@ -310,9 +317,15 @@ def _pack_cams(
     ).reshape(-1)  # [L*6]: per light dir(3) + color(3)
     light = jnp.broadcast_to(lights_flat, (W, C, 6 * L))
     n_cols = _n_cam_cols(L)
-    pad = jnp.zeros((W, C, n_cols - _CAM_LIGHT0 - 6 * L), jnp.float32)
+    # Column _cam_valid_col(L): state.camera_valid, for the fused-export
+    # epilogue's invalid-camera mask (zero-cost when unused).
+    camv = state.camera_valid[:, :, None].astype(jnp.float32)
+    pad = jnp.zeros(
+        (W, C, n_cols - _CAM_LIGHT0 - 6 * L - 1), jnp.float32
+    )
     cams = jnp.concatenate(
-        [state.camera_pos, right, fwd, up, tan_x, tan_y, clip, light, pad],
+        [state.camera_pos, right, fwd, up, tan_x, tan_y, clip, light,
+         camv, pad],
         axis=-1,
     )
     return cams.reshape(W * C, 1, n_cols)
@@ -846,6 +859,8 @@ def _render_kernel(
     seeded: bool = False,
     watertight: bool = False,
     fb_rows: int = 0,
+    fused_export: bool = False,
+    seg_div: int = 1,
 ):
     """Kernel factory. With cluster_size > 0, builds the culled variant.
     With binned=True (requires clusters), the per-tile loop runs over the
@@ -2791,9 +2806,43 @@ def _render_kernel(
             best_t = jnp.where(best_idx >= 0, best_t, 0.0)
             z = best_t * cosf
 
-            t_ref[0] = best_t
-            z_ref[0] = z
-            idx_ref[0] = best_idx
+            if fused_export:
+                # Fused export epilogue (MRT_KERNEL_EXPORT): apply the
+                # _frames_from_core masks here, where t/z/idx are still
+                # in registers — the outputs ARE the final depth /
+                # segmask values, and the XLA epilogue's extra
+                # read+write pass over three pixel-sized arrays
+                # disappears (measured ~10% of the headline step,
+                # tpu_epilogue_probe `core` variant, r5).
+                exp_cam_ok = cam_ref[0, 0, _cam_valid_col(n_lights)] > 0.0
+                hit_f = best_idx >= 0
+                if raster_clip:
+                    # z-far clip (near is exact via t_lo in the sweep).
+                    hit_f = hit_f & (z < cam_ref[0, 0, 16])
+                hit_f = hit_f & exp_cam_ok
+                t_ref[0] = jnp.where(hit_f, best_t, 0.0)
+                z_ref[0] = jnp.where(hit_f, z, 0.0)
+                # Segmask: per-world instance id. seg_div = tris/object
+                # (i32 divide by a trace-time constant).
+                idx_ref[0] = jnp.where(
+                    hit_f, best_idx // seg_div, jnp.int32(-1)
+                )
+            else:
+                exp_cam_ok = None
+                t_ref[0] = best_t
+                z_ref[0] = z
+                idx_ref[0] = best_idx
+
+            def export_rgb(packed):
+                """Fused export: invalid cameras read opaque black
+                (mirrors _frames_from_core's cam_ok select, bit-exact:
+                select of the packed word == packed word of selects)."""
+                if not fused_export:
+                    return packed
+                return jnp.where(
+                    exp_cam_ok, packed,
+                    jnp.int32(np.int32(np.uint32(0xFF000000))),
+                )
 
             # ---- Shadow rays (beyond-reference; opt-in) -------------------- #
             # One any-hit sweep per light from the primary hit points. The
@@ -2952,7 +3001,9 @@ def _render_kernel(
             if shaded and ablate_pack:
                 # Debug ablation: the whole shaded epilogue (lighting +
                 # clamp/quantize/pack) replaced by one store.
-                rgb_ref[0] = best_idx | jnp.int32(np.int32(np.uint32(0xFF000000)))
+                rgb_ref[0] = export_rgb(
+                    best_idx | jnp.int32(np.int32(np.uint32(0xFF000000)))
+                )
             elif shaded:
                 from .shade import AMBIENT
 
@@ -2996,7 +3047,7 @@ def _render_kernel(
 
                 alpha = jnp.int32(np.int32(np.uint32(0xFF000000)))
                 packed = chan(bmat, sr) | (chan(buvx, sg) << 8) | (chan(buvy, sb) << 16) | alpha
-                rgb_ref[0] = packed
+                rgb_ref[0] = export_rgb(packed)
             elif textured:
                 # ---- In-kernel nearest-filter texture sampling + shading.
                 # Per-pixel material params come from [8, 128] lane-gathers by
@@ -3148,7 +3199,7 @@ def _render_kernel(
                     | (chan_t(base_b, sb) << 16)
                     | alpha
                 )
-                rgb_ref[0] = packed
+                rgb_ref[0] = export_rgb(packed)
             elif tex_paged:
                 # ---- Paged mip-aware texture sampling (round 3; design in
                 # ops/mips.py). The texel pool exceeds the resident budget:
@@ -3609,7 +3660,7 @@ def _render_kernel(
                     | (chan_p(base_b, sb) << 16)
                     | alpha
                 )
-                rgb_ref[0] = packed
+                rgb_ref[0] = export_rgb(packed)
             else:
                 mat_ref[0] = bmat.astype(jnp.int32)
                 u_ref[0] = buvx
@@ -4586,6 +4637,17 @@ def render_core(
     else:
         out_shape = [f32, f32, i32, i32, f32, f32, f32, f32, f32]
         out_specs = [out_spec] * 9
+    # Fused export epilogue (MRT_KERNEL_EXPORT, r5): the 4-output family
+    # applies the _frames_from_core masks (hit, camera_valid, raster
+    # far-clip, idx→segmask) at the kernel's output writes, so the XLA
+    # epilogue's extra read+write pass over three pixel-sized arrays
+    # disappears (~10% of the headline step — tpu_epilogue_probe `core`
+    # variant). mxu keeps the XLA epilogue (its own kernel body).
+    fused_export = (
+        (shaded or tex_inkernel or tex_paged)
+        and accel != "mxu"
+        and _os.environ.get("MRT_KERNEL_EXPORT", "0") == "1"
+    )
 
     if accel == "mxu":
         s_pad = -(-S // 128) * 128
@@ -4645,6 +4707,8 @@ def render_core(
             seeded=seed_packed is not None,
             watertight=watertight,
             fb_rows=scene_fb_rows if tex_paged else 0,
+            fused_export=fused_export,
+            seg_div=scene.tris_per_object,
         )
         if wpp > 1 or tpp > 1:
             cl = _lane_pad(cl)
@@ -4832,6 +4896,8 @@ def render_core(
             seeded=seed_packed is not None,
             watertight=watertight,
             fb_rows=scene_fb_rows if tex_paged else 0,
+            fused_export=fused_export,
+            seg_div=scene.tris_per_object,
         )
         attr_specs, attr_inputs = [], ()
         if defer_attrs:
@@ -4881,13 +4947,29 @@ def render_core(
         outs[3] = jax.lax.bitcast_convert_type(outs[3], jnp.uint32)
     else:
         names = ["t", "z", "idx", "mat", "uvx", "uvy", "nx", "ny", "nz"]
-    return {k: unpack(v) for k, v in zip(names, outs)}, scene.tris_per_object
+    core = {k: unpack(v) for k, v in zip(names, outs)}
+    if fused_export:
+        # The outputs already carry the final masked depth/segmask/rgb
+        # (see the kernel's fused-export epilogue); tells
+        # _frames_from_core to skip its select pass.
+        core["fused_export"] = True
+    return core, scene.tris_per_object
 
 
 def _frames_from_core(core, T, scene, state, height, width, texture_filter,
                       depth_key: str, far_clip=None, with_segmask=True,
                       shadows=False, fov_y_degrees=90.0) -> Frames:
     W, C = state.camera_pos.shape[:2]
+    if core.get("fused_export"):
+        # Kernel already applied every mask and the idx→segmask divide
+        # (fused-export epilogue); this path is pure reshape/bitcast.
+        rgb = packed_to_rgba8(core["rgb"])
+        seg = core["idx"] if with_segmask else jnp.full_like(core["idx"], -1)
+        return Frames(
+            rgb=rgb.reshape(W, C, height, width, 4),
+            depth=core[depth_key].reshape(W, C, height, width),
+            segmask=seg.reshape(W, C, height, width),
+        )
     idx = core["idx"]
     hit = idx >= 0
     if far_clip is not None:

@@ -39,6 +39,7 @@ _KNOBS = (
     "MRT_PLANE_BINS", "MRT_TRI_RANGES", "MRT_TRI_TIE", "MRT_WIN_SORT",
     "MRT_UV_DEFER", "MRT_PACK_PLANAR", "MRT_SUPERTILE_TILES",
     "MRT_PACK_KERNEL", "MRT_PACK_WB", "MRT_PACK_SELECT",
+    "MRT_KERNEL_EXPORT",
     # Debug cost-ablation knobs (per-pixel pipeline stage shares; outputs
     # deliberately wrong — timing only, see raytrace_pallas.py).
     "MRT_ABLATE_SWEEP", "MRT_ABLATE_RESOLVE", "MRT_ABLATE_SHADE",
