@@ -197,7 +197,13 @@ def main():
 
     results = {c: [] for c in args.configs}
     for rnd in range(args.rounds):
-        for cfg in args.configs:
+        # Alternate the within-round visit order: a monotonic drift
+        # inside a round (e.g. a session recovery ramp) otherwise
+        # biases every later config up against the first (r5 find —
+        # two independent "+6% for the B arm" quick-looks evaporated
+        # at 7 rounds).
+        order = args.configs if rnd % 2 == 0 else list(args.configs)[::-1]
+        for cfg in order:
             fps, per = time_cfg(cfg)
             results[cfg].append(fps)
             log(f"round {rnd} [{cfg or 'defaults'}]: "
@@ -211,6 +217,12 @@ def main():
         meds[cfg] = med
         log(f"MEDIAN [{cfg or 'defaults'}]: {med:,.1f} f/s over "
             f"{[f'{v:,.1f}' for v in vals]}")
+        garbage = [v for v in vals if v > 3 * med]
+        if garbage:
+            log(f"  WARNING [{cfg or 'defaults'}]: {len(garbage)} read(s) "
+                f">3x median ({[f'{v:,.0f}' for v in garbage]}) — the "
+                "unstable-session signature (docs/benchmarks.md protocol); "
+                "treat this whole window's deltas as suspect")
     # Self-calibration (VERDICT r4 #1): when the FIRST config is the
     # known default row of a scene with a healthy canonical, print its
     # suppression ratio so every published delta ships with its own
