@@ -87,6 +87,31 @@ def test_fused_export_frames_bitwise(case, monkeypatch):
         assert (np.asarray(on.segmask) >= 0).any()
 
 
+def test_fused_export_manager_drop_in(monkeypatch, data_dir):
+    """Product surface: MadronaRenderer with the fused export on
+    produces byte-identical tensors to the default path."""
+    from tests.fixtures import smoke_scene
+
+    import madrona_renderer_tpu as m
+
+    def run():
+        kw = smoke_scene(data_dir)
+        r = m.MadronaRenderer(
+            gpu_id=0, num_worlds=4, render_mode=m.RenderMode.Raytracer,
+            batch_render_view_width=32, batch_render_view_height=32, **kw,
+        )
+        r.step()
+        return (r.rgb_tensor().numpy(), r.depth_tensor().numpy(),
+                r.segmask_tensor().numpy())
+
+    monkeypatch.setenv("MRT_KERNEL_EXPORT", "1")
+    on = run()
+    monkeypatch.setenv("MRT_KERNEL_EXPORT", "0")
+    off = run()
+    for a, b in zip(on, off):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_fused_export_invalid_camera_masked(monkeypatch):
     """The camera_valid=0 slot must read opaque black / depth 0 /
     segmask -1 under the fused path (the mask the XLA epilogue used to
