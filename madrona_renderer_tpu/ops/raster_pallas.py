@@ -41,6 +41,58 @@ regime 1, ``'auto'`` picks by cluster count × tile count (measured on the
 docs/benchmarks.md has the ablation).
 """
 
-from .raytrace_pallas import band_cluster_bins, rasterize
+from functools import partial
+
+import jax
+
+from ..core.frames import Frames
+from ..core.scene import SceneData
+from ..core.state import SimState
+from ..utils.precision import f32_precise
+from .raytrace_pallas import _frames_from_core, band_cluster_bins, render_core
 
 __all__ = ["rasterize", "band_cluster_bins"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "near", "far", "fov_y_degrees", "chunk",
+        "interpret", "texture_filter", "accel", "shadows", "watertight",
+    ),
+)
+@f32_precise
+def rasterize(
+    state: SimState,
+    scene: SceneData,
+    *,
+    height: int,
+    width: int,
+    near: float = 0.001,
+    far: float = 1000.0,
+    fov_y_degrees: float = 90.0,
+    chunk: int = 16,  # unused; signature parity with raster_ref
+    interpret: bool = False,
+    texture_filter: str = "nearest",
+    accel: str = "auto",
+    shadows: bool = False,
+    watertight: bool = False,
+) -> Frames:
+    """Raster-convention rendering on the shared kernel (camera-plane
+    depth, view znear clip, no segmask) — see raster_ref.py for the
+    rationale and the module docstring for the two-regime design.
+    ``watertight`` is a resolved bool (the Manager's
+    ``_watertight_effective`` handles env/None defaults before this jit
+    boundary)."""
+    del chunk
+    core, T = render_core(
+        state, scene, height=height, width=width, near=near, far=far,
+        fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
+        raster_clip=True, texture_filter=texture_filter, shadows=shadows,
+        watertight=watertight,
+    )
+    return _frames_from_core(
+        core, T, scene, state, height, width, texture_filter,
+        depth_key="z", far_clip=far, with_segmask=False,
+        shadows=shadows, fov_y_degrees=fov_y_degrees,
+    )

@@ -5067,42 +5067,12 @@ def raytrace(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "height", "width", "near", "far", "fov_y_degrees", "chunk", "interpret",
-        "texture_filter", "accel", "shadows", "watertight",
-    ),
-)
-@f32_precise
-def rasterize(
-    state: SimState,
-    scene: SceneData,
-    *,
-    height: int,
-    width: int,
-    near: float = 0.001,
-    far: float = 1000.0,
-    fov_y_degrees: float = 90.0,
-    chunk: int = 16,
-    interpret: bool = False,
-    texture_filter: str = "nearest",
-    accel: str = "auto",
-    shadows: bool = False,
-    watertight: bool = False,
-) -> Frames:
-    """Raster-convention rendering on the same kernel (camera-plane depth,
-    view znear clip, no segmask) — see raster_ref.py for the rationale.
-    ``watertight`` as in :func:`raytrace` (resolved bool, not None)."""
-    del chunk
-    core, T = render_core(
-        state, scene, height=height, width=width, near=near, far=far,
-        fov_y_degrees=fov_y_degrees, interpret=interpret, accel=accel,
-        raster_clip=True, texture_filter=texture_filter, shadows=shadows,
-        watertight=watertight,
-    )
-    return _frames_from_core(
-        core, T, scene, state, height, width, texture_filter,
-        depth_key="z", far_clip=far, with_segmask=False,
-        shadows=shadows, fov_y_degrees=fov_y_degrees,
-    )
+# ``rasterize`` moved to ops/raster_pallas.py (which owns the raster
+# entry point); resolved lazily here for backwards compatibility
+# (PEP 562 — a top-level import would be circular).
+def __getattr__(name):
+    if name == "rasterize":
+        from .raster_pallas import rasterize
+
+        return rasterize
+    raise AttributeError(name)
