@@ -205,6 +205,20 @@ def main():
         order = args.configs if rnd % 2 == 0 else list(args.configs)[::-1]
         for cfg in order:
             fps, per = time_cfg(cfg)
+            # Garbage-spike retry: a tunnel stall inside the SMALL
+            # rollout inflates t_small, the two-point slope collapses,
+            # and the read explodes (r5: 7.6M/22M/4.4M f/s spikes on
+            # ~500k configs). Known scenes have a hard physical cap
+            # (~3x canonical); re-measure up to twice instead of
+            # letting a known-impossible number poison the round.
+            cap = {"terrain": 300.0, "headline": 1.6e6, "wall": 4.2e5,
+                   "textured": 1.2e6, "multicam": 4.0e5}.get(args.scene)
+            for _ in range(2):
+                if cap is None or fps <= cap:
+                    break
+                log(f"round {rnd} [{cfg or 'defaults'}]: {fps:,.1f} f/s "
+                    f"> sanity cap {cap:,.0f} — slope misread, retrying")
+                fps, per = time_cfg(cfg)
             results[cfg].append(fps)
             log(f"round {rnd} [{cfg or 'defaults'}]: "
                 f"{fps:,.1f} f/s ({per*1e3:.2f} ms/step)")
