@@ -4641,12 +4641,15 @@ def render_core(
     # applies the _frames_from_core masks (hit, camera_valid, raster
     # far-clip, idx→segmask) at the kernel's output writes, so the XLA
     # epilogue's extra read+write pass over three pixel-sized arrays
-    # disappears (~10% of the headline step — tpu_epilogue_probe `core`
-    # variant). mxu keeps the XLA epilogue (its own kernel body).
+    # disappears. Default ON: frames bitwise-identical by construction
+    # (CI + on-chip exact), measured headline +3.7% at 15 alternating
+    # rounds / multicam +5.6%, other rows neutral (calibrated degraded
+    # reads — docs/benchmarks.md r5 campaign; healthy-window confirm
+    # queued). mxu keeps the XLA epilogue (its own kernel body).
     fused_export = (
         (shaded or tex_inkernel or tex_paged)
         and accel != "mxu"
-        and _os.environ.get("MRT_KERNEL_EXPORT", "0") == "1"
+        and _os.environ.get("MRT_KERNEL_EXPORT", "1") == "1"
     )
 
     if accel == "mxu":
