@@ -14,6 +14,11 @@ Scenes cover: plain shaded rt, raster (far-clip + no-segmask), the
 in-kernel textured path, multi-camera worlds with INVALID camera slots
 (ragged num_cameras → camera_valid = 0 rows, the mask the XLA epilogue
 applies last), and invalid instances.
+
+Reference anchor for the output semantics being preserved: the
+RGB(u8×4)/Depth(f32)/Segmask(i32) export columns of
+``RaycastOutputArchetype`` (reference ``src/sim.cpp:52-60``) and the
+rasterizer's no-segmask surface (``src/mgr.cpp:595``).
 """
 
 import numpy as np

@@ -10,6 +10,10 @@ prep / uv_defer mirror), and the zero pad lanes must really be zero
 MULTIPLE objects (exercising the unrolled select-gather), non-uniform
 scales (the XLA-side inverse-scale rows), invalid instance slots, and
 textures (the density/color planes).
+
+Reference anchor: the per-step render-ECS instance gather the pack
+re-creates (``RenderingSystem::setupTasks``, reference
+``src/sim.cpp:122-126``).
 """
 
 import jax

@@ -17,6 +17,9 @@ CPU interpret-mode parity is covered by tests/test_pack_kernel.py
 
 Run BEFORE recording any MRT_PACK_KERNEL bench numbers.
 Usage: python -u tools/tpu_pack_parity.py [--worlds 8]
+
+Reference anchor: the instance-buffer gather both packs re-create
+(``RenderingSystem::setupTasks``, reference ``src/sim.cpp:122-126``).
 """
 
 from __future__ import annotations
